@@ -1,0 +1,67 @@
+"""CLI mirroring the reference's six modes (cmd/cli/main.go:46-105).
+
+Usage:
+    python -m clickhouse_only_importer_prototype_spark.cli \
+        -mode convert-cna -tsv-dir /data/studies -parquet-dir /out
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+from clickhouse_only_importer_prototype_spark.plans import pipelines
+from clickhouse_only_importer_prototype_spark.session import get_spark
+
+MODES = (
+    "convert-cna",
+    "convert-cna-with-derived",
+    "convert-mutations",
+    "combine-cna",
+    "combine-cna-with-derived",
+    "combine-mutations",
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-mode", "--mode", required=True, choices=MODES)
+    parser.add_argument("-tsv-dir", "--tsv-dir", default=None)
+    parser.add_argument("-parquet-dir", "--parquet-dir", required=True)
+    args = parser.parse_args(argv)
+
+    if args.mode.startswith("convert") and not args.tsv_dir:
+        parser.error("-tsv-dir required for convert modes")
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    start = time.time()
+    spark = get_spark(app_name=f"cips-{args.mode}")
+    rc = 0
+    try:
+        if args.mode in ("convert-cna", "convert-cna-with-derived"):
+            summary = pipelines.convert_cna(
+                spark,
+                args.tsv_dir,
+                args.parquet_dir,
+                with_derived=args.mode.endswith("with-derived"),
+            )
+            rc = 0 if summary.ok else 1
+        elif args.mode == "convert-mutations":
+            summary = pipelines.convert_mutations(spark, args.tsv_dir, args.parquet_dir)
+            rc = 0 if summary.ok else 1
+        elif args.mode in ("combine-cna", "combine-cna-with-derived"):
+            pipelines.combine_cna(
+                spark, args.parquet_dir, with_derived=args.mode.endswith("with-derived")
+            )
+        elif args.mode == "combine-mutations":
+            pipelines.combine_mutations(spark, args.parquet_dir)
+    finally:
+        # Total wall time, matching cmd/cli/main.go:107-108.
+        logging.info("Total execution time: %.2fs", time.time() - start)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

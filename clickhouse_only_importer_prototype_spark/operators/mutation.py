@@ -1,0 +1,114 @@
+"""Mutation operators: by-name projection with "" fallback, the two
+table builders, and the gapless surrogate-key assigner.
+
+Reference semantics (mutation/transformer.go):
+  * ``getFieldValue`` — column looked up by name, absent column -> ""
+    (:311-325). Spark restatement: ``col if present else lit("")``,
+    resolved at plan time (schema is known), so the fallback constant-
+    folds — no per-row cost.
+  * ``mutation_event`` / ``mutation`` — fixed projections (:348-407),
+    co-generated from the same scan sharing MUTATION_EVENT_ID.
+  * MUTATION_EVENT_ID — int64, starts at ``start``, dense/gapless,
+    incremented per MAF row, threaded across files (:30-52, :410).
+
+Scale design for the surrogate key (SURVEY §7.5.1): a naive global
+``row_number()`` funnels 100 TB through one partition. Instead:
+two-pass prefix-sum — (1) count rows per file (an aggregate over
+file-name, metadata-sized result), (2) ``row_number() OVER
+(PARTITION BY file ORDER BY scan_order)`` plus the file's broadcast
+offset. The only shuffle is the per-file window partition, parallel
+across files. The reference's own file order is nondeterministic (Go
+map iteration, cmd/cli/main.go:309,496); we define sorted-path order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from clickhouse_only_importer_prototype_spark.functions import ns, underscore_join
+from clickhouse_only_importer_prototype_spark.schemas import (
+    MUTATION_COLUMNS,
+    MUTATION_EVENT_COLUMNS,
+)
+
+_FILE = "__file"
+_SCAN_ORDER = "__scan_order"
+EVENT_ID = "MUTATION_EVENT_ID"
+
+
+def field_or_empty(df: DataFrame, name: str) -> F.Column:
+    """By-name projection with "" default (getFieldValue parity, P1)."""
+    if name is not None and name in df.columns:
+        return ns(F.col(name))
+    return F.lit("")
+
+
+def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
+    """Assign dense, gapless int64 ids in (file, scan-order) order.
+
+    Two-pass prefix-sum (see module docstring). ``__mid`` captures scan
+    order within each file's partitions via monotonically_increasing_id
+    taken directly over the scan output; the per-file window then ranks
+    rows without a global sort. Offsets for each file are computed on
+    the driver from per-file counts (metadata-scale) and broadcast.
+    """
+    spark = df.sparkSession
+    tagged = df.withColumn(_FILE, F.input_file_name()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    tagged = tagged.persist()
+    counts = tagged.groupBy(_FILE).count().collect()
+    offsets, acc = [], start
+    for row in sorted(counts, key=lambda r: r[_FILE]):
+        offsets.append((row[_FILE], acc))
+        acc += row["count"]
+    offsets_df = spark.createDataFrame(offsets, f"{_FILE} string, __offset long")
+    w = Window.partitionBy(_FILE).orderBy("__mid")
+    out = (
+        tagged.join(F.broadcast(offsets_df), _FILE)
+        .withColumn(
+            EVENT_ID,
+            (F.row_number().over(w) - F.lit(1) + F.col("__offset")).cast("long"),
+        )
+        .drop(_FILE, "__mid", "__offset")
+    )
+    return out
+
+
+def next_event_id(df_with_ids: DataFrame) -> int:
+    """Final id + 1, for threading into a subsequent run
+    (mutation/transformer.go:131,167-169)."""
+    row = df_with_ids.agg(F.max(EVENT_ID).alias("m")).first()
+    return (row["m"] + 1) if row["m"] is not None else 0
+
+
+def mutation_event(df: DataFrame) -> DataFrame:
+    """MAF -> mutation_event projection (mutation/transformer.go:348-371).
+
+    ``df`` must already carry MUTATION_EVENT_ID. Absent MAF columns and
+    the 7 reserved columns become "" (constant-folded by Catalyst).
+    """
+    cols = [F.col(EVENT_ID)]
+    for out_name, src in MUTATION_EVENT_COLUMNS:
+        expr = field_or_empty(df, src) if src else F.lit("")
+        cols.append(expr.alias(out_name))
+    return df.select(*cols)
+
+
+def mutation(df: DataFrame, study: str, profile: str) -> DataFrame:
+    """MAF -> mutation projection (mutation/transformer.go:373-407).
+
+    SAMPLE_ID = ``<study>_<Tumor_Sample_Barcode>`` (:377-380);
+    GENETIC_PROFILE_ID is the profile literal; ANNOTATION_JSON "".
+    """
+    cols = [
+        F.col(EVENT_ID),
+        F.lit(profile).alias("GENETIC_PROFILE_ID"),
+        underscore_join(study, field_or_empty(df, "Tumor_Sample_Barcode")).alias(
+            "SAMPLE_ID"
+        ),
+    ]
+    for out_name, src in MUTATION_COLUMNS:
+        expr = field_or_empty(df, src) if src else F.lit("")
+        cols.append(expr.alias(out_name))
+    return df.select(*cols)

@@ -1,0 +1,200 @@
+"""End-to-end pipelines mirroring the reference CLI modes.
+
+Modes (cmd/cli/main.go:46-105): convert-cna, convert-cna-with-derived,
+convert-mutations, combine-cna, combine-cna-with-derived,
+combine-mutations.
+
+Dataflow parity (SURVEY §2.10):
+  * D1/D2 one-pass multi-sink fan-out: the reference pipes one TSV scan
+    into 2-3 concurrent parquet writers over Go channels. Spark
+    restatement: one cached DataFrame, 2-3 write actions — the cache
+    replaces the reference's re-use of the in-flight stream. The wide
+    CNA plans are shuffle-free, so even uncached the cost is a rescan,
+    not a recompute of anything expensive.
+  * D3 event-id threading across files: subsumed by the prefix-sum id
+    assigner over all files at once (operators/mutation.py) — the
+    sequential file loop disappears.
+  * D4 per-file error isolation: try/except per file with a failure
+    manifest (mutations tolerate failures, CNA aborts — matching
+    cna/transformer.go:30-45 vs mutation/transformer.go:37-73).
+  * U1 combine: multi-path parquet read (union-all, duplicates kept)
+    with one streaming write — the reference materializes each whole
+    table in memory (cna/reader_parquet.go:60-64); Spark never does.
+    Reader errors fail loud (intentional fix of :132-137).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import logging
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_only_importer_prototype_spark.operators import cna as cna_ops
+from clickhouse_only_importer_prototype_spark.operators import mutation as mut_ops
+from clickhouse_only_importer_prototype_spark.sinks.parquet import write_parquet
+from clickhouse_only_importer_prototype_spark.sources.discovery import (
+    discover_cna_files,
+    discover_mutation_files,
+)
+from clickhouse_only_importer_prototype_spark.sources.tsv import (
+    read_cna_matrix,
+    read_maf,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def output_base(tsv_path: str, parquet_dir: str) -> str:
+    """``<studyDir>_<file>`` naming (cna/transformer.go:266-297)."""
+    study_dir = os.path.basename(os.path.dirname(tsv_path))
+    stem = os.path.basename(tsv_path)
+    for suffix in (".txt", ".tsv"):
+        if stem.endswith(suffix):
+            stem = stem[: -len(suffix)]
+    return os.path.join(parquet_dir, f"{study_dir}_{stem}")
+
+
+@dataclass
+class RunSummary:
+    processed: list[str] = field(default_factory=list)
+    failed: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return not self.failed
+
+
+def convert_cna(
+    spark: SparkSession,
+    tsv_dir: str,
+    parquet_dir: str,
+    with_derived: bool = False,
+    single_file: bool = True,
+) -> RunSummary:
+    """convert-cna[-with-derived] (cmd/cli/main.go:111-151).
+
+    Per study file: one scan -> genetic_alterations +
+    genetic_profile_samples (+ derived). CNA mode aborts on first
+    failure like the reference (cna/transformer.go:30-45).
+    """
+    inputs = discover_cna_files(tsv_dir)
+    logger.info("found %d CNA files", len(inputs))
+    summary = RunSummary()
+    os.makedirs(parquet_dir, exist_ok=True)
+    for item in inputs:
+        base = output_base(item.path, parquet_dir)
+        df = read_cna_matrix(spark, item.path)
+        ga = cna_ops.genetic_alterations(df, item.cancer_study_id, item.genetic_profile_id)
+        gps = cna_ops.genetic_profile_samples(
+            spark, df, item.cancer_study_id, item.genetic_profile_id
+        )
+        write_parquet(ga, f"{base}_genetic_alterations.parquet", single_file=single_file)
+        write_parquet(
+            gps, f"{base}_genetic_profile_samples.parquet", single_file=single_file
+        )
+        if with_derived:
+            derived = cna_ops.cna_derived(
+                df, item.cancer_study_id, item.genetic_profile_id
+            )
+            write_parquet(derived, f"{base}_derived.parquet", single_file=single_file)
+        summary.processed.append(item.path)
+    return summary
+
+
+def convert_mutations(
+    spark: SparkSession,
+    tsv_dir: str,
+    parquet_dir: str,
+    start_event_id: int = 0,
+    single_file: bool = True,
+) -> RunSummary:
+    """convert-mutations (cmd/cli/main.go:396-424).
+
+    Event ids are dense and gapless across all files in sorted-path
+    order (prefix-sum assigner) — the reference's sequential id
+    threading without the sequential execution. Per-file failures are
+    tolerated and reported (mutation/transformer.go:37-73).
+    """
+    inputs = discover_mutation_files(tsv_dir)
+    logger.info("found %d mutation files", len(inputs))
+    summary = RunSummary()
+    os.makedirs(parquet_dir, exist_ok=True)
+    next_id = start_event_id
+    for item in inputs:
+        base = output_base(item.path, parquet_dir)
+        try:
+            df = read_maf(spark, item.path)
+            with_ids = mut_ops.with_sequential_ids(df, start=next_id)
+            with_ids = with_ids.persist()
+            event_df = mut_ops.mutation_event(with_ids)
+            mut_df = mut_ops.mutation(
+                with_ids, item.cancer_study_id, item.genetic_profile_id
+            )
+            write_parquet(
+                event_df, f"{base}_mutation_event.parquet", single_file=single_file
+            )
+            write_parquet(mut_df, f"{base}_mutation.parquet", single_file=single_file)
+            next_id = mut_ops.next_event_id(with_ids)
+            with_ids.unpersist()
+            summary.processed.append(item.path)
+        except Exception as exc:  # noqa: BLE001 — D4 per-file isolation
+            logger.error("failed to process %s: %s", item.path, exc)
+            summary.failed[item.path] = str(exc)
+    if summary.failed:
+        logger.error(
+            "%d/%d mutation files failed: %s",
+            len(summary.failed),
+            len(inputs),
+            sorted(summary.failed),
+        )
+    return summary
+
+
+def combine_parquet(
+    spark: SparkSession,
+    pattern: str,
+    output_path: str,
+    single_file: bool = True,
+) -> int:
+    """U1 union-all by glob (cna/reader_parquet.go:86-143).
+
+    Duplicate-preserving: multi-path parquet scan IS union-all. The
+    output file is excluded from its own input glob (:101-108). Returns
+    the number of input files combined. Fails loud on reader errors —
+    an intentional fix of the reference's silent truncation (:132-137).
+    """
+    paths = sorted(p for p in _glob.glob(pattern) if os.path.abspath(p) != os.path.abspath(output_path))
+    if not paths:
+        logger.warning("no files matched %s", pattern)
+        return 0
+    df: DataFrame = spark.read.parquet(*paths)
+    write_parquet(df, output_path, single_file=single_file)
+    return len(paths)
+
+
+def combine_cna(
+    spark: SparkSession, parquet_dir: str, with_derived: bool = False
+) -> dict[str, int]:
+    """combine-cna[-with-derived] (cmd/cli/main.go:153-196)."""
+    kinds = ["genetic_alterations", "genetic_profile_samples"]
+    if with_derived:
+        kinds.append("derived")
+    out = {}
+    for kind in kinds:
+        pattern = os.path.join(parquet_dir, f"*_{kind}.parquet")
+        output = os.path.join(parquet_dir, f"combined_{kind}.parquet")
+        out[kind] = combine_parquet(spark, pattern, output)
+    return out
+
+
+def combine_mutations(spark: SparkSession, parquet_dir: str) -> dict[str, int]:
+    """combine-mutations (cmd/cli/main.go:538-559)."""
+    out = {}
+    for kind in ("mutation_event", "mutation"):
+        pattern = os.path.join(parquet_dir, f"*_{kind}.parquet")
+        output = os.path.join(parquet_dir, f"combined_{kind}.parquet")
+        out[kind] = combine_parquet(spark, pattern, output)
+    return out
