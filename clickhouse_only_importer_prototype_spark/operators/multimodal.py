@@ -1,0 +1,162 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json north star): image/audio/video travel as
+``binary`` columns with a typed metadata struct alongside. Decode /
+feature-extract / resize / frame-sample run as arrow-vectorized
+functions over ``mapInPandas`` so each task processes whole record
+batches — the Spark-side plumbing (schema, batch shape, partitioning)
+is real and tested here; the actual codec calls are stubbed because
+image/audio libraries are not in this container.
+
+``decode_stub=True`` (default) substitutes a deterministic fake decode
+(blake2b-keyed byte statistics) so pipelines and tests exercise the
+full path; passing ``decode_stub=False`` raises NotImplementedError at
+the point a real codec (Pillow/ffmpeg/torchaudio) would be invoked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a codec + feature extractor:
+    blake2b-seeded byte statistics, FEATURE_DIM floats in [0, 1)."""
+    import hashlib
+
+    import numpy as np
+
+    digest = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 4).digest()
+    arr = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
+    return (arr / 2**32).astype(np.float32).tolist()
+
+
+def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + feature-extract media payloads via mapInPandas.
+
+    Each arrow batch is processed whole (no per-row Python dispatch);
+    the output schema is fixed so downstream joins/aggregations plan
+    normally. At 100 TB the input should be bucketed or range-
+    partitioned by media_id so feature joins co-locate.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires Pillow/ffmpeg; not in container"
+                )
+            feats = [_fake_decode_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled timestamp with a feature vector. The sampling *plan*
+    (explode of timestamps from duration metadata) is pure Spark —
+    JVM-side, prunable — only the per-frame decode is stubbed."""
+    ts = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+            F.lit(every_ms),
+        )
+    ).alias("frame_ms")
+    frames = df.where(F.col("media_type") == "video").select(
+        "media_id", "payload", ts
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real frame decode not available")
+            feats = [
+                _fake_decode_features(
+                    (p or b"") + int(m).to_bytes(8, "big")
+                )
+                for p, m in zip(pdf["payload"], pdf["frame_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    "features": feats,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_ms", LongType(), True),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+    return frames.mapInPandas(run, schema)
+
+
+def synthetic_media(spark, n: int = 8) -> DataFrame:
+    """Deterministic fixture media table (payload = patterned bytes)."""
+    rows = []
+    for i in range(n):
+        mtype = ["image", "audio", "video"][i % 3]
+        payload = bytes((i * 37 + j) % 256 for j in range(64 + i))
+        rows.append(
+            (
+                i,
+                mtype,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[
+                    mtype
+                ],
+                payload,
+                64 if mtype == "image" else None,
+                64 if mtype == "image" else None,
+                3000 if mtype == "video" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,158 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language-ID,
+quality scoring, token counting, document fingerprinting. Everything
+here is a row-local projection built from JVM-side
+``pyspark.sql.functions`` — no UDFs, no shuffle, whole-stage codegen
+end-to-end — so at 100 TB these run at scan speed.
+
+Cross-engine determinism: each op is also expressible in ANSI/DuckDB
+SQL (see __spark_entry__.oracle_sql). To keep hashes identical we use
+only constructs with identical semantics in both engines: non-regex
+``replace`` for marker counting, explicit character classes for
+punctuation, md5 for fingerprints, integer arithmetic where rounding
+could diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Per-language marker words for the n-gram/stopword heuristic. Counting
+# uses non-regex replace => identical in Spark and DuckDB.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of"],
+    "de": ["der", "und", "die", "nicht"],
+    "fr": ["le", "et", "les", "une"],
+    "es": ["el", "y", "los", "una"],
+    "zh": ["de", "shi", "zai", "le"],
+}
+
+PUNCT_CLASS = "[.,;:!?]"
+
+# BPE-ish word piece: word chars, or a single non-space symbol.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def _norm(col: Column) -> Column:
+    """lower + collapse whitespace + trim — shared normalization."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _count_occurrences(padded: Column, marker: str) -> Column:
+    """Occurrences of ``" marker "`` via the replace-length trick —
+    identical semantics in DuckDB: (len(s) - len(replace(s,m,'')))/len(m)."""
+    needle = f" {marker} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text -> 0."""
+    t = _norm(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " "))).cast("long")
+
+
+def wordpiece_count(col: Column) -> Column:
+    """BPE-ish piece count: words plus isolated symbols (TOKEN_REGEX)."""
+    return F.coalesce(F.regexp_count(col, F.lit(TOKEN_REGEX)), F.lit(0)).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    ).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features per document (length / punctuation /
+    stopword / word-shape ratios). Ratios are int-scaled per-1000 longs
+    to keep cross-engine hashes exact (no float division drift).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("long")
+    n_tokens = token_count(c)
+    n_punct = punct_count(c)
+    padded = F.concat(F.lit(" "), _norm(c), F.lit(" "))
+    n_stop = sum(
+        (_count_occurrences(padded, m) for m in LANG_MARKERS["en"]),
+        F.lit(0).cast("long"),
+    )
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return df.select(
+        F.col("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        wordpiece_count(c).alias("n_pieces"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        (F.lit(1000) * n_punct / safe_chars).cast("long").alias("punct_per_1000_chars"),
+        (F.lit(1000) * n_stop / safe_tokens).cast("long").alias("stop_per_1000_tokens"),
+        (n_chars / safe_tokens).cast("long").alias("mean_token_len_floor"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic -> (doc_id, predicted_lang, score).
+
+    Scores each language by marker-word hits per document; argmax with
+    deterministic tie-break on language code order. Row-local; at scale
+    this is a pure map over the scan.
+    """
+    padded = F.concat(F.lit(" "), _norm(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occurrences(padded, m) for m in markers),
+            F.lit(0).cast("long"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax via greatest + chained when (first lang in sorted order wins ties)
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col("doc_id"),
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace-collapsed) — the exact-dedup key."""
+    return df.select(
+        F.col("doc_id"),
+        F.md5(_norm(F.col(text_col))).alias("fingerprint"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles, one row per (doc_id, shingle), distinct.
+
+    Built from split + sliding-window ``transform`` over token arrays —
+    JVM-side, no UDF. The explode is the standard scale path: shingle
+    rows shuffle by shingle for the inverted-index join used by both
+    n-gram Jaccard and MinHash.
+    """
+    toks = F.split(_norm(F.col(text_col)), " ")
+    count = F.size(toks) - F.lit(n - 1)
+    # sequence() descends when start > stop, so gate the empty case
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col("doc_id"), F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )

@@ -1,0 +1,116 @@
+"""Structured Streaming over the events table.
+
+The reference has no stream semantics (SURVEY §2.8 — its goroutine
+pipeline is bounded batch), but the extended engine covers the events
+surface: tumbling/sliding window aggregates with watermarks for late
+data, plus a batch-equivalent of each so results are oracle-checkable.
+
+The driver's ``events`` parquet carries TIMESTAMP(NANOS) which Spark
+reads as long nanos (session conf nanosAsLong) — ``with_event_time``
+derives a proper timestamp column once, at scan.
+
+Scale: windowed aggregation state is partitioned by (window, keys);
+watermark bounds state size — without it a 100 TB stream accretes
+state forever. ``availableNow`` triggers let the same query run as an
+incremental backfill over historical parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # nanos (nanosAsLong read)
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Derive a microsecond event_time from the long-nanos ts column."""
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming read of the events parquet directory."""
+    return with_event_time(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    )
+
+
+def tumbling_counts(
+    df: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type counts + value sum, watermarked.
+
+    Works identically for batch and streaming inputs (same API); on a
+    stream the watermark lets Spark drop state for closed windows.
+    """
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark("event_time", watermark)
+    return (
+        src.groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_user_activity(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window distinct-ish user activity (count + value stats)."""
+    src = df.withWatermark("event_time", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.window("event_time", window, slide))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
+
+
+def run_batch_backfill(
+    spark: SparkSession, path: str, out_path: str, window: str = "1 hour"
+) -> None:
+    """availableNow backfill: process all historical files incrementally
+    then stop — the streaming query as a bounded job."""
+    stream = read_events_stream(spark, path)
+    agg = tumbling_counts(stream, window)
+    (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_path}/_checkpoint")
+        .start(out_path)
+        .awaitTermination()
+    )

@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests — schema, batch shape, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_only_importer_prototype_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synthetic_media(spark, n=9)
+
+
+def test_feature_extraction_schema_and_dim(spark, media):
+    out = mm.extract_features(media)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "media_type", "n_bytes", "features",
+    ]
+    rows = out.collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert len(r.features) == mm.FEATURE_DIM
+        assert r.n_bytes >= 64
+
+
+def test_feature_extraction_deterministic(spark, media):
+    a = {r.media_id: r.features for r in mm.extract_features(media).collect()}
+    b = {r.media_id: r.features for r in mm.extract_features(media).collect()}
+    assert a == b
+
+
+def test_real_decode_raises(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        mm.extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_plan(spark, media):
+    frames = mm.frame_sample_plan(media, every_ms=1000).collect()
+    # videos have duration 3000ms -> frames at 0,1000,2000 (+2999 tail guard)
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_ms)
+    assert by_media  # at least one video in fixture
+    for frame_list in by_media.values():
+        assert 0 in frame_list
+        assert all(f < 3000 for f in frame_list)
+        assert len(set(frame_list)) == len(frame_list)
+    for r in frames:
+        assert len(r.features) == mm.FEATURE_DIM

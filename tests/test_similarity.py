@@ -1,0 +1,74 @@
+"""Similarity-search tests: brute-force correctness, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clickhouse_only_importer_prototype_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _numpy_topk(vecs: dict[int, np.ndarray], qid: int, k: int):
+    q = vecs[qid]
+    scores = []
+    for nid, v in vecs.items():
+        if nid == qid:
+            continue
+        cos = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        scores.append((int(np.floor(cos * 1e6)), nid))
+    scores.sort(key=lambda t: (-t[0], t[1]))
+    return [nid for _, nid in scores[:k]]
+
+
+def test_bruteforce_matches_numpy(spark, embeddings):
+    sample = embeddings.limit(60)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in sample.collect()
+    }
+    queries = sample.where("vec_id < 3")
+    out = similarity.cosine_topk_bruteforce(sample, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid in got:
+        ordered = [nid for _, nid in sorted(got[qid])]
+        assert ordered == _numpy_topk(vecs, qid, 5), f"query {qid}"
+
+
+def test_lsh_recall_against_bruteforce(spark, embeddings):
+    corpus = embeddings
+    queries = embeddings.where("vec_id < 10")
+    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=5)
+    # testdata embeddings are near-random (top-5 cos ~0.32): weak
+    # neighbors need few planes + many tables for collision probability
+    approx = similarity.cosine_topk_lsh(
+        corpus, queries, dim=64, k=5, n_planes=4, n_tables=16
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_deterministic(spark, embeddings):
+    queries = embeddings.where("vec_id < 3")
+    a = sorted(map(tuple, similarity.cosine_topk_lsh(embeddings, queries, dim=64).collect()))
+    b = sorted(map(tuple, similarity.cosine_topk_lsh(embeddings, queries, dim=64).collect()))
+    assert a == b
+
+
+def test_neardup_pairs_symmetric_free(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_neardup_pairs(df, threshold_1e6=990000).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}

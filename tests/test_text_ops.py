@@ -1,0 +1,78 @@
+"""Text-analysis operator tests over the driver's documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_only_importer_prototype_spark.operators import text as text_ops
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_count_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(50)
+    rows = docs.select("doc_id", "text").collect()
+    got = {
+        r.doc_id: r.n_tokens
+        for r in docs.select(
+            "doc_id", text_ops.token_count(F.col("text")).alias("n_tokens")
+        ).collect()
+    }
+    for r in rows:
+        assert got[r.doc_id] == len(r.text.split()), r.doc_id
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "a  b\t c\nd")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", text_ops.token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 4}
+
+
+def test_quality_features_no_nulls_and_ranges(spark, sf_dir):
+    feats = text_ops.quality_features(_docs(spark, sf_dir)).collect()
+    assert len(feats) > 0
+    for r in feats:
+        assert r.n_chars > 0
+        assert 0 <= r.punct_per_1000_chars <= 1000
+        assert r.n_tokens <= r.n_pieces  # pieces split punctuation too
+        assert all(v is not None for v in r)
+
+
+def test_language_id_deterministic_and_scored(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out1 = sorted(map(tuple, text_ops.language_id(docs).collect()))
+    out2 = sorted(map(tuple, text_ops.language_id(docs).collect()))
+    assert out1 == out2
+    langs = {t[1] for t in out1}
+    assert langs <= set(text_ops.LANG_MARKERS) | {"unknown"}
+
+
+def test_fingerprint_is_md5_of_normalized(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "different")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fingerprint for r in text_ops.fingerprint(df).collect()}
+    expected = hashlib.md5(b"hello world").hexdigest()
+    assert rows[0] == expected == rows[1]
+    assert rows[2] != expected
+
+
+def test_shingles_window(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    got = sorted(r.shingle for r in text_ops.shingles(df, n=3).collect())
+    assert got == ["a b c", "b c d"]
+    # short doc -> no shingles
+    short = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert text_ops.shingles(short, n=3).count() == 0
