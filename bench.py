@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Each query is forced end-to-end with a noop sink (full compute, no
+collect/serialize overhead). Session startup is excluded; per-query
+times are a single measured run after one tiny warm-up query to JIT
+the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clickhouse_only_importer_prototype_spark import queries as q  # noqa: E402
+from clickhouse_only_importer_prototype_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "region_rollup",
+    "window_topk_orders",
+    "segment_distinct_stats",
+    "union_all_slices",
+    "pivot_concat_values",
+    "melt_unpivot_part",
+    "surrogate_ids",
+    "events_hourly",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "ann_cosine_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="cips-bench")
+    registry = q.queries()
+
+    # warm-up: JIT/codegen + FS metadata, not measured
+    q.q6_forecast_revenue(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,9 +89,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         wordpiece_count(c).alias("n_pieces"),
         n_punct.alias("n_punct"),
         n_stop.alias("n_stopwords"),
-        (F.lit(1000) * n_punct / safe_chars).cast("long").alias("punct_per_1000_chars"),
-        (F.lit(1000) * n_stop / safe_tokens).cast("long").alias("stop_per_1000_tokens"),
-        (n_chars / safe_tokens).cast("long").alias("mean_token_len_floor"),
+        F.floor(F.lit(1000) * n_punct / safe_chars)
+        .cast("long")
+        .alias("punct_per_1000_chars"),
+        F.floor(F.lit(1000) * n_stop / safe_tokens)
+        .cast("long")
+        .alias("stop_per_1000_tokens"),
+        F.floor(n_chars / safe_tokens).cast("long").alias("mean_token_len_floor"),
     )
 
 

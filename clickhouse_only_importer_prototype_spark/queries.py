@@ -1,0 +1,828 @@
+"""Query catalog: every operator surfaced as a (Spark builder, DuckDB
+oracle SQL) pair for the driver's correctness gate.
+
+Cross-engine determinism rules (both sides follow them):
+  * Money math in exact decimals: inputs are 2-dp doubles; cast to
+    DECIMAL before arithmetic/aggregation (exact, associative), cast
+    the final aggregate to DOUBLE (same exact decimal -> same bits).
+  * Averages = decimal-sum-as-double / count (decimal division scales
+    differ between engines; double division of identical inputs
+    doesn't).
+  * Counts/ids/ratios as BIGINT; scores int-scaled (floor(x * 1e6)).
+  * Dates emitted as formatted strings; event timestamps as raw
+    nanos (Spark reads TIMESTAMP(NANOS) as long via nanosAsLong,
+    DuckDB via epoch_ns).
+  * Deterministic ORDER BY + tie-breaks anywhere a LIMIT applies.
+
+Each entry also carries the scale rationale in its docstring — these
+run on local[32] here, but the plan shapes (broadcasts, partial aggs,
+no global sorts outside explicit top-k) are the 100 TB design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from clickhouse_only_importer_prototype_spark.operators import (
+    dedup as dedup_ops,
+    similarity as sim_ops,
+    text as text_ops,
+)
+from clickhouse_only_importer_prototype_spark.operators.cna import (
+    genetic_alterations_from_long,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # TIMESTAMP(NANOS) parquet: read as long nanos (driver sessions
+        # may not have the conf; it is runtime-settable)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dec(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def _revenue() -> Column:
+    """price * (1 - discount) in exact decimal."""
+    one = F.lit(1).cast("decimal(6,4)")
+    return _dec("l_extendedprice") * (one - _dec("l_discount", 6, 4))
+
+
+# Keep every intermediate inside DECIMAL(38): DuckDB silently converts
+# to DOUBLE when a decimal product would exceed width 38, which breaks
+# exactness — so literals are cast tight and the tax multiplier is
+# folded into the discount multiplier before touching the price.
+_SQL_ONE = "CAST(1.0 AS DECIMAL(6,4))"
+_SQL_REV = (
+    f"CAST(l_extendedprice AS DECIMAL(12,2)) * ({_SQL_ONE} - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_SQL_CHARGE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    f"(({_SQL_ONE} - CAST(l_discount AS DECIMAL(6,4))) * "
+    f"({_SQL_ONE} + CAST(l_tax AS DECIMAL(6,4))))"
+)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics: scan/filter/project/agg/join/window/sort/limit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM({_SQL_CHARGE}) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan -> partial+final hash agg.
+
+    Scale: map-side combine on 6 cells/group × 6 groups — the shuffle
+    carries ~groups×partitions rows, independent of input size.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    rev = _revenue()
+    one = F.lit(1).cast("decimal(6,4)")
+    # fold multipliers first: price(12,2) x ((1-d)(7,4) x (1+t)(7,4))(14,8)
+    # stays exact in both engines (see _SQL_CHARGE comment)
+    charge = price * ((one - _dec("l_discount", 6, 4)) * (one + _dec("l_tax", 6, 4)))
+    return (
+        l.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(rev).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(CAST(SUM({_SQL_REV.replace('l_', 'l.l_')}) AS VARCHAR) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
+
+    Scale: customer (smallest side after the segment filter) broadcasts;
+    lineitem never shuffles for the join. Top-10 via global sort of the
+    tiny aggregated result only.
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    f"""
+    SELECT n.n_name,
+           CAST(CAST(SUM({_SQL_REV.replace('l_', 'l.l_')}) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join (4 broadcast dims + 1 fact-fact join).
+
+    Scale: region/nation/customer/supplier broadcast; orders⨝lineitem is
+    the one shuffle join (both sides huge) — AQE picks sort-merge and
+    handles skew. Aggregation output is |nations| rows.
+    """
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filtered scan + scalar agg — the pushdown
+    showcase: every predicate reaches the parquet reader."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 6, 4))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(CAST(SUM({_SQL_REV.replace('l_', 'l.l_')}) AS VARCHAR) AS DOUBLE) AS revenue,
+           c.c_acctbal
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "region_rollup",
+    """
+    SELECT r.r_name,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain rollup: three broadcast joins, zero fact shuffles
+    before the final 5-row aggregate."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranked window — partitioned by customer, so
+    the sort is per-partition, never global."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        ).where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "segment_distinct_stats",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT o.o_custkey) AS active_customers,
+           COUNT(DISTINCT c.c_nationkey) AS nations,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregate: Catalyst expands to partial aggs —
+    no driver-side distinct anywhere."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.countDistinct("c_nationkey").alias("nations"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "union_all_slices",
+    """
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM (SELECT l_returnflag FROM lineitem WHERE l_linenumber = 1
+          UNION ALL
+          SELECT l_returnflag FROM lineitem WHERE l_quantity >= 25)
+    GROUP BY l_returnflag
+    """,
+)
+def union_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-preserving union-all (U1 parity shape) + count."""
+    l = load(spark, sf_dir, "lineitem")
+    u = l.where(F.col("l_linenumber") == 1).select("l_returnflag").unionAll(
+        l.where(F.col("l_quantity") >= 25).select("l_returnflag")
+    )
+    return u.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Reference-parity operator shapes on the testdata tables
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pivot_concat_values",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY l_linenumber,
+                      CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)) AS vals,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def pivot_concat_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 parity (order-sensitive pivot-concat): per-order quantities
+    comma-joined in line-number order — genetic_alterations.VALUES shape
+    (cna/transformer.go:511-532). Single partial+final agg; the sort
+    happens inside each group's collected array, not as a shuffle.
+    l_linenumber repeats within orders in this synthetic data, so both
+    engines tie-break on the value string."""
+    l = load(spark, sf_dir, "lineitem")
+    qty_str = F.floor(F.col("l_quantity")).cast("long").cast("string")
+    collected = F.array_sort(
+        F.collect_list(F.struct(F.col("l_linenumber").alias("idx"), qty_str.alias("v")))
+    )
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(collected, lambda s: s["v"]), ","
+            ).alias("vals"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "melt_unpivot_part",
+    """
+    SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_type' AS attr, p_type AS val FROM part
+    """,
+)
+def melt_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt parity (cna derived shape, cna/transformer.go:565-625):
+    native unpivot — narrow generator, no shuffle."""
+    p = load(spark, sf_dir, "part")
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_brand", "p_type"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "surrogate_ids",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS seq_id
+    FROM lineitem
+    """,
+)
+def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 parity: dense gapless surrogate keys over a defined order.
+
+    This oracle-able variant uses a key order (the pipeline's file/scan
+    variant is operators/mutation.with_sequential_ids). Scale note: a
+    bare global row_number funnels one partition; production path is
+    the two-pass per-file prefix-sum (same contract, parallel)."""
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.row_number().over(w) - 1).cast("long").alias("seq_id"),
+    )
+
+
+@register(
+    "long_to_values_rebuild",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY l_linenumber,
+                      CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)) AS "VALUES",
+           'tpch' AS "CANCER_STUDY"
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def long_to_values_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 long-path parity through the actual engine operator
+    (genetic_alterations_from_long), mapped onto lineitem."""
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").alias("sample_idx"),
+        F.floor(F.col("l_quantity")).cast("long").cast("string").alias("alt"),
+        F.lit("tpch").alias("study"),
+        F.lit("profile").alias("profile"),
+    )
+    out = genetic_alterations_from_long(
+        l,
+        gene_col="l_orderkey",
+        sample_idx_col="sample_idx",
+        value_col="alt",
+        study_col="study",
+        profile_col="profile",
+    )
+    return out.select(
+        F.col("GENE_SYMBOL").cast("long").alias("l_orderkey"),
+        F.col("VALUES"),
+        F.col("CANCER_STUDY"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: time-bucket aggregation + sessionization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY hour_bucket, event_type
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch equivalent: hour buckets from raw nanos.
+    (The streaming twin with watermarks is streaming/events.py.)"""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.expr("ts div 3600000000000").alias("hour_bucket"),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value", 14, 2)).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH x AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+    y AS (SELECT user_id,
+                 CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                        OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                           > 1800000000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM x)
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) as lag + cumulative flags — the
+    batch twin of a session_window stream. Partitioned by user: state
+    never crosses executors."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1_800_000_000_000), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline operators: dedup / text analysis / similarity
+# --------------------------------------------------------------------------
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_SQL_NORM}) AS fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (operators/dedup.exact_duplicates)."""
+    return dedup_ops.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_size,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(floor(1000.0 * i.inter_size
+                      / (sa.set_size + sb.set_size - i.inter_size)) AS BIGINT)
+             AS jaccard_per_1000
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE floor(1000.0 * i.inter_size
+                / (sa.set_size + sb.set_size - i.inter_size)) >= 800
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs >= 0.8 via inverted-index
+    join (operators/dedup.ngram_jaccard_pairs)."""
+    return dedup_ops.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH n AS (
+      SELECT doc_id, text, {_SQL_NORM} AS norm,
+             ' ' || {_SQL_NORM} || ' ' AS padded
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CASE WHEN norm = '' THEN 0
+                  ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]'))
+                  AS BIGINT) AS n_pieces,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+                + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+                + (length(padded) - length(replace(padded, ' is ', ''))) / 4
+                + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+                  AS BIGINT) AS n_stopwords
+      FROM n
+    )
+    SELECT doc_id, n_chars, n_tokens, n_pieces, n_punct, n_stopwords,
+           CAST(floor(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)
+             AS punct_per_1000_chars,
+           CAST(floor(1000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT)
+             AS stop_per_1000_tokens,
+           CAST(floor(n_chars / greatest(n_tokens, 1)) AS BIGINT)
+             AS mean_token_len_floor
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (operators/text.quality_features)."""
+    return text_ops.quality_features(load(spark, sf_dir, "documents"))
+
+
+@register("lang_id", None)  # SQL generated below from the same markers
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (operators/text.language_id)."""
+    return text_ops.language_id(load(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    """Generate the DuckDB oracle from the same LANG_MARKERS constants
+    the Spark operator uses — one source of truth for both engines."""
+
+    def count_expr(m: str) -> str:
+        needle = f" {m} "
+        return (
+            f"(length(padded) - length(replace(padded, '{needle}', '')))"
+            f" / {len(needle)}"
+        )
+
+    score_cols = ",\n             ".join(
+        f"CAST({' + '.join(count_expr(m) for m in ms)} AS BIGINT) AS s_{lang}"
+        for lang, ms in text_ops.LANG_MARKERS.items()
+    )
+    langs_sorted = sorted(text_ops.LANG_MARKERS)  # ascending: first wins ties
+    best = "greatest(" + ", ".join(f"s_{x}" for x in text_ops.LANG_MARKERS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND s_{x} = best THEN '{x}'" for x in langs_sorted
+    ) + " ELSE 'unknown' END"
+    return f"""
+    WITH n AS (
+      SELECT doc_id, ' ' || {_SQL_NORM} || ' ' AS padded FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM n
+    ),
+    b AS (SELECT *, {best} AS best FROM s)
+    SELECT doc_id, {case} AS predicted_lang, best AS marker_hits FROM b
+    """
+
+
+_ORACLES["lang_id"] = _lang_id_sql()
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({_SQL_NORM}) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (operators/text.fingerprint)."""
+    return text_ops.fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(floor(1000000.0 * list_inner_product(q.qv, c.cv)
+                        / (sqrt(list_inner_product(q.qv, q.qv))
+                           * sqrt(list_inner_product(c.cv, c.cv)))) AS BIGINT)
+               AS cos_1e6
+      FROM q CROSS JOIN c WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_1e6
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_1e6 DESC, neighbor_id)
+                      AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10
+    (operators/similarity.cosine_topk_bruteforce)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = sim_ops.cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embedding_neardup",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           CAST(floor(1000000.0 * list_inner_product(a.e, b.e)
+                      / (sqrt(list_inner_product(a.e, a.e))
+                         * sqrt(list_inner_product(b.e, b.e)))) AS BIGINT)
+             AS cos_1e6
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE floor(1000000.0 * list_inner_product(a.e, b.e)
+                / (sqrt(list_inner_product(a.e, a.e))
+                   * sqrt(list_inner_product(b.e, b.e)))) >= 420000
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above 0.42
+    (operators/similarity.embedding_neardup_pairs)."""
+    return sim_ops.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold_1e6=420000
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate / non-SQL-expressible ops: rows-only driver check
+# --------------------------------------------------------------------------
+
+
+@register("minhash_lsh_candidates", None)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs (xxhash64-based — not
+    reproducible in DuckDB; correctness pinned by tests/test_dedup.py
+    against brute-force Jaccard)."""
+    return dedup_ops.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.8
+    )
+
+
+@register("simhash_signatures", None)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (pandas-UDF; blake2b not in DuckDB's
+    function surface — rows-only check, pinned by tests)."""
+    return dedup_ops.simhash(load(spark, sf_dir, "documents"))
+
+
+@register("ann_cosine_topk_lsh", None)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (recall-bounded vs brute force in
+    tests/test_similarity.py; approximate by design => no SQL oracle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, n_planes=4, n_tables=16
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,87 @@
+"""Differential gate: every oracle-backed query must match DuckDB on
+row count, column names, and order-insensitive value hash — the same
+comparison the driver runs at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb(oracle_sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{oracle_sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(value):
+    if value is None:
+        return "∅"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return repr(value)
+    return str(value)
+
+
+def _canon_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+ORACLE_QUERIES = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, oracle_sf_dir, ddb, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, oracle_sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(entrymod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _canon_rows(spark_cols, spark_rows)
+    b = _canon_rows(duck_cols, duck_rows)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_rows_only_queries_run(spark, oracle_sf_dir):
+    all_q = entrymod.queries()
+    rows_only = set(all_q) - set(entrymod.oracle_sql())
+    assert rows_only  # the approximate ops exist
+    for name in sorted(rows_only):
+        df = all_q[name](spark, oracle_sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["n_name", "revenue"]
