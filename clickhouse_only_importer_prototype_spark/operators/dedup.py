@@ -67,46 +67,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.join(keepers, "doc_id", "left_semi")
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
-) -> DataFrame:
-    """Candidate near-dup pairs by word n-gram Jaccard similarity.
-
-    Inverted-index join (see module docstring). Output:
-    (doc_a, doc_b, inter_size, size_a, size_b, jaccard_per_1000) with
-    doc_a < doc_b. jaccard is int-scaled (x1000, floor) so cross-engine
-    hashes stay exact.
-    """
-    sh = shingles(df, text_col, n).persist()
-    if max_shingle_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .count()
-            .where(F.col("count") > max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").cast("long").alias("inter_size"))
+def _shingle_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, sset, set_size) — each doc's distinct shingles as an
+    array, for candidate-pair verification via array_intersect."""
+    return sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("sset"),
+        F.count("*").cast("long").alias("set_size"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+
+
+def _verify_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: two hash joins against the
+    per-doc shingle sets + a row-local array_intersect — never O(n²)."""
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sset").alias("sa"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sset").alias("sb"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long")
     union_size = F.col("size_a") + F.col("size_b") - F.col("inter_size")
     return (
-        inter.join(sa, "doc_a")
+        cands.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("inter_size", inter)
         .withColumn(
             "jaccard_per_1000",
             F.floor(F.lit(1000) * F.col("inter_size") / union_size).cast("long"),
@@ -116,28 +104,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word n-gram Jaccard similarity — EXACT result
+    via prefix filtering + candidate verification.
+
+    Prefix filtering (lossless for thresholded Jaccard): order shingles
+    globally by (document frequency asc, shingle); a doc of set size s
+    only indexes its first ``s - ceil(t*s) + 1`` shingles in that order.
+    Any pair with J >= t MUST collide on a prefix shingle, so candidate
+    generation skips the hot common shingles that make a naive inverted
+    index O(freq²). Verification computes exact Jaccard on candidates
+    via array_intersect. Output: (doc_a, doc_b, inter_size, size_a,
+    size_b, jaccard_per_1000), doc_a < doc_b, jaccard int-scaled
+    (x1000, floor) for cross-engine hashing.
+    """
+    sh = shingles(df, text_col, n)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    # One groupBy(doc) builds BOTH the verification set and the prefix:
+    # shingles arrive tagged with global document-frequency, get sorted
+    # (freq asc, shingle) inside the aggregation buffer, and the prefix
+    # is a row-local slice — no per-doc window, no extra shuffle.
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    packed = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__arr")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("__arr"), lambda s: s["shingle"]).alias("sset"),
+            F.size(F.col("__arr")).cast("long").alias("set_size"),
+        )
+    )
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    ).cast("int")
+    prefix = packed.select(
+        "doc_id", F.explode(F.slice(F.col("sset"), F.lit(1), prefix_len)).alias("shingle")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_pairs(cands, packed, threshold)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signatures: num_hashes 64-bit min-hashes over n-gram
     shingles, via xxhash64(seed, shingle) (JVM-side, no UDF).
 
-    One explode (shingles × seeds) + one groupBy(doc_id, seed) min-agg
-    + one pivot-free collect into an ordered array.
+    Shuffle-light shape: ONE groupBy(doc_id) computing all k min-hashes
+    as parallel aggregates (map-side partial min combine) — the shingle
+    rows are never multiplied by k and never shuffled more than once.
     """
     sh = shingles(df, text_col, n)
-    seeds = F.explode(
-        F.array(*[F.lit(HASH_SEED_BASE + i) for i in range(num_hashes)])
-    ).alias("seed")
-    hashed = sh.select("doc_id", "shingle", seeds).select(
-        "doc_id", "seed", F.xxhash64(F.col("seed"), F.col("shingle")).alias("h")
-    )
-    per_seed = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
-    return per_seed.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-            lambda s: s["minh"],
-        ).alias("signature")
+    aggs = [
+        F.min(F.xxhash64(F.lit(HASH_SEED_BASE + i), F.col("shingle"))).alias(
+            f"__h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -205,8 +261,8 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: LSH candidates verified with
     exact Jaccard — only candidate pairs pay the verification join."""
     cands = minhash_lsh_candidates(df, text_col, n, num_hashes, bands)
-    verified = ngram_jaccard_pairs(df, text_col, n, threshold)
-    return cands.join(verified, ["doc_a", "doc_b"]).select(
+    sets = _shingle_sets(shingles(df, text_col, n))
+    return _verify_pairs(cands, sets, threshold).select(
         "doc_a", "doc_b", "jaccard_per_1000"
     )
 
@@ -215,33 +271,48 @@ def minhash_dedup_pairs(
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (arrow-vectorized).
 
-    Per token: blake2b-derived 64-bit hash votes +1/-1 on each bit;
-    signature = sign bits of the vote vector. Deterministic across
-    runs/partitions (hashlib, not PYTHONHASHSEED).
+    Per token: blake2b-derived 64-bit hash votes +1/-1 on each bit
+    (count-weighted); signature = sign bits of the vote vector.
+    Deterministic across runs/partitions (hashlib, not PYTHONHASHSEED).
+
+    Vectorized per batch: token hashes are cached across the batch
+    (natural-language vocabularies repeat heavily) and the per-bit
+    votes for a doc are one (unique_tokens × 64) matmul, not a loop.
     """
     import hashlib
 
     import numpy as np
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        if not text:
-            continue
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in str(text).lower().split():
+    shifts = np.arange(64, dtype=np.uint64)
+    cache: dict[str, np.uint64] = {}
+
+    def tok_hash(tok: str) -> np.uint64:
+        h = cache.get(tok)
+        if h is None:
             h = np.uint64(
                 int.from_bytes(
                     hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
                 )
             )
-            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
+            cache[tok] = h
+        return h
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        toks = str(text).lower().split()
+        if not toks:
+            continue
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hs = np.array([tok_hash(t) for t in uniq], dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        votes = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        sig = int(
+            np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts
             )
-            votes += bits * 2 - 1
-        sig = 0
-        for bit in np.nonzero(votes > 0)[0]:
-            sig |= 1 << int(bit)
-        # two's-complement into int64
+        )
         out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
     return pd.Series(out)
 

@@ -20,13 +20,11 @@ chosen because it needs no training pass.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 DEFAULT_SEED = 42
 
@@ -100,15 +98,25 @@ def srp_planes(dim: int, n_planes: int, table: int, seed: int = DEFAULT_SEED) ->
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def _srp_bucket_udf(planes: np.ndarray):
-    @pandas_udf(LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim) float32/64
-        bits = (mat @ planes.T) > 0  # (batch, n_planes)
-        weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
-        return pd.Series((bits @ weights).astype(np.int64))
+def _srp_all_buckets_udf(planes: np.ndarray):
+    """One UDF computing every table's bucket in a single matmul.
 
-    return bucket
+    ``planes`` is (tables, n_planes, dim); the batch matmul against the
+    flattened (tables*n_planes, dim) matrix touches each vector once —
+    one Arrow round-trip per batch instead of one per table.
+    """
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        bits = (mat @ flat.T > 0).reshape(len(mat), n_tables, n_planes)
+        vals = bits.astype(np.int64) @ weights  # (batch, tables)
+        return pd.Series(list(vals))
+
+    return buckets
 
 
 def srp_buckets(
@@ -120,18 +128,18 @@ def srp_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, table, bucket) — one row per LSH table per vector."""
-    parts = []
-    for t in range(n_tables):
-        udf = _srp_bucket_udf(srp_planes(dim, n_planes, t, seed))
-        parts.append(
-            df.select(
-                F.col(id_col).alias("vec_id"),
-                F.lit(t).alias("table"),
-                udf(F.col(vec_col)).alias("bucket"),
-            )
-        )
-    return reduce(DataFrame.unionByName, parts)
+    """(id, table, bucket) — one row per LSH table per vector.
+
+    Single scan + single vectorized UDF for all tables, then a
+    posexplode (narrow) — no union of per-table subplans.
+    """
+    planes = np.stack(
+        [srp_planes(dim, n_planes, t, seed) for t in range(n_tables)]
+    )
+    udf = _srp_all_buckets_udf(planes)
+    return df.select(
+        F.col(id_col).alias("vec_id"), udf(F.col(vec_col)).alias("__bs")
+    ).select("vec_id", F.posexplode("__bs").alias("table", "bucket"))
 
 
 def cosine_topk_lsh(
