@@ -36,6 +36,7 @@ HEADLINE = [
     "pivot_concat_values",
     "melt_unpivot_part",
     "surrogate_ids",
+    "long_to_values_rebuild",
     "events_hourly",
     "events_sessionize",
     "dedup_exact",
@@ -43,10 +44,17 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "winnow_fingerprint",
     "ann_cosine_topk",
+    "embedding_neardup",
     "minhash_lsh_candidates",
     "simhash_signatures",
+    "dedup_simhash_pairs",
     "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
+    "multimodal_meta",
+    "multimodal_frame_plan",
+    "multimodal_features",
 ]
 
 

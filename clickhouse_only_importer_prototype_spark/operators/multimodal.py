@@ -140,6 +140,60 @@ def frame_sample_plan(
     return frames.mapInPandas(run, schema)
 
 
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapt the documents table into the media shape (testdata carries
+    no real binary column, so payload = the text's UTF-8 bytes — the
+    engine-side plumbing is identical for real codec payloads).
+
+    media_type cycles image/audio/video by doc_id; duration_ms is
+    derived from n_chars so frame-sampling has real variation.
+    """
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        ((F.col("doc_id") % 3) + 1).cast("int"),
+    )
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            ((F.col("doc_id") % 3) + 1).cast("int"),
+        ).alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, (F.col("n_chars") * 10).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("duration_ms"),
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Typed metadata projection over binary payloads — JVM-side only
+    (octet_length + md5 on binary), runs at scan speed; the pattern for
+    'cheap metadata pass before expensive decode' at 100 TB."""
+    return df.select(
+        F.col("media_id"),
+        F.col("media_type"),
+        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+def frame_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """The sampling *plan* of frame_sample_plan without the decode:
+    one row per (video, sampled timestamp). Pure Spark generator —
+    prunable, oracle-checkable, no Python."""
+    ts = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+            F.lit(every_ms),
+        )
+    ).alias("frame_ms")
+    return df.where(F.col("media_type") == "video").select("media_id", ts)
+
+
 def synthetic_media(spark, n: int = 8) -> DataFrame:
     """Deterministic fixture media table (payload = patterned bytes)."""
     rows = []

@@ -137,6 +137,68 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every word k-gram, slide a w-window over the ordered hash
+    sequence, keep each window's minimum, emit the distinct mins as
+    (doc_id, fp) rows.
+
+    The fingerprint set is position-robust (local edits perturb only
+    nearby windows) and size-bounded (~1/w of the grams), which is what
+    makes it the plagiarism/near-dup index of choice at corpus scale.
+    Everything is row-local array algebra — no shuffle, no UDF; the
+    gram hash is the first 15 hex digits of md5 parsed as int64 so a
+    SQL oracle reproduces it bit-for-bit. Docs shorter than k tokens
+    fall back to one fingerprint of the whole normalized text.
+    """
+    # HOF discipline (100 TB rule): a lambda may touch ONLY its lambda
+    # variable — any outer expression inside a lambda is re-evaluated
+    # per element, turning O(n) plans into O(n²). Expensive arrays are
+    # therefore staged as materialized columns between selects (each
+    # referenced >1 time, so CollapseProject won't inline them) and
+    # sliding windows are built by zipping shifted slices, never by
+    # slice-inside-transform.
+    staged = df.select(
+        F.col("doc_id"),
+        F.col(text_col).alias("__text"),
+        F.split(_norm(F.col(text_col)), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(k)]
+    )
+    grams_expr = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)])
+    )
+    grams = F.when(F.size(toks) >= k, grams_expr).otherwise(
+        F.array(_norm(F.col("__text")))
+    )
+    hashed = staged.select(
+        "doc_id",
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        ).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    n_wins = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
+    zipped_h = F.arrays_zip(
+        *[F.slice(hs, i + 1, n_wins).alias(f"h{i}") for i in range(w)]
+    )
+    full_wins = F.transform(
+        zipped_h, lambda s: F.least(*[s[f"h{i}"] for i in range(w)])
+    )
+    wins = F.when(F.size(hs) >= w, full_wins).otherwise(
+        F.array(F.array_min(hs))
+    )
+    return hashed.select(
+        F.col("doc_id"), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingles, one row per (doc_id, shingle), distinct.
 
@@ -145,18 +207,22 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     rows shuffle by shingle for the inverted-index join used by both
     n-gram Jaccard and MinHash.
     """
-    toks = F.split(_norm(F.col(text_col)), " ")
-    count = F.size(toks) - F.lit(n - 1)
-    # sequence() descends when start > stop, so gate the empty case
-    grams = F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Shifted-slice zip, not slice-inside-transform: the token array is
+    # a materialized column and every lambda touches only its variable
+    # (see winnow_fingerprints for why — O(n) vs O(n²) per doc).
+    staged = df.select(
+        F.col("doc_id"), F.split(_norm(F.col(text_col)), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(n)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
+    )
     return (
-        df.select(F.col("doc_id"), F.explode(grams).alias("shingle"))
+        staged.select(F.col("doc_id"), F.explode(grams).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from clickhouse_only_importer_prototype_spark.operators import (
     dedup as dedup_ops,
+    multimodal as mm_ops,
     similarity as sim_ops,
     text as text_ops,
 )
@@ -788,9 +789,122 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winnow_fingerprint",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t, {_SQL_NORM} AS nrm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 4
+                  THEN list_transform(range(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+3], ' '))
+                  ELSE [nrm] END AS grams
+      FROM base
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams,
+                            x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))
+               AS hs
+      FROM g
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - 4, 1) + 1),
+               j -> list_min(hs[j:j+4]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, UNNEST(fps) AS fp FROM w
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints, k=4-gram, w=5 window
+    (operators/text.winnow_fingerprints)."""
+    return text_ops.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=4, w=5
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary payload + typed metadata plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata pass: octet_length + md5 over the binary
+    column, JVM-side (operators/multimodal.media_metadata)."""
+    media = mm_ops.documents_as_media(load(spark, sf_dir, "documents"))
+    return mm_ops.media_metadata(media)
+
+
+@register(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS media_id,
+           CAST(UNNEST(range(0, greatest(n_chars * 10, 1), 1000)) AS BIGINT)
+             AS frame_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (1 row per sampled timestamp), pure
+    generator — the prunable half of frame_sample_plan
+    (operators/multimodal.frame_plan)."""
+    media = mm_ops.documents_as_media(load(spark, sf_dir, "documents"))
+    return mm_ops.frame_plan(media, every_ms=1000)
+
+
 # --------------------------------------------------------------------------
 # Approximate / non-SQL-expressible ops: rows-only driver check
 # --------------------------------------------------------------------------
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode + feature extraction over binary payloads
+    (deterministic stub decode — blake2b not in DuckDB => rows-only;
+    pinned by tests/test_multimodal.py)."""
+    media = mm_ops.documents_as_media(load(spark, sf_dir, "documents"))
+    return mm_ops.extract_features(media)
+
+
+@register("dedup_simhash_pairs", None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding
+    (operators/dedup.simhash_neardup_pairs; blake2b => rows-only)."""
+    return dedup_ops.simhash_neardup_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+@register("ann_cosine_topk_ivf", None)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (spherical k-means) approximate top-k — recall-bounded vs
+    brute force in tests/test_similarity.py; approximate by design."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        dim=64,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
 
 
 @register("minhash_lsh_candidates", None)

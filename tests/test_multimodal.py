@@ -51,3 +51,44 @@ def test_frame_sampling_plan(spark, media):
         assert len(set(frame_list)) == len(frame_list)
     for r in frames:
         assert len(r.features) == mm.FEATURE_DIM
+
+
+def test_documents_as_media_metadata(spark, sf_dir):
+    import hashlib
+
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        documents_as_media,
+        media_metadata,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(9)
+    meta = media_metadata(documents_as_media(docs)).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(meta) == 9
+    for r in meta:
+        raw = texts[r.media_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.payload_md5 == hashlib.md5(raw).hexdigest()
+        assert r.media_type == ["image", "audio", "video"][r.media_id % 3]
+
+
+def test_frame_plan_counts(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        documents_as_media,
+        frame_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = documents_as_media(docs)
+    frames = frame_plan(media, every_ms=1000).collect()
+    durations = {
+        r.media_id: r.duration_ms
+        for r in media.where("media_type = 'video'").collect()
+    }
+    got = {}
+    for r in frames:
+        got[r.media_id] = got.get(r.media_id, 0) + 1
+    assert set(got) == set(durations)
+    for mid, dur in durations.items():
+        expected = max((max(dur, 1) - 1) // 1000 + 1, 1)
+        assert got[mid] == expected, mid

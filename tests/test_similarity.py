@@ -72,3 +72,37 @@ def test_neardup_pairs_symmetric_free(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = similarity.embedding_neardup_pairs(df, threshold_1e6=990000).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+
+
+def test_ivf_recall_against_bruteforce(spark, embeddings):
+    queries = embeddings.where("vec_id < 10")
+    exact = similarity.cosine_topk_bruteforce(embeddings, queries, k=5)
+    # near-random vectors cluster weakly: probe half the cells for a
+    # stable recall floor (real embedding corpora cluster far better)
+    approx = similarity.cosine_topk_ivf(
+        embeddings, queries, dim=64, k=5, n_centroids=16, nprobe=8
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_deterministic_and_exact_scores(spark, embeddings):
+    queries = embeddings.where("vec_id < 3")
+    a = similarity.cosine_topk_ivf(
+        embeddings, queries, dim=64, k=5, n_centroids=8, nprobe=4
+    ).collect()
+    b = similarity.cosine_topk_ivf(
+        embeddings, queries, dim=64, k=5, n_centroids=8, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every returned score must equal the exact cosine for that pair
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_1e6
+        for r in similarity.cosine_topk_bruteforce(
+            embeddings, queries, k=embeddings.count()
+        ).collect()
+    }
+    for r in a:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cos_1e6

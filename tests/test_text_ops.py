@@ -76,3 +76,25 @@ def test_shingles_window(spark):
     # short doc -> no shingles
     short = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     assert text_ops.shingles(short, n=3).count() == 0
+
+
+def test_winnow_fingerprint_properties(spark):
+    from clickhouse_only_importer_prototype_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edited = base.replace("lazy", "sleepy")  # one-token local edit
+    rows = [(0, base), (1, base), (2, edited), (3, "too short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # identical docs -> identical fingerprint sets
+    assert by_doc[0] == by_doc[1]
+    # a local edit keeps some fingerprints (position-robust) but not all
+    assert by_doc[0] & by_doc[2]
+    assert by_doc[0] != by_doc[2]
+    # short doc falls back to a single whole-text fingerprint
+    assert len(by_doc[3]) == 1
