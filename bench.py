@@ -39,6 +39,8 @@ HEADLINE = [
     "long_to_values_rebuild",
     "events_hourly",
     "events_sessionize",
+    "events_asof_join",
+    "events_interval_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "text_quality",

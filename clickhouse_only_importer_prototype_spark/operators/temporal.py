@@ -1,0 +1,134 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+The reference has no temporal operators (SURVEY §2.3/§2.5 — its only
+joins are driver-side metadata pairing), but an analytics engine over
+the events surface needs both. Spark ships neither natively, so each
+is built as a composition of DataFrame ops with an explicitly
+shuffle-bounded shape:
+
+  * as-of join — "for each left row, the latest right row with
+    right.ts <= left.ts, per key". Implemented as union + one
+    partitioned window (last non-null carry-forward): ONE shuffle by
+    key, no range cross-product, state bounded per key. This is the
+    standard log-enrichment join (trades ↔ quotes, events ↔ dim
+    snapshots).
+  * interval join — "points falling inside [start, end) intervals,
+    per key". Implemented by bucketizing time: intervals explode to
+    the fixed-width buckets they overlap, points map to exactly one
+    bucket, and the join becomes an equi-join on (key, bucket) plus a
+    residual range predicate. No O(n·m) nested loop; shuffle volume =
+    points + intervals × avg_buckets_spanned. Bucket width trades
+    duplication (long intervals) against candidate fan-in (dense
+    buckets) — set it near the typical interval length.
+
+Both are exactly SQL-expressible, so the driver oracles them
+(DuckDB ASOF JOIN / inequality join).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of left join: latest right row with ts <= left ts.
+
+    Ties on timestamp are inclusive (a right row AT the left timestamp
+    matches). If multiple right rows share (key, ts), callers must
+    pre-aggregate the right side — carry-forward order would otherwise
+    be nondeterministic.
+
+    Output: all left columns + right_ts and right_cols under
+    ``right_prefix`` (NULL where no right row precedes).
+    """
+    on = list(on)
+    right_cols = [c for c in (right_cols or right.columns) if c not in on and c != right_ts]
+    rpayload = F.struct(
+        F.col(right_ts).alias(f"{right_prefix}{right_ts}"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_cols],
+    )
+    r_struct_type = (
+        right.select(rpayload.alias("__r")).schema["__r"].dataType
+    )
+    left_cols = [c for c in left.columns]
+    lpayload = F.struct(*[F.col(c) for c in left_cols])
+    l_struct_type = left.select(lpayload.alias("__l")).schema["__l"].dataType
+
+    lpart = left.select(
+        *on,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__prio"),
+        lpayload.alias("__l"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
+    )
+    rpart = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__prio"),
+        F.lit(None).cast(l_struct_type).alias("__l"),
+        rpayload.alias("__r"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lpart.unionByName(rpart)
+        .withColumn("__rm", F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("__prio") == 1)
+    )
+    out_cols: list[Column] = [F.col(f"__l.{c}").alias(c) for c in left_cols]
+    out_cols.append(
+        F.col(f"__rm.{right_prefix}{right_ts}").alias(f"{right_prefix}{right_ts}")
+    )
+    out_cols.extend(
+        F.col(f"__rm.{right_prefix}{c}").alias(f"{right_prefix}{c}")
+        for c in right_cols
+    )
+    return matched.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Inner join of points into half-open [start, end) intervals.
+
+    Equi-join on (keys, time-bucket): each interval explodes to every
+    bucket it overlaps, each point maps to exactly one bucket (so no
+    output dedup is needed), and the residual range predicate filters
+    within the bucket. Returns all interval columns + all point
+    columns (names must not collide apart from the join keys).
+    """
+    on = list(on)
+    bw = F.lit(bucket_width)
+    ivals = intervals.where(F.col(start_col) < F.col(end_col)).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bw),
+                F.floor((F.col(end_col) - 1) / bw),
+            )
+        ),
+    )
+    pts = points.withColumn("__bucket", F.floor(F.col(point_ts) / bw))
+    joined = ivals.join(pts, on + ["__bucket"]).where(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("__bucket")

@@ -29,6 +29,7 @@ from clickhouse_only_importer_prototype_spark.operators import (
     dedup as dedup_ops,
     multimodal as mm_ops,
     similarity as sim_ops,
+    temporal as temporal_ops,
     text as text_ops,
 )
 from clickhouse_only_importer_prototype_spark.operators.cna import (
@@ -51,12 +52,23 @@ def register(name: str, sql: str | None):
     return deco
 
 
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # TIMESTAMP(NANOS) parquet: read as long nanos (driver sessions
         # may not have the conf; it is runtime-settable)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    key = (sf_dir, table)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    # skip the footer/schema-inference pass on repeat loads
+    return spark.read.schema(cached).parquet(path)
 
 
 def _dec(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
@@ -576,6 +588,94 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("new_session").cast("long").alias("n_sessions"),
             F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH a AS (SELECT event_id, user_id, epoch_ns(ts) AS t
+               FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id, epoch_ns(ts) AS t, max(value) AS bval
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT a.event_id, a.user_id, a.t,
+           b.t AS r_t, b.bval AS r_bval
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.t >= b.t
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click enriched with the user's most recent
+    purchase at-or-before it (operators/temporal.asof_join — union +
+    one keyed window, no range cross-product)."""
+    # DuckDB reads TIMESTAMP(NANOS) at microsecond precision; truncate
+    # our nanos the same way so both engines match on identical values
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000") * 1000
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("t")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("t"))
+        .agg(F.max("value").alias("bval"))
+    )
+    return temporal_ops.asof_join(
+        clicks, purchases, on=["user_id"], left_ts="t", right_ts="t"
+    )
+
+
+@register(
+    "events_interval_join",
+    """
+    WITH s AS (SELECT event_id AS signup_id, user_id, epoch_ns(ts) AS t0
+               FROM events WHERE event_type = 'signup'),
+    c AS (SELECT user_id, epoch_ns(ts) AS t FROM events
+          WHERE event_type = 'click')
+    SELECT s.signup_id, s.user_id, COUNT(c.t) AS n_clicks
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+                      AND c.t >= s.t0 AND c.t < s.t0 + 3600000000000
+    GROUP BY 1, 2
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: clicks inside each signup's next hour,
+    counted per signup (operators/temporal.interval_join — bucketized
+    equi-join, no O(n·m) range scan). Left semantics restored with a
+    join back to the signup set."""
+    # micro-truncate nanos to mirror DuckDB's timestamp precision at
+    # the window boundaries (see events_asof_join)
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000") * 1000
+    )
+    signups = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.lit(3_600_000_000_000)).alias("t1"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("t")
+    )
+    matched = temporal_ops.interval_join(
+        clicks,
+        signups,
+        on=["user_id"],
+        point_ts="t",
+        start_col="t0",
+        end_col="t1",
+    )
+    counts = matched.groupBy("signup_id").agg(
+        F.count("*").cast("long").alias("n_clicks")
+    )
+    return (
+        signups.select("signup_id", "user_id")
+        .join(counts, "signup_id", "left")
+        .select(
+            "signup_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
         )
     )
 

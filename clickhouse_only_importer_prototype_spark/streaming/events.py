@@ -100,6 +100,79 @@ def sliding_user_activity(
     )
 
 
+def sessionize_stateful(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Per user, events closer than ``gap_ns`` chain into one session; a
+    larger gap closes the open session and emits it (user_id,
+    session_start, session_end, n_events). The open tail session stays
+    in state across micro-batches and is emitted only once a later
+    event closes it — the streaming contract for unbounded input.
+
+    Scale: state is one (start, last, n) triple per active user, keyed
+    by the shuffle partitioning of user_id — no per-event state, no
+    global ordering. Arrow moves each group's batch rows to Python in
+    one block (this is the designated custom-stateful-operator path;
+    the gap logic itself isn't expressible with window/session_window
+    when downstream needs incremental emission of closed sessions).
+    """
+    import pandas as pd  # local import keeps module import light
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("session_start", LongType(), False),
+            StructField("session_end", LongType(), False),
+            StructField("n_events", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("open_start", LongType(), True),
+            StructField("open_last", LongType(), True),
+            StructField("open_n", LongType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t) for t in pdf["ts"])
+        ts_list.sort()
+        if state.exists:
+            open_start, open_last, open_n = state.get
+        else:
+            open_start = open_last = None
+            open_n = 0
+        closed: list[tuple[int, int, int, int]] = []
+        for t in ts_list:
+            if open_start is None:
+                open_start = open_last = t
+                open_n = 1
+            elif t - open_last > gap_ns:
+                closed.append((user_id, open_start, open_last, open_n))
+                open_start = open_last = t
+                open_n = 1
+            else:
+                open_last = t
+                open_n += 1
+        state.update((open_start, open_last, open_n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_batch_backfill(
     spark: SparkSession, path: str, out_path: str, window: str = "1 hour"
 ) -> None:

@@ -63,3 +63,48 @@ def test_sliding_user_activity(spark, sf_dir):
     # sliding windows overlap -> more windows than tumbling
     tumbling = ev.tumbling_counts(df)
     assert len(rows) >= tumbling.select("window_start").distinct().count()
+
+
+def test_sessionize_stateful_stream(spark, tmp_path):
+    import pandas as pd
+
+    gap = 1_000
+    rows = [
+        # user 1: two closed sessions + an open tail
+        (1, 0), (1, 100), (1, 200),       # session A: 3 events
+        (1, 5_000), (1, 5_500),           # session B: 2 events
+        (1, 50_000),                      # open tail (never emitted)
+        # user 2: one closed session + tail
+        (2, 10), (2, 20_000),
+    ]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["event_type"] = "click"
+    pdf["value"] = 0.0
+    pdf["props"] = ""
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).write.parquet(str(src / "part"))
+
+    stream = spark.readStream.schema(ev.EVENTS_SCHEMA).parquet(str(src / "part"))
+    out = ev.sessionize_stateful(stream, gap_ns=gap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    assert got == {
+        (1, 0, 200, 3),
+        (1, 5_000, 5_500, 2),
+        (2, 10, 10, 1),
+    }

@@ -1,0 +1,85 @@
+"""As-of join and interval join semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+from clickhouse_only_importer_prototype_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k long, ts long, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 11, 300.0)],
+        "k long, ts long, rval double",
+    )
+    out = {
+        r.lval: (r.r_ts, r.r_rval)
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert out["a"] == (10, 100.0)  # inclusive: right AT left ts matches
+    assert out["b"] == (15, 150.0)  # latest preceding
+    assert out["c"] == (None, None)  # nothing before -> nulls
+    assert out["d"] == (None, None)  # right row is after the left ts
+
+
+def test_asof_preserves_left_rowcount(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = e.where("event_type = 'click'").select(
+        "event_id", "user_id", e.ts.alias("t")
+    )
+    purchases = (
+        e.where("event_type = 'purchase'")
+        .groupBy("user_id", e.ts.alias("t"))
+        .agg({"value": "max"})
+        .withColumnRenamed("max(value)", "bval")
+    )
+    joined = asof_join(clicks, purchases, on=["user_id"], left_ts="t", right_ts="t")
+    assert joined.count() == clicks.count()
+
+
+def test_interval_join_buckets(spark):
+    # interval [10, 30) with bucket width 8 spans buckets 1..3
+    intervals = spark.createDataFrame(
+        [(1, 10, 30), (2, 0, 4), (3, 50, 50)],  # id 3 is empty (start==end)
+        "ival_id long, t0 long, t1 long",
+    )
+    points = spark.createDataFrame(
+        [(100, 10), (101, 29), (102, 30), (103, 3), (104, 55)],
+        "pt_id long, t long",
+    )
+    # no shared key: join on nothing but the bucket
+    out = interval_join(
+        points.withColumn("k", points.pt_id * 0),
+        intervals.withColumn("k", intervals.ival_id * 0),
+        on=["k"],
+        point_ts="t",
+        start_col="t0",
+        end_col="t1",
+        bucket_width=8,
+    )
+    pairs = {(r.ival_id, r.pt_id) for r in out.collect()}
+    assert pairs == {(1, 100), (1, 101), (2, 103)}
+
+
+def test_interval_join_no_duplicates(spark):
+    # a long interval spanning many buckets must match each point once
+    intervals = spark.createDataFrame([(1, 0, 1000)], "ival_id long, t0 long, t1 long")
+    points = spark.createDataFrame(
+        [(i, i * 7) for i in range(100)], "pt_id long, t long"
+    )
+    out = interval_join(
+        points.withColumn("k", points.pt_id * 0),
+        intervals.withColumn("k", intervals.ival_id * 0),
+        on=["k"],
+        point_ts="t",
+        start_col="t0",
+        end_col="t1",
+        bucket_width=10,
+    )
+    rows = out.collect()
+    assert len(rows) == len({(r.ival_id, r.pt_id) for r in rows}) == 100
