@@ -30,6 +30,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "region_rollup",
+    "rollup_region_nation",
+    "priority_quantiles",
     "window_topk_orders",
     "segment_distinct_stats",
     "union_all_slices",

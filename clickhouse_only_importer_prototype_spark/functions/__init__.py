@@ -25,3 +25,34 @@ def underscore_join(*parts: Column | str) -> Column:
 def comma_join(*cols: Column) -> Column:
     """Comma-joined value list (cna/transformer.go:503,525)."""
     return F.concat_ws(",", *cols)
+
+
+def salted_join(
+    left,
+    right,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+):
+    """Equi-join with key salting for skewed fact keys.
+
+    The left (large, skewed) side gets a random salt in [0, salt); the
+    right side is replicated ``salt`` times with every salt value, and
+    the join runs on (key, salt) — splitting each hot key's rows across
+    ``salt`` reducers instead of one straggler. Result equals
+    ``left.join(right, on, how)`` exactly.
+
+    AQE's skew-join handles sort-merge skew automatically at runtime;
+    salting remains the tool when AQE can't help (aggregation-free
+    shuffle-hash paths, or skew known ahead of time). The salt column
+    uses a hash of a monotonic id, not rand(), so retried tasks
+    produce identical output (determinism under task retry — a 100 TB
+    correctness requirement, not a style point).
+    """
+    salted_l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt)])).alias("__salt")
+    salted_r = right.select("*", salts)
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")

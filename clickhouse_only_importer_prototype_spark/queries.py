@@ -329,6 +329,76 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_region_nation",
+    """
+    SELECT COALESCE(r.r_name, '(all)') AS region,
+           COALESCE(n.n_name, '(all)') AS nation,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)
+             AS grouping_lvl,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS acctbal_sum
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (region -> nation -> grand total)
+    — partial-aggregable in one pass; grouping_id disambiguates levels
+    so NULL data values can't collide with rollup NULLs."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_lvl"),
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("acctbal_sum"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            "grouping_lvl",
+            "n_customers",
+            "acctbal_sum",
+        )
+    )
+
+
+@register(
+    "priority_quantiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.90) AS p90,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def priority_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per priority class. Spark's
+    percentile() and DuckDB's quantile_cont share the (n-1)*q linear
+    interpolation, so identical inputs give identical doubles. At
+    scale the exact sort-based percentile is the deliberate choice for
+    grouped columns of bounded cardinality; approx_percentile is the
+    t-digest alternative when groups are huge."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.50).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+        F.percentile("o_totalprice", 0.90).alias("p90"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
     "window_topk_orders",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rk

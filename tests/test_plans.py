@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the 100 TB properties the queries
+claim (broadcasts, pushdown, partial aggregation, no cartesian
+products) must be visible in the optimized plan, not just intended.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from clickhouse_only_importer_prototype_spark import queries as q
+from clickhouse_only_importer_prototype_spark.functions import salted_join
+
+
+def _plan(df) -> str:
+    return _explain(df, "extended")
+
+
+def _formatted(df) -> str:
+    return _explain(df, "formatted")
+
+
+def _explain(df, mode: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(q.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_single_shuffle_join(spark, sf_dir):
+    plan = _plan(q.q5_local_supplier(spark, sf_dir))
+    # 4 dims broadcast; only lineitem⨝orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _formatted(q.q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # at least the date + quantity predicates reach parquet
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(q.q1_pricing_summary(spark, sf_dir))
+    # partial_ marks map-side combine before the exchange
+    assert "partial_" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _formatted(q.q6_forecast_revenue(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # 4 needed columns only — not the 16-column lineitem schema
+    assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
+
+
+def test_q1_exactly_one_shuffle(spark, sf_dir):
+    plan = _plan(q.q1_pricing_summary(spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[1]
+    assert physical.count("Exchange") == 1
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = q.load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = q.load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey as o_custkey", "c_name"
+    )
+    plain = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, on="o_custkey", salt=4).count()
+    assert plain == salted
+
+
+def test_interval_join_no_cartesian(spark, sf_dir):
+    plan = _plan(q.events_interval_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
