@@ -156,14 +156,22 @@ def ngram_jaccard_pairs(
         F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
     ).cast("int")
     prefix = packed.select(
-        "doc_id", F.explode(F.slice(F.col("sset"), F.lit(1), prefix_len)).alias("shingle")
+        "doc_id",
+        "set_size",
+        F.explode(F.slice(F.col("sset"), F.lit(1), prefix_len)).alias("shingle"),
+    )
+    # length filter (lossless): J >= t forces t*max(|A|,|B|) <= min —
+    # prunes size-incompatible collisions before the verification join
+    size_ok = F.least(F.col("a.set_size"), F.col("b.set_size")) >= F.ceil(
+        F.lit(threshold) * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
     )
     cands = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

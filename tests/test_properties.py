@@ -1,0 +1,123 @@
+"""Property tests (SURVEY §5.2.3): text/dedup operators vs pure-Python
+references over randomized inputs. Each example ships a whole batch of
+documents through one Spark job to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from clickhouse_only_importer_prototype_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+)
+from clickhouse_only_importer_prototype_spark.operators.text import (
+    shingles,
+    token_count,
+    winnow_fingerprints,
+)
+
+WORDS = st.text(
+    alphabet=st.sampled_from("abcXYZ09.,!?"), min_size=1, max_size=6
+)
+TEXTS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _norm_py(s: str) -> str:
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def _toks(s: str) -> list[str]:
+    n = _norm_py(s)
+    return n.split(" ") if n else []
+
+
+def _shingles_py(s: str, n: int) -> set[str]:
+    t = _toks(s)
+    # mirrors the operator: split("") -> [""], shingle "" filtered out
+    raw = _norm_py(s).split(" ")
+    return {
+        " ".join(raw[i : i + n])
+        for i in range(len(raw) - n + 1)
+        if " ".join(raw[i : i + n])
+    }
+
+
+def _winnow_py(s: str, k: int, w: int) -> set[int]:
+    raw = _norm_py(s).split(" ")
+    grams = [" ".join(raw[i : i + k]) for i in range(len(raw) - k + 1)]
+    if not grams:
+        grams = [_norm_py(s)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_token_count_matches_python(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", token_count(df.text).alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == len(_toks(t)), repr(t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_shingles_match_python(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, set[str]] = {i: set() for i in range(len(texts))}
+    for r in shingles(df, n=3).collect():
+        got[r.doc_id].add(r.shingle)
+    for i, t in enumerate(texts):
+        assert got[i] == _shingles_py(t, 3), repr(t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_winnow_matches_python(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, set[int]] = {i: set() for i in range(len(texts))}
+    for r in winnow_fingerprints(df, k=4, w=5).collect():
+        got[r.doc_id].add(r.fp)
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_py(t, 4, 5), repr(t)
+
+
+@settings(max_examples=4, deadline=None)
+@given(TEXTS)
+def test_jaccard_pairs_match_python(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_per_1000
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.3).collect()
+    }
+    sets = {i: _shingles_py(t, 2) for i, t in enumerate(texts)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            j1000 = 1000 * inter // len(sets[a] | sets[b])
+            if j1000 >= 300:
+                expect[(a, b)] = j1000
+    assert got == expect
