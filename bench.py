@@ -35,6 +35,8 @@ HEADLINE = [
     "window_topk_orders",
     "segment_distinct_stats",
     "union_all_slices",
+    "anti_join_idle_customers",
+    "events_json_extract",
     "pivot_concat_values",
     "melt_unpivot_part",
     "surrogate_ids",
@@ -52,6 +54,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "embedding_neardup",
     "minhash_lsh_candidates",
+    "dedup_clusters",
     "simhash_signatures",
     "dedup_simhash_pairs",
     "ann_cosine_topk_lsh",

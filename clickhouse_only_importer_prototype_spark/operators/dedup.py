@@ -380,6 +380,82 @@ def simhash_neardup_pairs(
     ).select("doc_a", "doc_b", "hamming")
 
 
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    where cluster_id = min doc_id in the component (the keeper).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds — near-dup components are tiny (dup
+    clusters, not social graphs), so a handful. Each round is one join
+    + one groupBy on uniformly-hashed ids; lineage is cut with
+    localCheckpoint so iteration count doesn't nest plans. At extreme
+    scale swap in large-star/small-star (Kiveris et al.) — same
+    primitive operations, fewer rounds on high-diameter graphs.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        # step 1: min over neighbors' labels
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("nb_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        l1 = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # step 2: pointer jump — label(x) <- label(label(x)); halves the
+        # distance to each component's root, so rounds ~ log(diameter)
+        # instead of diameter (a path of length 11 converges in 4)
+        jumped = l1.alias("x").join(
+            l1.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("root_label"),
+            ).alias("p"),
+            "cluster_id",
+            "left",
+        ).select(
+            F.col("doc_id"),
+            F.coalesce(F.col("root_label"), F.col("cluster_id")).alias(
+                "cluster_id"
+            ),
+        )
+        # localCheckpoint truncates the logical lineage: without it each
+        # round's plan nests the last round's and analysis/codegen blows
+        # up past ~10 rounds
+        updated = jumped.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row summary: total docs, distinct texts, exact-dup groups."""
     groups = exact_duplicates(df, text_col)

@@ -663,6 +663,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anti_join_idle_customers",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders. Broadcast or shuffled
+    anti-join by Catalyst's choice; never a subquery-per-row."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the props column, JVM-side
+    (get_json_object — no Python, stays in codegen), aggregated per
+    event type."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).cast("long").alias("k_max"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "events_asof_join",
     """
     WITH a AS (SELECT event_id, user_id, epoch_ns(ts) AS t
@@ -1051,6 +1094,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_multimodal.py)."""
     media = mm_ops.documents_as_media(load(spark, sf_dir, "documents"))
     return mm_ops.extract_features(media)
+
+
+@register("dedup_clusters", None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components from MinHash-verified pairs: (doc_id,
+    cluster_id=keeper). Iterative min-label propagation
+    (operators/dedup.neardup_clusters); iterative => no SQL oracle,
+    pinned by tests/test_dedup.py."""
+    pairs = dedup_ops.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.8
+    )
+    return dedup_ops.neardup_clusters(pairs)
 
 
 @register("dedup_simhash_pairs", None)

@@ -97,3 +97,30 @@ def test_dedup_stats(spark, dup_docs):
     assert row.total_docs == 6
     assert row.distinct_texts == 4
     assert row.dup_groups == 1
+
+
+def test_neardup_clusters_components(spark):
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton 20 not in edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (4, 1)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_neardup_clusters_long_chain(spark):
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    # a 12-node path exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
