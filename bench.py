@@ -51,6 +51,7 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "winnow_fingerprint",
+    "corpus_curation",
     "ann_cosine_topk",
     "embedding_neardup",
     "minhash_lsh_candidates",

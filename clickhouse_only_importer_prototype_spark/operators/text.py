@@ -39,14 +39,18 @@ def _norm(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def _count_occurrences(padded: Column, marker: str) -> Column:
-    """Occurrences of ``" marker "`` via the replace-length trick —
-    identical semantics in DuckDB: (len(s) - len(replace(s,m,'')))/len(m)."""
-    needle = f" {marker} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / F.lit(len(needle))
-    ).cast("long")
+def marker_count(toks: Column, markers: list[str]) -> Column:
+    """Count of tokens equal to any marker — one pass over the token
+    array, lambda touches only its variable (HOF discipline). DuckDB
+    twin: len(list_filter(toks, x -> x IN (...))). Token-exact, so
+    consecutive duplicate markers count correctly (the padded-replace
+    trick undercounts those and costs a full string traversal per
+    marker)."""
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.isin(*markers).cast("long"),
+    )
 
 
 def token_count(col: Column) -> Column:
@@ -75,11 +79,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(c).cast("long")
     n_tokens = token_count(c)
     n_punct = punct_count(c)
-    padded = F.concat(F.lit(" "), _norm(c), F.lit(" "))
-    n_stop = sum(
-        (_count_occurrences(padded, m) for m in LANG_MARKERS["en"]),
-        F.lit(0).cast("long"),
-    )
+    n_stop = marker_count(F.split(_norm(c), " "), LANG_MARKERS["en"])
     safe_chars = F.greatest(n_chars, F.lit(1))
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     return df.select(
@@ -99,6 +99,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def language_expr(text_col: Column) -> tuple[Column, Column]:
+    """(predicted_lang, marker_hits) expressions — row-local argmax of
+    marker-word scores, tie-broken on ascending language code. Exposed
+    as expressions so pipelines can fuse language-ID into an existing
+    projection instead of paying a second scan + join."""
+    toks = F.split(_norm(text_col), " ")
+    scores = {
+        lang: marker_count(toks, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return pred, best
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic -> (doc_id, predicted_lang, score).
 
@@ -106,25 +123,12 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     deterministic tie-break on language code order. Row-local; at scale
     this is a pure map over the scan.
     """
-    padded = F.concat(F.lit(" "), _norm(F.col(text_col)), F.lit(" "))
-    scores = {
-        lang: sum(
-            (_count_occurrences(padded, m) for m in markers),
-            F.lit(0).cast("long"),
-        )
-        for lang, markers in LANG_MARKERS.items()
-    }
-    # argmax via greatest + chained when (first lang in sorted order wins ties)
-    best = F.greatest(*scores.values())
-    pred = F.lit("unknown")
-    for lang in sorted(scores, reverse=True):
-        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
-    out = df.select(
+    pred, best = language_expr(F.col(text_col))
+    return df.select(
         F.col("doc_id"),
         pred.alias("predicted_lang"),
         best.alias("marker_hits"),
     )
-    return out
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -855,9 +855,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     f"""
     WITH n AS (
-      SELECT doc_id, text, {_SQL_NORM} AS norm,
-             ' ' || {_SQL_NORM} || ' ' AS padded
-      FROM documents
+      SELECT doc_id, text, {_SQL_NORM} AS norm FROM documents
     ),
     m AS (
       SELECT doc_id,
@@ -868,10 +866,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS n_pieces,
              CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
                   AS BIGINT) AS n_punct,
-             CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
-                + (length(padded) - length(replace(padded, ' and ', ''))) / 5
-                + (length(padded) - length(replace(padded, ' is ', ''))) / 4
-                + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+             CAST(len(list_filter(string_split(norm, ' '),
+                                  x -> x IN ('the', 'and', 'is', 'of')))
                   AS BIGINT) AS n_stopwords
       FROM n
     )
@@ -896,19 +892,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.language_id(load(spark, sf_dir, "documents"))
 
 
-def _lang_id_sql() -> str:
-    """Generate the DuckDB oracle from the same LANG_MARKERS constants
-    the Spark operator uses — one source of truth for both engines."""
-
-    def count_expr(m: str) -> str:
-        needle = f" {m} "
-        return (
-            f"(length(padded) - length(replace(padded, '{needle}', '')))"
-            f" / {len(needle)}"
-        )
-
+def _lang_score_sql_parts() -> tuple[str, str, str]:
+    """Score columns, argmax, and tie-broken CASE — generated from the
+    same LANG_MARKERS constants the Spark operator uses (one source of
+    truth), token-exact via list_filter like text.marker_count."""
     score_cols = ",\n             ".join(
-        f"CAST({' + '.join(count_expr(m) for m in ms)} AS BIGINT) AS s_{lang}"
+        "CAST(len(list_filter(toks, x -> x IN ({0}))) AS BIGINT) AS s_{1}".format(
+            ", ".join(f"'{m}'" for m in ms), lang
+        )
         for lang, ms in text_ops.LANG_MARKERS.items()
     )
     langs_sorted = sorted(text_ops.LANG_MARKERS)  # ascending: first wins ties
@@ -916,9 +907,14 @@ def _lang_id_sql() -> str:
     case = "CASE " + " ".join(
         f"WHEN best > 0 AND s_{x} = best THEN '{x}'" for x in langs_sorted
     ) + " ELSE 'unknown' END"
+    return score_cols, best, case
+
+
+def _lang_id_sql() -> str:
+    score_cols, best, case = _lang_score_sql_parts()
     return f"""
     WITH n AS (
-      SELECT doc_id, ' ' || {_SQL_NORM} || ' ' AS padded FROM documents
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id,
@@ -931,6 +927,61 @@ def _lang_id_sql() -> str:
 
 
 _ORACLES["lang_id"] = _lang_id_sql()
+
+
+@register("corpus_curation", None)  # SQL generated below (shared markers)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data pipeline composition: quality filter
+    (>= 30 tokens) -> language filter (predicted 'en') -> exact dedup
+    (keep min doc_id per normalized text). Every stage is a previously
+    oracled operator; the composition stays one declarative plan —
+    Catalyst pipelines the filters into the scan and the only shuffles
+    are the dedup groupBy and its keeper semi-join."""
+    docs = load(spark, sf_dir, "documents")
+    pred, _ = text_ops.language_expr(F.col("text"))
+    # one projection fuses tokenization + language-ID: a single scan,
+    # filters push into it, no join
+    filt = docs.select(
+        "doc_id",
+        F.md5(text_ops._norm(F.col("text"))).alias("__fp"),
+        text_ops.token_count(F.col("text")).alias("n_tokens"),
+        pred.alias("predicted_lang"),
+    ).where((F.col("n_tokens") >= 30) & (F.col("predicted_lang") == "en"))
+    # keeper = rank-1 per fingerprint: one shuffle, and the expensive
+    # text projection runs once (a groupBy+semi-join would re-scan it)
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    return (
+        filt.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens", "predicted_lang")
+    )
+
+
+def _corpus_curation_sql() -> str:
+    score_cols, best, case = _lang_score_sql_parts()
+    return f"""
+    WITH n AS (
+      SELECT doc_id, {_SQL_NORM} AS nrm,
+             string_split({_SQL_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, nrm,
+             CASE WHEN nrm = '' THEN 0
+                  ELSE CAST(len(toks) AS BIGINT) END AS n_tokens,
+             {score_cols}
+      FROM n
+    ),
+    b AS (SELECT *, {best} AS best FROM s),
+    p AS (SELECT doc_id, nrm, n_tokens, {case} AS predicted_lang FROM b),
+    filt AS (SELECT * FROM p WHERE n_tokens >= 30 AND predicted_lang = 'en'),
+    keep AS (SELECT md5(nrm) AS fp, MIN(doc_id) AS doc_id FROM filt GROUP BY 1)
+    SELECT f.doc_id, f.n_tokens, f.predicted_lang
+    FROM filt f JOIN keep k ON f.doc_id = k.doc_id
+    """
+
+
+_ORACLES["corpus_curation"] = _corpus_curation_sql()
 
 
 @register(
