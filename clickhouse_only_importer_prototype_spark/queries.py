@@ -54,8 +54,26 @@ def register(name: str, sql: str | None):
 
 _SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 
+_RUNTIME_CONF = (
+    # externally-built sessions (the driver's) may lack the engine conf;
+    # all of these are runtime-settable and load() is the common gate
+    ("spark.sql.session.timeZone", "UTC"),  # timestamp literals vs DuckDB
+    ("spark.sql.adaptive.enabled", "true"),
+    ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ("spark.sql.shuffle.partitions", "32"),
+)
+_CONF_APPLIED: set[int] = set()
+
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if id(spark) not in _CONF_APPLIED:
+        for k, v in _RUNTIME_CONF:
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass
+        _CONF_APPLIED.add(id(spark))
     if table == "events":
         # TIMESTAMP(NANOS) parquet: read as long nanos (driver sessions
         # may not have the conf; it is runtime-settable)
