@@ -29,6 +29,8 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
     "region_rollup",
     "rollup_region_nation",
     "priority_quantiles",
@@ -43,6 +45,7 @@ HEADLINE = [
     "long_to_values_rebuild",
     "events_hourly",
     "events_sessionize",
+    "events_sliding_counts",
     "events_asof_join",
     "events_interval_join",
     "dedup_exact",

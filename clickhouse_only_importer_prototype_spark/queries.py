@@ -316,6 +316,81 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                                         AS VARCHAR) AS DOUBLE) / COUNT(*))
+               AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(l.l_quantity AS DOUBLE) < pa.qty_cut
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    per-part aggregate + self-join. Both sides shuffle once on
+    l_partkey (co-partitioned); the aggregate side collapses to one
+    row per part before the join, so the join input is bounded by
+    |parts|, not |lineitem|."""
+    l = load(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("qty_cut")
+    )
+    return (
+        l.join(per_part, "l_partkey")
+        .where(F.col("l_quantity").cast("double") < F.col("qty_cut"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) >= 140
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-filter (HAVING over a fact aggregate) +
+    top-k. The quantity sum aggregates before any wide join; top-20
+    sorts only the filtered aggregate output."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .where(F.col("__qty") >= 140)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
     "region_rollup",
     """
     SELECT r.r_name,
@@ -720,6 +795,41 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("k_sum"),
         F.max(k).cast("long").alias("k_max"),
         F.count("*").alias("n"),
+    )
+
+
+@register(
+    "events_sliding_counts",
+    """
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1800000000000 AS b, event_type FROM events
+    )
+    SELECT CAST((b - u.k) * 1800000000000 AS BIGINT) AS w_start_ns,
+           event_type, COUNT(*) AS n_events
+    FROM e, UNNEST([0, 1]) AS u(k)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1h window, 30m slide) as an explicit
+    window-replication explode — each event lands in exactly 2 windows.
+    The streaming twin uses F.window(...); this formulation keeps the
+    window start as raw nanos for the oracle. Replication factor =
+    window/slide, visible in the plan (a 2-row generator, not a range
+    join)."""
+    e = load(spark, sf_dir, "events")
+    b = F.expr("ts div 1800000000000")
+    return (
+        e.select(
+            F.explode(F.array(b - 1, b)).alias("__s"),
+            "event_type",
+        )
+        .select(
+            (F.col("__s") * F.lit(1_800_000_000_000)).alias("w_start_ns"),
+            "event_type",
+        )
+        .groupBy("w_start_ns", "event_type")
+        .agg(F.count("*").alias("n_events"))
     )
 
 
