@@ -417,6 +417,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         l1 = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster_id").alias("__old"),
             F.least(
                 F.col("cluster_id"),
                 F.coalesce(F.col("nb_min"), F.col("cluster_id")),
@@ -437,19 +438,19 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             F.coalesce(F.col("root_label"), F.col("cluster_id")).alias(
                 "cluster_id"
             ),
+            # convergence flag rides along in the same pass: no separate
+            # old-vs-new join job per round
+            (
+                F.coalesce(F.col("root_label"), F.col("cluster_id"))
+                != F.col("__old")
+            ).alias("__changed"),
         )
         # localCheckpoint truncates the logical lineage: without it each
         # round's plan nests the last round's and analysis/codegen blows
         # up past ~10 rounds
         updated = jumped.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()

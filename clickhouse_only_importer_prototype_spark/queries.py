@@ -1014,6 +1014,36 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.quality_features(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "top_trigrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    )
+    SELECT shingle, COUNT(*) AS doc_freq
+    FROM sh GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle LIMIT 20
+    """,
+)
+def top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: the 20 most document-frequent word
+    trigrams. Map-side combine collapses the exploded shingles before
+    the shuffle; the top-k sorts only the aggregated counts."""
+    sh = text_ops.shingles(load(spark, sf_dir, "documents"), n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "shingle")
+        .limit(20)
+    )
+
+
 @register("lang_id", None)  # SQL generated below from the same markers
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic (operators/text.language_id)."""
