@@ -67,6 +67,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.join(keepers, "doc_id", "left_semi")
 
 
+def _exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, rep_id): every doc mapped to the min doc_id sharing its
+    normalized-text fingerprint.
+
+    The representative-collapse prefilter for every near-dup operator:
+    real corpora carry heavy exact duplication, and identical texts
+    make candidate pairs quadratically (a 10-copy group is 45 pairs
+    that all verify to jaccard=1000). Near-dup math runs on the
+    distinct representatives only; results expand back through this
+    mapping — exactly equivalent output since identical texts have
+    identical shingles/signatures."""
+    fp = F.md5(_norm(F.col(text_col)))
+    return df.select(F.col("doc_id"), fp.alias("__fp")).withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("__fp"))
+    ).select("doc_id", "rep_id")
+
+
+def _rep_docs(df: DataFrame, groups: DataFrame) -> DataFrame:
+    """The representative subset of df (one doc per distinct text)."""
+    reps = groups.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    return df.join(reps, "doc_id", "left_semi")
+
+
+def _expand_cross(rep_pairs: DataFrame, groups: DataFrame, stat_cols: list[str]) -> DataFrame:
+    """Expand pairs of representatives to all member pairs across the
+    two groups, re-orienting so doc_a < doc_b (members of the lower
+    rep aren't necessarily the lower ids). Stats carry over unchanged
+    — every member has its rep's exact shingle set."""
+    ga = groups.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ma")
+    )
+    gb = groups.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mb")
+    )
+    return (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.least(F.col("ma"), F.col("mb")).alias("doc_a"),
+            F.greatest(F.col("ma"), F.col("mb")).alias("doc_b"),
+            *stat_cols,
+        )
+    )
+
+
+def _within_group_pairs(groups: DataFrame) -> DataFrame:
+    """All (doc_a < doc_b, rep_id) member pairs inside each exact-dup
+    group — their near-dup stats are degenerate (identical texts)."""
+    a = groups.select("rep_id", F.col("doc_id").alias("doc_a"))
+    b = groups.select("rep_id", F.col("doc_id").alias("doc_b"))
+    return a.join(b, "rep_id").where(F.col("doc_a") < F.col("doc_b"))
+
+
 def _shingle_sets(sh: DataFrame) -> DataFrame:
     """(doc_id, sset, set_size) — each doc's distinct shingles as an
     array, for candidate-pair verification via array_intersect."""
@@ -114,17 +167,23 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by word n-gram Jaccard similarity — EXACT result
     via prefix filtering + candidate verification.
 
-    Prefix filtering (lossless for thresholded Jaccard): order shingles
-    globally by (document frequency asc, shingle); a doc of set size s
-    only indexes its first ``s - ceil(t*s) + 1`` shingles in that order.
-    Any pair with J >= t MUST collide on a prefix shingle, so candidate
-    generation skips the hot common shingles that make a naive inverted
-    index O(freq²). Verification computes exact Jaccard on candidates
-    via array_intersect. Output: (doc_a, doc_b, inter_size, size_a,
-    size_b, jaccard_per_1000), doc_a < doc_b, jaccard int-scaled
-    (x1000, floor) for cross-engine hashing.
+    Three stacked prunings, all lossless:
+      1. representative collapse — exact duplicates share one rep, so
+         identical texts never enter the quadratic stages;
+      2. prefix filtering — order shingles globally by (document
+         frequency asc, shingle); a doc of set size s only indexes its
+         first ``s - ceil(t*s) + 1`` shingles in that order (any pair
+         with J >= t MUST collide on a prefix shingle), skipping the
+         hot shingles that make a naive inverted index O(freq²);
+      3. length filter — J >= t forces set sizes within a factor t.
+    Verification computes exact Jaccard on surviving candidates via
+    array_intersect; results expand back to all exact-dup members.
+    Output: (doc_a, doc_b, inter_size, size_a, size_b,
+    jaccard_per_1000), doc_a < doc_b, jaccard int-scaled (x1000,
+    floor) for cross-engine hashing.
     """
-    sh = shingles(df, text_col, n)
+    groups = _exact_groups(df, text_col)
+    sh = shingles(_rep_docs(df, groups), text_col, n)
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -178,7 +237,28 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    return _verify_pairs(cands, packed, threshold)
+    stat_cols = ["inter_size", "size_a", "size_b", "jaccard_per_1000"]
+    rep_pairs = _verify_pairs(cands, packed, threshold)
+    cross = _expand_cross(rep_pairs, groups, stat_cols)
+    # within-group pairs: identical texts, J = 1000 by definition; the
+    # shingle-set size comes from the rep's packed row (groups whose
+    # text has no shingles produce no pairs, matching the rep path)
+    within = (
+        _within_group_pairs(groups)
+        .join(
+            packed.select(F.col("doc_id").alias("rep_id"), "set_size"),
+            "rep_id",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("set_size").alias("inter_size"),
+            F.col("set_size").alias("size_a"),
+            F.col("set_size").alias("size_b"),
+            F.lit(1000).cast("long").alias("jaccard_per_1000"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def minhash_signatures(
@@ -205,22 +285,17 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
+def _minhash_rep_candidates(
+    rep_df: DataFrame,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-
-    rows-per-band = num_hashes // bands. Bucket key = xxhash64 of the
-    band slice; groupBy bucket then pair within bucket. Output distinct
-    (doc_a, doc_b) with doc_a < doc_b.
-    """
+    """LSH banding over representative docs (see minhash_lsh_candidates)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, n, num_hashes)
+    sig = minhash_signatures(rep_df, text_col, n, num_hashes)
     band_arr = F.array(
         *[
             F.struct(
@@ -258,6 +333,45 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    rows-per-band = num_hashes // bands; bucket key = xxhash64 of the
+    band slice. Runs over exact-dup representatives then expands:
+    identical texts have identical signatures, so every member pair of
+    a group (always a collision) and every cross-member of a colliding
+    rep pair is a candidate — the expansion IS the uncollapsed result,
+    computed without quadratic work on duplicate-heavy corpora.
+    Output distinct (doc_a, doc_b), doc_a < doc_b.
+    """
+    groups = _exact_groups(df, text_col)
+    rep_cands = _minhash_rep_candidates(
+        _rep_docs(df, groups), text_col, n, num_hashes, bands
+    )
+    cross = _expand_cross(rep_cands, groups, [])
+    # members of a group share all band buckets -> always candidates;
+    # but docs whose text yields zero shingles never enter banding on
+    # the rep path, so exclude their groups here to match
+    sh_docs = (
+        shingles(_rep_docs(df, groups), text_col, n)
+        .select("doc_id")
+        .distinct()
+        .withColumnRenamed("doc_id", "rep_id")
+    )
+    within = (
+        _within_group_pairs(groups)
+        .join(sh_docs, "rep_id")
+        .select("doc_a", "doc_b")
+    )
+    return cross.unionByName(within)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -267,12 +381,29 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: LSH candidates verified with
-    exact Jaccard — only candidate pairs pay the verification join."""
-    cands = minhash_lsh_candidates(df, text_col, n, num_hashes, bands)
-    sets = _shingle_sets(shingles(df, text_col, n))
-    return _verify_pairs(cands, sets, threshold).select(
+    exact Jaccard — only candidate pairs pay the verification join,
+    and only distinct texts (representatives) pay anything quadratic;
+    exact-dup members expand afterwards with jaccard=1000."""
+    groups = _exact_groups(df, text_col)
+    rep_df = _rep_docs(df, groups)
+    cands = _minhash_rep_candidates(rep_df, text_col, n, num_hashes, bands)
+    sh = shingles(rep_df, text_col, n)
+    sets = _shingle_sets(sh)
+    rep_pairs = _verify_pairs(cands, sets, threshold).select(
         "doc_a", "doc_b", "jaccard_per_1000"
     )
+    cross = _expand_cross(rep_pairs, groups, ["jaccard_per_1000"])
+    within = (
+        _within_group_pairs(groups)
+        .join(
+            sets.select(F.col("doc_id").alias("rep_id")),
+            "rep_id",
+        )
+        .select(
+            "doc_a", "doc_b", F.lit(1000).cast("long").alias("jaccard_per_1000")
+        )
+    )
+    return cross.unionByName(within)
 
 
 @pandas_udf(LongType())
@@ -338,8 +469,22 @@ def simhash_neardup_pairs(
     Pigeonhole banding: split 64 bits into 4 16-bit chunks; distance
     <= 3 implies at least one identical chunk, so candidates come from
     4 hash-joins on chunk values rather than O(n²) comparisons.
+
+    Collapses on the signature VALUE first (stronger than text-level
+    collapse: different texts can share a signature): banding runs
+    over distinct signatures; members expand afterwards — within a
+    signature group every pair is hamming 0, across groups the rep
+    pair's distance applies to all member pairs.
     """
-    sig = simhash(df, text_col)
+    all_sigs = simhash(df, text_col)
+    groups = all_sigs.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("simhash"))
+    ).select("doc_id", "rep_id")
+    sig = all_sigs.join(
+        groups.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -375,9 +520,16 @@ def simhash_neardup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.withColumn("hamming", hamming.cast("long")).where(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
+    rep_pairs = (
+        cands.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    cross = _expand_cross(rep_pairs, groups, ["hamming"])
+    within = _within_group_pairs(groups).select(
+        "doc_a", "doc_b", F.lit(0).cast("long").alias("hamming")
+    )
+    return cross.unionByName(within)
 
 
 def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -455,6 +607,44 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, cluster_id) components over MinHash-verified near-dup
+    pairs, computed on the representative graph.
+
+    Exact-dup groups collapse to their rep BEFORE label propagation —
+    the iterative part runs on distinct texts only — then members
+    inherit their rep's component. cluster_id = min doc_id in the
+    component holds because each rep is already its group's min.
+    Output matches neardup_clusters(minhash_dedup_pairs(df)) exactly:
+    docs in no pair (singleton text, no near-dup edge) are absent.
+    """
+    groups = _exact_groups(df, text_col)
+    rep_df = _rep_docs(df, groups)
+    cands = _minhash_rep_candidates(rep_df, text_col, n, num_hashes, bands)
+    sets = _shingle_sets(shingles(rep_df, text_col, n))
+    rep_pairs = _verify_pairs(cands, sets, threshold).select("doc_a", "doc_b")
+    rep_labels = neardup_clusters(rep_pairs).withColumnRenamed(
+        "doc_id", "rep_id"
+    )
+    sizes = groups.groupBy("rep_id").agg(F.count("*").alias("__gsize"))
+    return (
+        groups.join(sizes, "rep_id")
+        .join(rep_labels, "rep_id", "left")
+        .where((F.col("__gsize") >= 2) | F.col("cluster_id").isNotNull())
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("cluster_id"),
+        )
+    )
 
 
 def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -357,14 +357,20 @@ def embedding_neardup_pairs(
     independent tasks, each streaming two column panels; n_blocks
     scales with corpus size to bound panel memory.
     """
+    # parallel arrays (ids + vectors), NOT an array<struct>: Arrow moves
+    # each as one contiguous column and numpy stacks without a Python
+    # dict per element — at 20k vectors this is the difference between
+    # the matmul dominating and per-row decoding dominating
     blocked = df.select(
         F.pmod(F.xxhash64(F.lit(DEFAULT_SEED), F.col(id_col)), F.lit(n_blocks))
         .cast("int")
         .alias("block"),
-        F.struct(
-            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-        ).alias("rec"),
-    ).groupBy("block").agg(F.collect_list("rec").alias("recs"))
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+    ).groupBy("block").agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list("v").alias("vs"),
+    )
     pairs = (
         blocked.alias("a")
         .join(
@@ -373,9 +379,11 @@ def embedding_neardup_pairs(
         )
         .select(
             F.col("a.block").alias("block_a"),
-            F.col("a.recs").alias("recs_a"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vs").alias("vs_a"),
             F.col("b.block").alias("block_b"),
-            F.col("b.recs").alias("recs_b"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vs").alias("vs_b"),
         )
     )
     margin = 100
@@ -385,17 +393,17 @@ def embedding_neardup_pairs(
 
         for pdf in batches:
             out_a, out_b = [], []
-            for recs_a, recs_b, same in zip(
-                pdf["recs_a"], pdf["recs_b"], pdf["block_a"] == pdf["block_b"]
+            for ids_a, vs_a, ids_b, vs_b, same in zip(
+                pdf["ids_a"],
+                pdf["vs_a"],
+                pdf["ids_b"],
+                pdf["vs_b"],
+                pdf["block_a"] == pdf["block_b"],
             ):
-                ids_a = np.array([r["id"] for r in recs_a], dtype=np.int64)
-                ids_b = np.array([r["id"] for r in recs_b], dtype=np.int64)
-                ma = _normalize_rows(
-                    np.stack([np.asarray(r["v"]) for r in recs_a])
-                )
-                mb = _normalize_rows(
-                    np.stack([np.asarray(r["v"]) for r in recs_b])
-                )
+                ids_a = np.asarray(ids_a, dtype=np.int64)
+                ids_b = np.asarray(ids_b, dtype=np.int64)
+                ma = _normalize_rows(np.stack(vs_a))
+                mb = _normalize_rows(np.stack(vs_b))
                 sims = ma @ mb.T
                 hot = sims * 1e6 >= threshold_1e6 - margin
                 if same:

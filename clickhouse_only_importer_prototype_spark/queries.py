@@ -636,17 +636,41 @@ def melt_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 parity: dense gapless surrogate keys over a defined order.
 
-    This oracle-able variant uses a key order (the pipeline's file/scan
-    variant is operators/mutation.with_sequential_ids). Scale note: a
-    bare global row_number funnels one partition; production path is
-    the two-pass per-file prefix-sum (same contract, parallel)."""
-    l = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.row_number().over(w) - 1).cast("long").alias("seq_id"),
+    Two-pass partition-parallel rank (a bare global row_number funnels
+    the whole table through ONE partition — 9s at 6M rows, fatal at
+    100 TB): range-partition on the sort key, rank within each range
+    partition in parallel, then add per-partition offsets (a 32-row
+    prefix sum computed on the driver). Same gapless contract as the
+    pipeline's per-file assigner (operators/mutation.py)."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = l.repartitionByRange(
+        n_parts, "l_orderkey", "l_linenumber"
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    offsets_df = l.sparkSession.createDataFrame(
+        offsets, "__pid int, __offset long"
     )
+    w = Window.partitionBy("__pid").orderBy("l_orderkey", "l_linenumber")
+    out = (
+        ranged.join(F.broadcast(offsets_df), "__pid")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.row_number().over(w) - 1 + F.col("__offset"))
+            .cast("long")
+            .alias("seq_id"),
+        )
+    )
+    return out
 
 
 @register(
@@ -1308,13 +1332,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_clusters", None)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup components from MinHash-verified pairs: (doc_id,
-    cluster_id=keeper). Iterative min-label propagation
-    (operators/dedup.neardup_clusters); iterative => no SQL oracle,
-    pinned by tests/test_dedup.py."""
-    pairs = dedup_ops.minhash_dedup_pairs(
+    cluster_id=keeper). Iterative min-label propagation over the
+    representative graph, members inherit
+    (operators/dedup.minhash_dedup_clusters); iterative => no SQL
+    oracle, pinned by tests/test_dedup.py."""
+    return dedup_ops.minhash_dedup_clusters(
         load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.8
     )
-    return dedup_ops.neardup_clusters(pairs)
 
 
 @register("dedup_simhash_pairs", None)

@@ -124,3 +124,24 @@ def test_neardup_clusters_long_chain(spark):
     )
     got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_minhash_dedup_clusters_equals_expanded_graph(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        minhash_dedup_clusters,
+        minhash_dedup_pairs,
+        neardup_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in minhash_dedup_clusters(
+            docs, num_hashes=32, bands=16, threshold=0.8
+        ).collect()
+    }
+    pairs = minhash_dedup_pairs(docs, num_hashes=32, bands=16, threshold=0.8)
+    naive = {
+        (r.doc_id, r.cluster_id) for r in neardup_clusters(pairs).collect()
+    }
+    assert fast == naive
