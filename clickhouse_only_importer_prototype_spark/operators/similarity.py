@@ -231,6 +231,7 @@ def ivf_train_centroids(
     seed: int = DEFAULT_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> np.ndarray:
     """Spherical k-means centroids, trained distributed.
 
@@ -239,7 +240,19 @@ def ivf_train_centroids(
     partitionings). Each Lloyd iteration is one assignment pass (arrow
     UDF matmul) + one (cluster, dim-position) sum/count aggregation;
     only C×dim cells ever reach the driver, regardless of corpus size.
+
+    ``train_fraction`` trains on a deterministic hash-based subsample
+    (xxhash64 threshold, stable across partitionings/retries — not
+    ``df.sample``, whose output depends on partitioning). Centroid
+    quality needs ~100-1000 points per centroid, not the corpus: at
+    100 TB you train on a sliver and assign the full corpus once.
     """
+    if train_fraction is not None and train_fraction < 1.0:
+        bound = int(train_fraction * (1 << 30))
+        df = df.where(
+            F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(1 << 30))
+            < bound
+        )
     init = (
         df.select(
             F.col(id_col).alias("i"),
@@ -286,6 +299,7 @@ def cosine_topk_ivf(
     seed: int = DEFAULT_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -298,7 +312,7 @@ def cosine_topk_ivf(
     nprobe/n_centroids of the data per query.
     """
     cents = ivf_train_centroids(
-        corpus, dim, n_centroids, iters, seed, id_col, vec_col
+        corpus, dim, n_centroids, iters, seed, id_col, vec_col, train_fraction
     )
     assign = _ivf_probe_udf(cents, 1)
     c = corpus.select(

@@ -106,3 +106,12 @@ def test_ivf_deterministic_and_exact_scores(spark, embeddings):
     }
     for r in a:
         assert exact[(r.query_id, r.neighbor_id)] == r.cos_1e6
+
+
+def test_ivf_sampled_training_deterministic(spark, embeddings):
+    queries = embeddings.where("vec_id < 5")
+    kw = dict(dim=64, k=5, n_centroids=8, nprobe=4, train_fraction=0.5)
+    a = similarity.cosine_topk_ivf(embeddings, queries, **kw).collect()
+    b = similarity.cosine_topk_ivf(embeddings, queries, **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 25  # 5 queries x top-5
