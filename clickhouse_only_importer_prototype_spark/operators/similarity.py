@@ -248,6 +248,8 @@ def ivf_train_centroids(
     100 TB you train on a sliver and assign the full corpus once.
     """
     if train_fraction is not None and train_fraction < 1.0:
+        if not 0.0 < train_fraction:
+            raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
         bound = int(train_fraction * (1 << 30))
         df = df.where(
             F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(1 << 30))
@@ -263,6 +265,11 @@ def ivf_train_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if len(init) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} training vectors, got {len(init)} "
+            "(train_fraction too small for this corpus?)"
+        )
     cents = _normalize_rows(np.array([r["v"] for r in init], dtype=np.float64))
     for _ in range(iters):
         assign = _ivf_probe_udf(cents, 1)

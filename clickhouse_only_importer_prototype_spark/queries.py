@@ -1362,6 +1362,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_centroids=16,
         nprobe=4,
+        train_fraction=0.5,  # centroids from a hash-sampled sliver
     )
 
 

@@ -115,3 +115,29 @@ def test_ivf_sampled_training_deterministic(spark, embeddings):
     b = similarity.cosine_topk_ivf(embeddings, queries, **kw).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 25  # 5 queries x top-5
+
+
+def test_ivf_sampled_training_recall(spark, embeddings):
+    # pins the recall of the shipped query configuration
+    # (queries.ann_cosine_topk_ivf uses train_fraction=0.5)
+    queries = embeddings.where("vec_id < 10")
+    exact = similarity.cosine_topk_bruteforce(embeddings, queries, k=5)
+    approx = similarity.cosine_topk_ivf(
+        embeddings, queries, dim=64, k=5, n_centroids=16, nprobe=8,
+        train_fraction=0.5,
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"sampled-training IVF recall too low: {recall}"
+
+
+def test_ivf_train_fraction_validation(spark, embeddings):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="train_fraction"):
+        similarity.ivf_train_centroids(embeddings, dim=64, train_fraction=0.0)
+    with _pytest.raises(ValueError, match="training vectors"):
+        similarity.ivf_train_centroids(
+            embeddings.limit(4), dim=64, n_centroids=16
+        )
