@@ -142,7 +142,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def winnow_fingerprints(
-    df: DataFrame, text_col: str = "text", k: int = 4, w: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     hash every word k-gram, slide a w-window over the ordered hash
@@ -180,12 +184,21 @@ def winnow_fingerprints(
     grams = F.when(F.size(toks) >= k, grams_expr).otherwise(
         F.array(_norm(F.col("__text")))
     )
+    # md5 (default) is SQL-oracle-reproducible; the gram hash dominates
+    # long-document cost (~1 digest per token), so hash_fn="xxhash64"
+    # offers the JVM-native fast path when cross-engine parity isn't
+    # needed — same fingerprinting semantics, different hash values
+    if hash_fn == "xxhash64":
+        def gram_hash(g):
+            return F.xxhash64(g)
+    elif hash_fn == "md5":
+        def gram_hash(g):
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64': {hash_fn}")
     hashed = staged.select(
         "doc_id",
-        F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-        ).alias("__hs"),
+        F.transform(grams, gram_hash).alias("__hs"),
     )
     hs = F.col("__hs")
     n_wins = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
