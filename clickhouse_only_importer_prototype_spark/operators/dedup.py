@@ -90,24 +90,42 @@ def _rep_docs(df: DataFrame, groups: DataFrame) -> DataFrame:
     return df.join(reps, "doc_id", "left_semi")
 
 
-def _expand_cross(rep_pairs: DataFrame, groups: DataFrame, stat_cols: list[str]) -> DataFrame:
+def _expand_cross(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    stat_cols: list[str],
+    swap_pairs: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     """Expand pairs of representatives to all member pairs across the
     two groups, re-orienting so doc_a < doc_b (members of the lower
-    rep aren't necessarily the lower ids). Stats carry over unchanged
-    — every member has its rep's exact shingle set."""
+    rep aren't necessarily the lower ids). Symmetric stats carry over
+    unchanged — every member has its rep's exact shingle set.
+    Side-specific stats (size_a/size_b) must be listed in swap_pairs
+    so they flip with the orientation."""
     ga = groups.select(
         F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ma")
     )
     gb = groups.select(
         F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mb")
     )
+    flipped = F.col("ma") > F.col("mb")
+    out_cols = []
+    swapped = {x: y for x, y in (swap_pairs or [])}
+    swapped.update({y: x for x, y in (swap_pairs or [])})
+    for c in stat_cols:
+        if c in swapped:
+            out_cols.append(
+                F.when(flipped, F.col(swapped[c])).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
     return (
         rep_pairs.join(ga, "doc_a")
         .join(gb, "doc_b")
         .select(
             F.least(F.col("ma"), F.col("mb")).alias("doc_a"),
             F.greatest(F.col("ma"), F.col("mb")).alias("doc_b"),
-            *stat_cols,
+            *out_cols,
         )
     )
 
@@ -127,6 +145,22 @@ def _shingle_sets(sh: DataFrame) -> DataFrame:
         F.collect_list("shingle").alias("sset"),
         F.count("*").cast("long").alias("set_size"),
     )
+
+
+def _t1000(threshold: float) -> int:
+    """Threshold as exact per-mille integer. All threshold comparisons
+    use integer arithmetic from here on: float evaluation of
+    ceil(t*s) overshoots for thresholds like 0.28 (0.28*25 -> 7.0000…01
+    -> ceil 8), silently dropping boundary pairs."""
+    return int(round(threshold * 1000))
+
+
+def _ceil_frac(t1000: int, size_col):
+    """ceil(t1000 * size / 1000) in exact integer math (the double
+    division is exact below 2^53, far past any shingle-set size)."""
+    return F.floor(
+        (F.lit(t1000) * size_col + F.lit(999)) / F.lit(1000)
+    ).cast("long")
 
 
 def _verify_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
@@ -152,7 +186,7 @@ def _verify_pairs(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFr
             "jaccard_per_1000",
             F.floor(F.lit(1000) * F.col("inter_size") / union_size).cast("long"),
         )
-        .where(F.col("jaccard_per_1000") >= int(threshold * 1000))
+        .where(F.col("jaccard_per_1000") >= _t1000(threshold))
         .select("doc_a", "doc_b", "inter_size", "size_a", "size_b", "jaccard_per_1000")
     )
 
@@ -166,6 +200,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by word n-gram Jaccard similarity — EXACT result
     via prefix filtering + candidate verification.
+
+    ``max_shingle_freq`` counts a shingle's frequency over DISTINCT
+    texts (representatives), not raw documents — exact copies no
+    longer inflate a shingle toward the cut. ``threshold`` resolves to
+    per-mille precision (round(t*1000)).
 
     Three stacked prunings, all lossless:
       1. representative collapse — exact duplicates share one rep, so
@@ -210,9 +249,13 @@ def ngram_jaccard_pairs(
             F.transform(F.col("__arr"), lambda s: s["shingle"]).alias("sset"),
             F.size(F.col("__arr")).cast("long").alias("set_size"),
         )
+        # referenced 4x downstream (both prefix join sides + both verify
+        # sides): persist so the shingle+freq pipeline runs once
+        .persist()
     )
+    t1000 = _t1000(threshold)
     prefix_len = (
-        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+        F.col("set_size") - _ceil_frac(t1000, F.col("set_size")) + 1
     ).cast("int")
     prefix = packed.select(
         "doc_id",
@@ -221,8 +264,8 @@ def ngram_jaccard_pairs(
     )
     # length filter (lossless): J >= t forces t*max(|A|,|B|) <= min —
     # prunes size-incompatible collisions before the verification join
-    size_ok = F.least(F.col("a.set_size"), F.col("b.set_size")) >= F.ceil(
-        F.lit(threshold) * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+    size_ok = F.least(F.col("a.set_size"), F.col("b.set_size")) >= _ceil_frac(
+        t1000, F.greatest(F.col("a.set_size"), F.col("b.set_size"))
     )
     cands = (
         prefix.alias("a")
@@ -239,7 +282,9 @@ def ngram_jaccard_pairs(
     )
     stat_cols = ["inter_size", "size_a", "size_b", "jaccard_per_1000"]
     rep_pairs = _verify_pairs(cands, packed, threshold)
-    cross = _expand_cross(rep_pairs, groups, stat_cols)
+    cross = _expand_cross(
+        rep_pairs, groups, stat_cols, swap_pairs=[("size_a", "size_b")]
+    )
     # within-group pairs: identical texts, J = 1000 by definition; the
     # shingle-set size comes from the rep's packed row (groups whose
     # text has no shingles produce no pairs, matching the rep path)
@@ -271,7 +316,13 @@ def minhash_signatures(
     as parallel aggregates (map-side partial min combine) — the shingle
     rows are never multiplied by k and never shuffled more than once.
     """
-    sh = shingles(df, text_col, n)
+    return _signatures_from_shingles(shingles(df, text_col, n), num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Signature build over an existing (doc_id, shingle) frame, so
+    callers that also need the shingle sets (verification) pay the
+    shingling pipeline once via a shared persisted frame."""
     aggs = [
         F.min(F.xxhash64(F.lit(HASH_SEED_BASE + i), F.col("shingle"))).alias(
             f"__h{i}"
@@ -285,17 +336,10 @@ def minhash_signatures(
     )
 
 
-def _minhash_rep_candidates(
-    rep_df: DataFrame,
-    text_col: str,
-    n: int,
-    num_hashes: int,
-    bands: int,
-) -> DataFrame:
-    """LSH banding over representative docs (see minhash_lsh_candidates)."""
+def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """LSH banding over a signature frame (see minhash_lsh_candidates)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(rep_df, text_col, n, num_hashes)
     band_arr = F.array(
         *[
             F.struct(
@@ -351,22 +395,17 @@ def minhash_lsh_candidates(
     Output distinct (doc_a, doc_b), doc_a < doc_b.
     """
     groups = _exact_groups(df, text_col)
-    rep_cands = _minhash_rep_candidates(
-        _rep_docs(df, groups), text_col, n, num_hashes, bands
-    )
+    # one persisted signature frame serves banding AND the zero-shingle
+    # membership check (a doc with no shingles has no signature row)
+    sig = minhash_signatures(_rep_docs(df, groups), text_col, n, num_hashes).persist()
+    rep_cands = _band_candidates(sig, num_hashes, bands)
     cross = _expand_cross(rep_cands, groups, [])
     # members of a group share all band buckets -> always candidates;
     # but docs whose text yields zero shingles never enter banding on
     # the rep path, so exclude their groups here to match
-    sh_docs = (
-        shingles(_rep_docs(df, groups), text_col, n)
-        .select("doc_id")
-        .distinct()
-        .withColumnRenamed("doc_id", "rep_id")
-    )
     within = (
         _within_group_pairs(groups)
-        .join(sh_docs, "rep_id")
+        .join(sig.select(F.col("doc_id").alias("rep_id")), "rep_id")
         .select("doc_a", "doc_b")
     )
     return cross.unionByName(within)
@@ -386,8 +425,12 @@ def minhash_dedup_pairs(
     exact-dup members expand afterwards with jaccard=1000."""
     groups = _exact_groups(df, text_col)
     rep_df = _rep_docs(df, groups)
-    cands = _minhash_rep_candidates(rep_df, text_col, n, num_hashes, bands)
-    sh = shingles(rep_df, text_col, n)
+    # shingling runs once: the persisted frame feeds signature build,
+    # verification sets, and the zero-shingle membership check
+    sh = shingles(rep_df, text_col, n).persist()
+    cands = _band_candidates(
+        _signatures_from_shingles(sh, num_hashes), num_hashes, bands
+    )
     sets = _shingle_sets(sh)
     rep_pairs = _verify_pairs(cands, sets, threshold).select(
         "doc_a", "doc_b", "jaccard_per_1000"
@@ -476,7 +519,10 @@ def simhash_neardup_pairs(
     signature group every pair is hamming 0, across groups the rep
     pair's distance applies to all member pairs.
     """
-    all_sigs = simhash(df, text_col)
+    # the blake2b pandas UDF dominates cost and this frame feeds the
+    # grouping window, the rep filter, and both expansion joins —
+    # persist so it runs over the corpus once
+    all_sigs = simhash(df, text_col).persist()
     groups = all_sigs.withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("simhash"))
     ).select("doc_id", "rep_id")
@@ -629,17 +675,30 @@ def minhash_dedup_clusters(
     """
     groups = _exact_groups(df, text_col)
     rep_df = _rep_docs(df, groups)
-    cands = _minhash_rep_candidates(rep_df, text_col, n, num_hashes, bands)
-    sets = _shingle_sets(shingles(rep_df, text_col, n))
+    sh = shingles(rep_df, text_col, n).persist()
+    cands = _band_candidates(
+        _signatures_from_shingles(sh, num_hashes), num_hashes, bands
+    )
+    sets = _shingle_sets(sh)
     rep_pairs = _verify_pairs(cands, sets, threshold).select("doc_a", "doc_b")
     rep_labels = neardup_clusters(rep_pairs).withColumnRenamed(
         "doc_id", "rep_id"
     )
     sizes = groups.groupBy("rep_id").agg(F.count("*").alias("__gsize"))
+    # zero-shingle groups produce no within-group pairs in the expanded
+    # graph (their reps never enter banding), so multi-member retention
+    # additionally requires the rep to have shingles
+    has_sh = sets.select(F.col("doc_id").alias("rep_id")).withColumn(
+        "__has_sh", F.lit(True)
+    )
     return (
         groups.join(sizes, "rep_id")
+        .join(has_sh, "rep_id", "left")
         .join(rep_labels, "rep_id", "left")
-        .where((F.col("__gsize") >= 2) | F.col("cluster_id").isNotNull())
+        .where(
+            ((F.col("__gsize") >= 2) & F.col("__has_sh").isNotNull())
+            | F.col("cluster_id").isNotNull()
+        )
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("cluster_id"),

@@ -247,9 +247,9 @@ def ivf_train_centroids(
     quality needs ~100-1000 points per centroid, not the corpus: at
     100 TB you train on a sliver and assign the full corpus once.
     """
+    if train_fraction is not None and not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
     if train_fraction is not None and train_fraction < 1.0:
-        if not 0.0 < train_fraction:
-            raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
         bound = int(train_fraction * (1 << 30))
         df = df.where(
             F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(1 << 30))
@@ -361,6 +361,9 @@ def embedding_neardup_pairs(
     n_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= threshold), exact.
+
+    ``id_col`` must be an integral column: ids travel through int64
+    numpy panels and the output orders pairs as doc_a < doc_b.
 
     Two stages, both distributed:
       1. Blocked all-pairs prefilter — vectors hash into n_blocks

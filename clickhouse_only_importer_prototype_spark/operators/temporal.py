@@ -71,7 +71,10 @@ def asof_join(
         lpayload.alias("__l"),
         F.lit(None).cast(r_struct_type).alias("__r"),
     )
-    rpart = right.select(
+    # NULL right timestamps would sort first (Spark nulls-first) and be
+    # carried forward as phantom matches; SQL ASOF semantics never match
+    # a NULL timestamp, so drop them up front
+    rpart = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__prio"),

@@ -145,3 +145,66 @@ def test_minhash_dedup_clusters_equals_expanded_graph(spark, sf_dir):
         (r.doc_id, r.cluster_id) for r in neardup_clusters(pairs).collect()
     }
     assert fast == naive
+
+
+def test_expand_cross_orients_sizes(spark):
+    # docs 1,5 identical (group rep 1); doc 2 near-dup of them with a
+    # different set size. Expanded pair (2,5) must report each doc's OWN
+    # set size even though the member orientation flips vs the rep pair.
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    x = "alpha beta gamma delta epsilon zeta"          # 4 3-shingles
+    y = x + " eta"                                      # 5 3-shingles
+    rows = [(1, x), (5, x), (2, y)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.size_a, r.size_b, r.jaccard_per_1000)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == (4, 5, 800)
+    assert got[(2, 5)] == (5, 4, 800)  # sizes follow the docs, not the reps
+    assert got[(1, 5)] == (4, 4, 1000)
+
+
+def test_jaccard_threshold_boundary_exact(spark):
+    # J exactly at the threshold must be kept: t=0.28 with sizes 7/25
+    # trips float ceil (0.28*25 -> 7.0000000000000001 -> ceil 8)
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(27)]  # 25 3-shingles
+    big = " ".join(words)
+    small = " ".join(words[:9])           # 7 3-shingles, subset of big
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_per_1000
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.28).collect()
+    }
+    assert got == {(1, 2): 280}
+
+
+def test_minhash_clusters_skip_zero_shingle_dups(spark):
+    # duplicated sub-n-token texts have no shingles -> no pairs -> must
+    # be absent from clusters (equivalence with the expanded graph)
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        minhash_dedup_clusters,
+        minhash_dedup_pairs,
+        neardup_clusters,
+    )
+
+    rows = [(1, "hi"), (2, "hi"), (3, "a b c d e f"), (4, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in minhash_dedup_clusters(df, threshold=0.8).collect()
+    }
+    naive = {
+        (r.doc_id, r.cluster_id)
+        for r in neardup_clusters(minhash_dedup_pairs(df, threshold=0.8)).collect()
+    }
+    assert fast == naive == {(3, 3), (4, 3)}

@@ -83,3 +83,14 @@ def test_interval_join_no_duplicates(spark):
     )
     rows = out.collect()
     assert len(rows) == len({(r.ival_id, r.pt_id) for r in rows}) == 100
+
+
+def test_asof_ignores_null_right_timestamps(spark):
+    left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, lval string")
+    right = spark.createDataFrame(
+        [(1, None, 999.0), (1, 20, 500.0)], "k long, ts long, rval double"
+    )
+    out = asof_join(left, right, on=["k"]).collect()
+    assert len(out) == 1
+    # the NULL-ts row must not be carried forward as a phantom match
+    assert out[0].r_ts is None and out[0].r_rval is None
