@@ -81,6 +81,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
+        # each query stands alone: operators may persist internal frames,
+        # and accumulated caches would skew later queries' timings
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

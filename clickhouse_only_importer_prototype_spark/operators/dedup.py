@@ -250,8 +250,10 @@ def ngram_jaccard_pairs(
             F.size(F.col("__arr")).cast("long").alias("set_size"),
         )
         # referenced 4x downstream (both prefix join sides + both verify
-        # sides): persist so the shingle+freq pipeline runs once
-        .persist()
+        # sides). Deliberately NOT persisted: measured at bench scale,
+        # pipelined recompute beats the InMemoryTableScan cache boundary
+        # (which blocks whole-stage codegen). On a cluster where the
+        # shingle pipeline shuffles TBs, persist/checkpoint this frame.
     )
     t1000 = _t1000(threshold)
     prefix_len = (
@@ -395,9 +397,11 @@ def minhash_lsh_candidates(
     Output distinct (doc_a, doc_b), doc_a < doc_b.
     """
     groups = _exact_groups(df, text_col)
-    # one persisted signature frame serves banding AND the zero-shingle
-    # membership check (a doc with no shingles has no signature row)
-    sig = minhash_signatures(_rep_docs(df, groups), text_col, n, num_hashes).persist()
+    # one signature frame serves banding AND the zero-shingle membership
+    # check (a doc with no shingles has no signature row); recompute of
+    # the shared subplan beats a cache boundary at bench scale (see
+    # ngram_jaccard_pairs packed note)
+    sig = minhash_signatures(_rep_docs(df, groups), text_col, n, num_hashes)
     rep_cands = _band_candidates(sig, num_hashes, bands)
     cross = _expand_cross(rep_cands, groups, [])
     # members of a group share all band buckets -> always candidates;
@@ -425,9 +429,10 @@ def minhash_dedup_pairs(
     exact-dup members expand afterwards with jaccard=1000."""
     groups = _exact_groups(df, text_col)
     rep_df = _rep_docs(df, groups)
-    # shingling runs once: the persisted frame feeds signature build,
-    # verification sets, and the zero-shingle membership check
-    sh = shingles(rep_df, text_col, n).persist()
+    # one shared shingle subplan feeds signature build, verification
+    # sets, and the membership check (recompute > cache boundary at
+    # bench scale; persist on a cluster)
+    sh = shingles(rep_df, text_col, n)
     cands = _band_candidates(
         _signatures_from_shingles(sh, num_hashes), num_hashes, bands
     )
@@ -675,7 +680,7 @@ def minhash_dedup_clusters(
     """
     groups = _exact_groups(df, text_col)
     rep_df = _rep_docs(df, groups)
-    sh = shingles(rep_df, text_col, n).persist()
+    sh = shingles(rep_df, text_col, n)
     cands = _band_candidates(
         _signatures_from_shingles(sh, num_hashes), num_hashes, bands
     )
@@ -687,9 +692,13 @@ def minhash_dedup_clusters(
     sizes = groups.groupBy("rep_id").agg(F.count("*").alias("__gsize"))
     # zero-shingle groups produce no within-group pairs in the expanded
     # graph (their reps never enter banding), so multi-member retention
-    # additionally requires the rep to have shingles
-    has_sh = sets.select(F.col("doc_id").alias("rep_id")).withColumn(
-        "__has_sh", F.lit(True)
+    # additionally requires the rep to have shingles. rep_labels is
+    # already checkpointed by neardup_clusters; checkpoint this small
+    # frame too so the final join touches only materialized inputs
+    has_sh = (
+        sets.select(F.col("doc_id").alias("rep_id"))
+        .withColumn("__has_sh", F.lit(True))
+        .localCheckpoint(eager=True)
     )
     return (
         groups.join(sizes, "rep_id")
