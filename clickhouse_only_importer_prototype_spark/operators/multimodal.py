@@ -62,7 +62,9 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     import numpy as np
 
     digest = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 4).digest()
-    arr = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
+    # explicit little-endian: native byte order would give different
+    # "deterministic" features on big-endian executors
+    arr = np.frombuffer(digest, dtype="<u4").astype(np.float64)
     return (arr / 2**32).astype(np.float32).tolist()
 
 
@@ -98,36 +100,31 @@ def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, decode_stub: bool = True
 ) -> DataFrame:
     """Frame-sampling plumbing for video payloads: one output row per
-    sampled timestamp with a feature vector. The sampling *plan*
-    (explode of timestamps from duration metadata) is pure Spark —
-    JVM-side, prunable — only the per-frame decode is stubbed."""
-    ts = F.explode(
-        F.sequence(
-            F.lit(0),
-            F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
-            F.lit(every_ms),
-        )
-    ).alias("frame_ms")
-    frames = df.where(F.col("media_type") == "video").select(
-        "media_id", "payload", ts
+    sampled timestamp with a feature vector.
+
+    The frame expansion happens INSIDE the Python function, one input
+    row per video — exploding first would replicate the multi-MB
+    payload once per frame through the Arrow transfer (payload x
+    n_frames memory). The metadata-only plan variant is frame_plan."""
+    videos = df.where(F.col("media_type") == "video").select(
+        "media_id", "payload", F.coalesce("duration_ms", F.lit(0)).alias("dur")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError("real frame decode not available")
-            feats = [
-                _fake_decode_features(
-                    (p or b"") + int(m).to_bytes(8, "big")
-                )
-                for p, m in zip(pdf["payload"], pdf["frame_ms"])
-            ]
+            ids, frames, feats = [], [], []
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["dur"]):
+                payload = p or b""
+                for ms in range(0, max(int(dur), 1), every_ms):
+                    ids.append(mid)
+                    frames.append(ms)
+                    feats.append(
+                        _fake_decode_features(payload + ms.to_bytes(8, "big"))
+                    )
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "frame_ms": pdf["frame_ms"],
-                    "features": feats,
-                }
+                {"media_id": ids, "frame_ms": frames, "features": feats}
             )
 
     schema = StructType(
@@ -137,7 +134,7 @@ def frame_sample_plan(
             StructField("features", ArrayType(FloatType()), True),
         ]
     )
-    return frames.mapInPandas(run, schema)
+    return videos.mapInPandas(run, schema)
 
 
 def documents_as_media(df: DataFrame) -> DataFrame:

@@ -60,8 +60,10 @@ def token_count(col: Column) -> Column:
 
 
 def wordpiece_count(col: Column) -> Column:
-    """BPE-ish piece count: words plus isolated symbols (TOKEN_REGEX)."""
-    return F.coalesce(F.regexp_count(col, F.lit(TOKEN_REGEX)), F.lit(0)).cast("long")
+    """BPE-ish piece count: words plus isolated symbols (TOKEN_REGEX).
+    NULL text stays NULL (matching every sibling feature and the SQL
+    oracle's regexp_extract_all semantics); empty text counts 0."""
+    return F.regexp_count(col, F.lit(TOKEN_REGEX)).cast("long")
 
 
 def punct_count(col: Column) -> Column:

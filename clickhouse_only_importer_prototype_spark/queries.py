@@ -63,17 +63,20 @@ _RUNTIME_CONF = (
     ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ("spark.sql.shuffle.partitions", "32"),
 )
-_CONF_APPLIED: set[int] = set()
+_CONF_APPLIED: set[str] = set()
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if id(spark) not in _CONF_APPLIED:
+    # keyed by applicationId, not id(spark): a GC'd session's address
+    # can be reused by a fresh unconfigured one
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _CONF_APPLIED:
         for k, v in _RUNTIME_CONF:
             try:
                 spark.conf.set(k, v)
             except Exception:
                 pass
-        _CONF_APPLIED.add(id(spark))
+        _CONF_APPLIED.add(app_id)
     if table == "events":
         # TIMESTAMP(NANOS) parquet: read as long nanos (driver sessions
         # may not have the conf; it is runtime-settable)
@@ -644,24 +647,31 @@ def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline's per-file assigner (operators/mutation.py)."""
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = l.repartitionByRange(
-        n_parts, "l_orderkey", "l_linenumber"
-    ).withColumn("__pid", F.spark_partition_id())
-    ranged = ranged.persist()
+    # range buckets as a PURE FUNCTION of the row (uniform split of the
+    # key domain): repartitionByRange would sample nondeterministically
+    # per evaluation, so its boundaries can't be trusted across the
+    # counts pass and the ranking pass without pinning a cache
+    lo, hi = l.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    bucket = F.least(
+        F.lit(n_parts - 1),
+        F.floor((F.col("l_orderkey") - F.lit(int(lo))) * n_parts / span),
+    ).cast("int")
+    bucketed = l.withColumn("__bkt", bucket)
     counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        r["__bkt"]: r["cnt"]
+        for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
     }
     offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
     offsets_df = l.sparkSession.createDataFrame(
-        offsets, "__pid int, __offset long"
+        offsets, "__bkt int, __offset long"
     )
-    w = Window.partitionBy("__pid").orderBy("l_orderkey", "l_linenumber")
-    out = (
-        ranged.join(F.broadcast(offsets_df), "__pid")
+    w = Window.partitionBy("__bkt").orderBy("l_orderkey", "l_linenumber")
+    return (
+        bucketed.join(F.broadcast(offsets_df), "__bkt")
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -670,7 +680,6 @@ def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seq_id"),
         )
     )
-    return out
 
 
 @register(
@@ -763,7 +772,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min gap) as lag + cumulative flags — the
     batch twin of a session_window stream. Partitioned by user: state
     never crosses executors."""
-    e = load(spark, sf_dir, "events")
+    # micro-truncate nanos (DuckDB timestamp precision) so gaps within
+    # 1us of the threshold agree across engines — see events_asof_join
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000") * 1000
+    )
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.col("ts") - F.lag("ts").over(w)
     new_session = F.when(

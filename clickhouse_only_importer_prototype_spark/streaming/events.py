@@ -39,14 +39,19 @@ EVENTS_SCHEMA = StructType(
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """Derive a microsecond event_time from the long-nanos ts column."""
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    """Derive a microsecond event_time from the long-nanos ts column.
+
+    Integer division — double division of epoch-scale nanos (> 2^53)
+    rounds the low bits and lands ~12% of events one microsecond off,
+    which flips window membership at boundaries."""
+    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming read of the events parquet directory."""
+    # TIMESTAMP(NANOS) parquet -> long requires this (runtime-settable);
+    # external sessions won't have it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return with_event_time(
         spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
     )
@@ -155,7 +160,10 @@ def sessionize_stateful(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> D
                 open_start = open_last = t
                 open_n = 1
             else:
-                open_last = t
+                # a late event from an earlier micro-batch may precede
+                # the open session: extend the interval, never regress it
+                open_start = min(open_start, t)
+                open_last = max(open_last, t)
                 open_n += 1
         state.update((open_start, open_last, open_n))
         if closed:
@@ -177,7 +185,14 @@ def run_batch_backfill(
     spark: SparkSession, path: str, out_path: str, window: str = "1 hour"
 ) -> None:
     """availableNow backfill: process all historical files incrementally
-    then stop — the streaming query as a bounded job."""
+    then stop — the streaming query as a bounded job.
+
+    Append-mode semantics: windows not yet closed by the final
+    watermark (the trailing ~window+watermark span of event time) stay
+    in checkpoint state and are emitted only when later data advances
+    the watermark — by design for an incremental backfill that will be
+    resumed; run the batch twin (queries.events_hourly) if you need
+    every window of a closed dataset."""
     stream = read_events_stream(spark, path)
     agg = tumbling_counts(stream, window)
     (
