@@ -597,9 +597,21 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     primitive operations, fewer rounds on high-diameter graphs.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.union(
+    raw_edges = fwd.union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
+    # right-size the per-round frames to the graph: each round is a few
+    # small jobs whose task count, not data volume, dominates when a
+    # modest graph runs at the session's full partition width
+    n_edges = raw_edges.count()
+    spark = pairs.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(1, min(default_parts, n_edges // 50_000 + 1))
+    edges = raw_edges
+    if parts < default_parts:
+        edges = raw_edges.repartition(parts, "dst").persist()
+        edges.count()  # materialize from the cached raw frame first
+        raw_edges.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
