@@ -22,6 +22,10 @@ MODES = (
     "combine-cna",
     "combine-cna-with-derived",
     "combine-mutations",
+    # beyond the reference: single-job partitioned output for
+    # many-study corpora (see pipelines.convert_cna_partitioned)
+    "convert-cna-partitioned",
+    "convert-cna-partitioned-with-derived",
 )
 
 
@@ -48,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
                 with_derived=args.mode.endswith("with-derived"),
             )
             rc = 0 if summary.ok else 1
+        elif args.mode.startswith("convert-cna-partitioned"):
+            pipelines.convert_cna_partitioned(
+                spark,
+                args.tsv_dir,
+                args.parquet_dir,
+                with_derived=args.mode.endswith("with-derived"),
+            )
         elif args.mode == "convert-mutations":
             summary = pipelines.convert_mutations(spark, args.tsv_dir, args.parquet_dir)
             rc = 0 if summary.ok else 1

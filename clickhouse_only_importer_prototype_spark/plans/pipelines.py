@@ -153,6 +153,73 @@ def convert_mutations(
     return summary
 
 
+def convert_cna_partitioned(
+    spark: SparkSession,
+    tsv_dir: str,
+    parquet_dir: str,
+    with_derived: bool = False,
+) -> int:
+    """Single-job CNA conversion for many-study corpora (the 100 TB
+    shape of D1/D2).
+
+    The per-study mode (convert_cna) mirrors the reference's layout:
+    one sequential loop, 2-3 write actions per study — fine for tens of
+    studies, a driver bottleneck for thousands. Here the loop only
+    BUILDS each study's logical plan; the homogeneous outputs union
+    into one plan per table and each table writes ONCE, partitioned by
+    (CANCER_STUDY, GENETIC_PROFILE). Spark schedules one job per table
+    regardless of study count, and the partitioned layout gives
+    downstream readers partition pruning by study for free.
+
+    Returns the number of study files planned.
+    """
+    from functools import reduce
+
+    inputs = discover_cna_files(tsv_dir)
+    logger.info("found %d CNA files (single-job mode)", len(inputs))
+    ga_parts, gps_parts, dv_parts = [], [], []
+    for item in inputs:
+        df = read_cna_matrix(spark, item.path)
+        ga_parts.append(
+            cna_ops.genetic_alterations(
+                df, item.cancer_study_id, item.genetic_profile_id
+            )
+        )
+        gps_parts.append(
+            cna_ops.genetic_profile_samples(
+                spark, df, item.cancer_study_id, item.genetic_profile_id
+            )
+        )
+        if with_derived:
+            dv_parts.append(
+                cna_ops.cna_derived(
+                    df, item.cancer_study_id, item.genetic_profile_id
+                )
+            )
+    if not inputs:
+        return 0
+    union = lambda dfs: reduce(DataFrame.unionByName, dfs)  # noqa: E731
+    keys = ["CANCER_STUDY", "GENETIC_PROFILE"]
+    os.makedirs(parquet_dir, exist_ok=True)
+    write_parquet(
+        union(ga_parts),
+        os.path.join(parquet_dir, "genetic_alterations.parquet"),
+        partition_by=keys,
+    )
+    write_parquet(
+        union(gps_parts),
+        os.path.join(parquet_dir, "genetic_profile_samples.parquet"),
+        partition_by=keys,
+    )
+    if with_derived:
+        write_parquet(
+            union(dv_parts),
+            os.path.join(parquet_dir, "derived.parquet"),
+            partition_by=keys,
+        )
+    return len(inputs)
+
+
 def combine_parquet(
     spark: SparkSession,
     pattern: str,

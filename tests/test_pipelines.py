@@ -1,0 +1,145 @@
+"""End-to-end pipeline integration tests over a fixture study tree —
+the CLI parity surface (convert/combine modes) verified via DuckDB
+reads of the written parquet.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from clickhouse_only_importer_prototype_spark.plans import pipelines
+
+
+@pytest.fixture(scope="module")
+def study_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("studies")
+    a = root / "study_a"
+    (a / "case_lists").mkdir(parents=True)
+    (a / "meta_cna.txt").write_text(
+        "cancer_study_identifier: study_a\nstable_id: gistic\n"
+        "data_filename: data_cna.txt\n"
+    )
+    (a / "data_cna.txt").write_text(
+        "Hugo_Symbol\tEntrez_Gene_Id\tS1\tS2\tS3\n"
+        "TP53\t7157\t0\t-1\t2\n"
+        "BRCA1\t672\t1\t0\t-2\n"
+    )
+    (a / "meta_mutations.txt").write_text(
+        "cancer_study_identifier: study_a\nstable_id: mutations\n"
+        "data_filename: data_mutations.txt\n"
+    )
+    (a / "data_mutations.txt").write_text(
+        "#version 2.4\n"
+        "Hugo_Symbol\tEntrez_Gene_Id\tChromosome\tStart_Position\t"
+        "Tumor_Sample_Barcode\tt_alt_count\n"
+        "TP53\t7157\t17\t7578406\tS1\t12\n"
+        "BRCA1\t672\t13\t32914438\tS2\t8\n"
+    )
+    # decoys that must be ignored
+    (a / "data_cna_seg.txt").write_text("x\n")
+    (a / "case_lists" / "meta_cna.txt").write_text("cancer_study_identifier: nope\n")
+    b = root / "study_b"
+    b.mkdir()
+    (b / "meta_cna.txt").write_text(
+        "cancer_study_identifier: study_b\nstable_id: cna\n"
+        "data_filename: data_cna.txt\n"
+    )
+    (b / "data_cna.txt").write_text(
+        "Hugo_Symbol\tEntrez_Gene_Id\tT1\nEGFR\t1956\t1\n"
+    )
+    return root
+
+
+def _read(path):
+    return duckdb.sql(
+        f"select * from read_parquet('{path}/*.parquet')"
+    ).df()
+
+
+def test_convert_cna_with_derived(spark, study_tree, tmp_path):
+    out = tmp_path / "out"
+    summary = pipelines.convert_cna(
+        spark, str(study_tree), str(out), with_derived=True
+    )
+    assert summary.ok and len(summary.processed) == 2
+
+    ga = _read(out / "study_a_data_cna_genetic_alterations.parquet")
+    assert sorted(zip(ga.GENE_SYMBOL, ga.VALUES)) == [
+        ("BRCA1", "1,0,-2"),
+        ("TP53", "0,-1,2"),
+    ]
+    assert set(ga.GENETIC_PROFILE) == {"study_a_gistic"}
+
+    gps = _read(out / "study_a_data_cna_genetic_profile_samples.parquet")
+    assert len(gps) == 1  # 1-row invariant (cna/transformer.go:553-560)
+    assert gps.ORDERED_SAMPLE_LIST[0] == "study_a_S1,study_a_S2,study_a_S3"
+
+    derived = _read(out / "study_a_data_cna_derived.parquet")
+    assert len(derived) == 6  # genes x samples
+    assert set(derived.SAMPLE_ID) == {"study_a_S1", "study_a_S2", "study_a_S3"}
+
+
+def test_convert_mutations_gapless_ids(spark, study_tree, tmp_path):
+    out = tmp_path / "mout"
+    summary = pipelines.convert_mutations(spark, str(study_tree), str(out))
+    assert summary.ok
+
+    ev = _read(out / "study_a_data_mutations_mutation_event.parquet")
+    mut = _read(out / "study_a_data_mutations_mutation.parquet")
+    assert sorted(ev.MUTATION_EVENT_ID) == [0, 1]  # dense, gapless, from 0
+    assert sorted(mut.MUTATION_EVENT_ID) == [0, 1]  # FK co-generated
+    assert set(mut.SAMPLE_ID) == {"study_a_S1", "study_a_S2"}
+    # absent MAF columns become "" (mutation/transformer.go:324)
+    assert set(ev.KEYWORD) == {""}
+    assert all(ev.START_POSITION.isin(["7578406", "32914438"]))
+
+
+def test_combine_union_all(spark, study_tree, tmp_path):
+    out = tmp_path / "cout"
+    pipelines.convert_cna(spark, str(study_tree), str(out), with_derived=True)
+    counts = pipelines.combine_cna(spark, str(out), with_derived=True)
+    assert counts == {
+        "genetic_alterations": 2,
+        "genetic_profile_samples": 2,
+        "derived": 2,
+    }
+    combined = _read(out / "combined_genetic_alterations.parquet")
+    # duplicates preserved, both studies present
+    assert len(combined) == 3
+    assert set(combined.CANCER_STUDY) == {"study_a", "study_b"}
+
+
+def test_convert_cna_partitioned_matches_per_study(spark, study_tree, tmp_path):
+    per_study = tmp_path / "per_study"
+    single_job = tmp_path / "single_job"
+    pipelines.convert_cna(spark, str(study_tree), str(per_study), with_derived=True)
+    n = pipelines.convert_cna_partitioned(
+        spark, str(study_tree), str(single_job), with_derived=True
+    )
+    assert n == 2
+
+    def rows(q):
+        return sorted(map(tuple, duckdb.sql(q).fetchall()))
+
+    cols = "CANCER_STUDY, GENETIC_PROFILE, GENE_SYMBOL, VALUES"
+    a = rows(
+        f"select {cols} from read_parquet("
+        f"'{per_study}/*_genetic_alterations.parquet/*.parquet')"
+    )
+    b = rows(
+        f"select {cols} from read_parquet("
+        f"'{single_job}/genetic_alterations.parquet/*/*/*.parquet', "
+        f"hive_partitioning=true)"
+    )
+    assert a == b and len(a) == 3
+    dcols = "SAMPLE_ID, CANCER_STUDY, GENE_SYMBOL, GENETIC_PROFILE, ALTERATION"
+    da = rows(
+        f"select {dcols} from read_parquet("
+        f"'{per_study}/*_derived.parquet/*.parquet')"
+    )
+    db = rows(
+        f"select {dcols} from read_parquet("
+        f"'{single_job}/derived.parquet/*/*/*.parquet', hive_partitioning=true)"
+    )
+    assert da == db and len(da) == 7
