@@ -143,6 +143,45 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails/URLs/phone-ish spans -> (doc_id, redacted,
+    n_email, n_url, n_phone).
+
+    Row-local regexp_replace chain (JVM, codegen) with per-kind match
+    counts for audit; patterns are deliberately dialect-portable so the
+    SQL oracle reproduces the exact redaction. Order matters: URLs are
+    scrubbed before phones so digit-heavy URLs don't double-count.
+    At 100 TB this is a pure map over the scan — the shape every
+    pre-training scrub pass needs.
+    """
+    c = F.col(text_col)
+    counts = {
+        kind: F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    redacted = c
+    for kind in ("email", "url", "phone"):
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return df.select(
+        F.col("doc_id"),
+        redacted.alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

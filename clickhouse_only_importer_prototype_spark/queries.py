@@ -1052,6 +1052,38 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_redact_pii",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+             AS n_url,
+           CAST(len(regexp_extract_all(text,
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phone
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.redact_pii) — the redacted text is
+    md5-compressed for hashing so the oracle verifies the exact
+    replacement output, not just the counts."""
+    out = text_ops.redact_pii(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        "n_email",
+        "n_url",
+        "n_phone",
+    )
+
+
+@register(
     "top_trigrams",
     f"""
     WITH toks AS (

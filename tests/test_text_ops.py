@@ -98,3 +98,21 @@ def test_winnow_fingerprint_properties(spark):
     assert by_doc[0] != by_doc[2]
     # short doc falls back to a single whole-text fingerprint
     assert len(by_doc[3]) == 1
+
+
+def test_redact_pii(spark):
+    from clickhouse_only_importer_prototype_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail me at alice.smith+x@example.co.uk or call +1 (555) 123-4567"),
+        (1, "see https://example.com/a?b=1 and http://x.io"),
+        (2, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[0].n_email == 1 and got[0].n_phone == 1
+    assert "<EMAIL>" in got[0].redacted and "<PHONE>" in got[0].redacted
+    assert "alice" not in got[0].redacted and "555" not in got[0].redacted
+    assert got[1].n_url == 2 and got[1].redacted.count("<URL>") == 2
+    assert got[2].redacted == rows[2][1]
+    assert (got[2].n_email, got[2].n_url, got[2].n_phone) == (0, 0, 0)
