@@ -45,13 +45,18 @@ def main(argv: list[str] | None = None) -> int:
     rc = 0
     try:
         if args.mode in ("convert-cna", "convert-cna-with-derived"):
-            summary = pipelines.convert_cna(
-                spark,
-                args.tsv_dir,
-                args.parquet_dir,
-                with_derived=args.mode.endswith("with-derived"),
-            )
-            rc = 0 if summary.ok else 1
+            # CNA mode aborts on first failure (cna/transformer.go:30-45):
+            # report it as a nonzero exit, not a traceback
+            try:
+                pipelines.convert_cna(
+                    spark,
+                    args.tsv_dir,
+                    args.parquet_dir,
+                    with_derived=args.mode.endswith("with-derived"),
+                )
+            except Exception as exc:  # noqa: BLE001
+                logging.error("convert-cna aborted: %s", exc)
+                rc = 1
         elif args.mode.startswith("convert-cna-partitioned"):
             pipelines.convert_cna_partitioned(
                 spark,

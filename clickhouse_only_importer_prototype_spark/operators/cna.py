@@ -82,6 +82,14 @@ def cna_derived(df: DataFrame, study: str, profile: str) -> DataFrame:
     """
     gene_col = df.columns[GENE_COL_IDX]
     samples = sample_columns(df)
+    if not samples:
+        # degenerate matrix with no sample columns: the reference's
+        # column loop emits zero rows; unpivot([]) would throw
+        from clickhouse_only_importer_prototype_spark.schemas import (
+            CNA_DERIVED_SCHEMA,
+        )
+
+        return df.sparkSession.createDataFrame([], CNA_DERIVED_SCHEMA)
     melted = df.unpivot(
         ids=[gene_col],
         values=samples,

@@ -56,7 +56,10 @@ def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
     tagged = df.withColumn(_FILE, F.input_file_name()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
-    tagged = tagged.persist()
+    # no persist: per-file counts are recompute-invariant and __mid is
+    # stable for an identical plan over identical files, so the counts
+    # pass and the ranking pass can each evaluate the scan — a pinned
+    # full-MAF cache per file would leak for the session lifetime
     counts = tagged.groupBy(_FILE).count().collect()
     offsets, acc = [], start
     for row in sorted(counts, key=lambda r: r[_FILE]):
@@ -75,11 +78,13 @@ def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
     return out
 
 
-def next_event_id(df_with_ids: DataFrame) -> int:
+def next_event_id(df_with_ids: DataFrame, start: int = 0) -> int:
     """Final id + 1, for threading into a subsequent run
-    (mutation/transformer.go:131,167-169)."""
+    (mutation/transformer.go:131,167-169). An empty file returns
+    ``start`` unchanged — returning 0 would reset the cross-file
+    counter and duplicate ids for every later file."""
     row = df_with_ids.agg(F.max(EVENT_ID).alias("m")).first()
-    return (row["m"] + 1) if row["m"] is not None else 0
+    return (row["m"] + 1) if row["m"] is not None else start
 
 
 def mutation_event(df: DataFrame) -> DataFrame:

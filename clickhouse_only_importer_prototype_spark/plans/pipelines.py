@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob as _glob
 import logging
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,6 +126,7 @@ def convert_mutations(
     next_id = start_event_id
     for item in inputs:
         base = output_base(item.path, parquet_dir)
+        out_paths = (f"{base}_mutation_event.parquet", f"{base}_mutation.parquet")
         try:
             df = read_maf(spark, item.path)
             with_ids = mut_ops.with_sequential_ids(df, start=next_id)
@@ -133,16 +135,20 @@ def convert_mutations(
             mut_df = mut_ops.mutation(
                 with_ids, item.cancer_study_id, item.genetic_profile_id
             )
-            write_parquet(
-                event_df, f"{base}_mutation_event.parquet", single_file=single_file
-            )
-            write_parquet(mut_df, f"{base}_mutation.parquet", single_file=single_file)
-            next_id = mut_ops.next_event_id(with_ids)
+            write_parquet(event_df, out_paths[0], single_file=single_file)
+            write_parquet(mut_df, out_paths[1], single_file=single_file)
+            # an empty MAF keeps next_id unchanged (counter must not reset)
+            next_id = mut_ops.next_event_id(with_ids, start=next_id)
             with_ids.unpersist()
             summary.processed.append(item.path)
         except Exception as exc:  # noqa: BLE001 — D4 per-file isolation
             logger.error("failed to process %s: %s", item.path, exc)
             summary.failed[item.path] = str(exc)
+            # remove partial outputs: a stale mutation_event parquet from
+            # a half-failed file would enter the combine glob with an id
+            # range the next file legitimately reuses
+            for p in out_paths:
+                shutil.rmtree(p, ignore_errors=True)
     if summary.failed:
         logger.error(
             "%d/%d mutation files failed: %s",
@@ -198,22 +204,42 @@ def convert_cna_partitioned(
             )
     if not inputs:
         return 0
-    union = lambda dfs: reduce(DataFrame.unionByName, dfs)  # noqa: E731
-    keys = ["CANCER_STUDY", "GENETIC_PROFILE"]
+    from pyspark.sql import functions as F
+
+    # partition by AUXILIARY copies of the keys: empty-string values
+    # (meta-less files) would round-trip as NULL through hive partition
+    # directories, violating the no-null '' contract — the real data
+    # columns stay inside the files untouched
+    def unioned(dfs):
+        out = reduce(DataFrame.unionByName, dfs)
+        placeholder = F.lit("(none)")
+        return out.withColumn(
+            "__p_study",
+            F.when(F.col("CANCER_STUDY") == "", placeholder).otherwise(
+                F.col("CANCER_STUDY")
+            ),
+        ).withColumn(
+            "__p_profile",
+            F.when(F.col("GENETIC_PROFILE") == "", placeholder).otherwise(
+                F.col("GENETIC_PROFILE")
+            ),
+        )
+
+    keys = ["__p_study", "__p_profile"]
     os.makedirs(parquet_dir, exist_ok=True)
     write_parquet(
-        union(ga_parts),
+        unioned(ga_parts),
         os.path.join(parquet_dir, "genetic_alterations.parquet"),
         partition_by=keys,
     )
     write_parquet(
-        union(gps_parts),
+        unioned(gps_parts),
         os.path.join(parquet_dir, "genetic_profile_samples.parquet"),
         partition_by=keys,
     )
     if with_derived:
         write_parquet(
-            union(dv_parts),
+            unioned(dv_parts),
             os.path.join(parquet_dir, "derived.parquet"),
             partition_by=keys,
         )

@@ -28,6 +28,7 @@ def jdbc_writer_options(
     batch_size: int = DEFAULT_BATCH_SIZE,
     user: str | None = None,
     password: str | None = None,
+    max_connections: int = 8,
 ) -> dict[str, str]:
     """Build the JDBC option map for a ClickHouse bulk insert."""
     opts = {
@@ -36,7 +37,7 @@ def jdbc_writer_options(
         "driver": CLICKHOUSE_DRIVER,
         "batchsize": str(batch_size),
         "isolationLevel": "NONE",  # ClickHouse has no transactions
-        "numPartitions": "8",
+        "numPartitions": str(max_connections),
     }
     if user is not None:
         opts["user"] = user
@@ -67,7 +68,9 @@ def write_clickhouse(
             "ClickHouse JDBC driver not on classpath; add "
             "com.clickhouse:clickhouse-jdbc via spark.jars.packages"
         ) from exc
-    opts = jdbc_writer_options(url, table, batch_size, **credentials)
+    opts = jdbc_writer_options(
+        url, table, batch_size, max_connections=max_connections, **credentials
+    )
     (
         df.repartition(max_connections)
         .write.format("jdbc")

@@ -35,7 +35,9 @@ _DATA_CNA_RE = re.compile(r"^data_.*cna.*\.txt$")
 _META_MUT_RE = re.compile(r"^meta_mutations.*\.txt$")
 _DATA_MUT_RE = re.compile(r"^data_mutations.*\.txt$")
 
-_PRUNED_DIRS = {"case_lists"}  # cmd/cli/main.go:256-262
+# cmd/cli/main.go:256-262 — ANY path containing the substring is
+# skipped (SkipDir for dirs, ignored for files)
+_PRUNED_SUBSTR = "case_lists"
 
 
 @dataclass(frozen=True)
@@ -95,13 +97,20 @@ def _walk_classify(
     meta_files: list[str] = []
     data_files: list[str] = []
     for dirpath, dirnames, filenames in os.walk(root_dir):
-        # prune case_lists (cmd/cli/main.go:256-262)
-        dirnames[:] = sorted(d for d in dirnames if d not in _PRUNED_DIRS)
+        # prune any dir whose path contains "case_lists"
+        # (cmd/cli/main.go:256-262 uses strings.Contains on the path)
+        dirnames[:] = sorted(
+            d
+            for d in dirnames
+            if _PRUNED_SUBSTR not in os.path.join(dirpath, d)
+        )
         for name in sorted(filenames):
+            full = os.path.join(dirpath, name)
+            if _PRUNED_SUBSTR in full:
+                continue  # files under/containing case_lists also skip
             lower = name.lower()
             if exclude_substr and exclude_substr in lower:
                 continue  # cmd/cli/main.go:272,298
-            full = os.path.join(dirpath, name)
             if meta_re.match(lower):
                 meta_files.append(full)
             elif data_re.match(lower):
@@ -123,13 +132,21 @@ def _pair(
     """
     by_data_path: dict[str, tuple[str, str]] = {}
     for meta_path in meta_files:
-        study, stable_id, data_filename = parse_meta_file(meta_path)
+        try:
+            study, stable_id, data_filename = parse_meta_file(meta_path)
+        except OSError as exc:  # unreadable/undecodable meta: warn + skip
+            # (cmd/cli/main.go:276 logs and continues the walk)
+            logger.warning("failed to extract metadata from %s: %s", meta_path, exc)
+            continue
+        except UnicodeDecodeError as exc:
+            logger.warning("failed to extract metadata from %s: %s", meta_path, exc)
+            continue
         if not data_filename:
             logger.warning("meta file %s has no data_filename; skipping", meta_path)
             continue
         key = os.path.join(os.path.dirname(meta_path), data_filename)
-        # profile id = study + "_" + stable_id (cmd/cli/main.go:334-337)
-        profile = f"{study}_{stable_id}" if study or stable_id else ""
+        # profile id only when BOTH parts present (cmd/cli/main.go:335)
+        profile = f"{study}_{stable_id}" if study and stable_id else ""
         by_data_path[key] = (study, profile)
 
     inputs = []

@@ -69,3 +69,50 @@ def test_parse_meta_early_exit_and_comments(tmp_path):
         "late_key: also_ignored\n"
     )
     assert parse_meta_file(str(p)) == ("s1", "gistic", "data_cna.txt")
+
+
+def test_caselists_substring_pruning(tmp_path):
+    from clickhouse_only_importer_prototype_spark.sources.discovery import (
+        discover_cna_files,
+    )
+
+    s = tmp_path / "study"
+    (s / "extra_case_lists").mkdir(parents=True)
+    (s / "meta_cna.txt").write_text(
+        "cancer_study_identifier: s\nstable_id: x\ndata_filename: data_cna.txt\n"
+    )
+    (s / "data_cna.txt").write_text("Hugo_Symbol\tEntrez_Gene_Id\tA\nG\t1\t0\n")
+    # both must be skipped: dir contains the substring, file name contains it
+    (s / "extra_case_lists" / "data_cna.txt").write_text("x\n")
+    (s / "data_cna_case_lists.txt").write_text("x\n")
+    found = discover_cna_files(str(tmp_path))
+    assert [i.path for i in found] == [str(s / "data_cna.txt")]
+
+
+def test_profile_requires_both_parts(tmp_path):
+    from clickhouse_only_importer_prototype_spark.sources.discovery import (
+        discover_cna_files,
+    )
+
+    s = tmp_path / "study"
+    s.mkdir()
+    (s / "meta_cna.txt").write_text(
+        "cancer_study_identifier: mystudy\ndata_filename: data_cna.txt\n"
+    )
+    (s / "data_cna.txt").write_text("Hugo_Symbol\tEntrez_Gene_Id\tA\nG\t1\t0\n")
+    (found,) = discover_cna_files(str(tmp_path))
+    assert found.cancer_study_id == "mystudy"
+    assert found.genetic_profile_id == ""  # no stable_id -> no profile
+
+
+def test_unreadable_meta_warns_and_continues(tmp_path):
+    from clickhouse_only_importer_prototype_spark.sources.discovery import (
+        discover_cna_files,
+    )
+
+    s = tmp_path / "study"
+    s.mkdir()
+    (s / "meta_cna.txt").write_bytes(b"cancer_study_identifier: s\xff\xfe\n")
+    (s / "data_cna.txt").write_text("Hugo_Symbol\tEntrez_Gene_Id\tA\nG\t1\t0\n")
+    (found,) = discover_cna_files(str(tmp_path))  # must not raise
+    assert found.cancer_study_id == ""

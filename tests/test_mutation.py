@@ -101,3 +101,13 @@ def test_combine_mutations(spark, study_tree, tmp_path):
     assert combined.count() == 5
     ids = sorted(r.MUTATION_EVENT_ID for r in combined.collect())
     assert ids == [0, 1, 2, 3, 4]
+
+
+def test_next_event_id_preserves_start_on_empty(spark):
+    from clickhouse_only_importer_prototype_spark.operators.mutation import (
+        EVENT_ID,
+        next_event_id,
+    )
+
+    empty = spark.createDataFrame([], f"{EVENT_ID} long, x string")
+    assert next_event_id(empty, start=137) == 137
