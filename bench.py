@@ -55,6 +55,7 @@ HEADLINE = [
     "doc_fingerprint",
     "winnow_fingerprint",
     "corpus_curation",
+    "text_repetition",
     "text_redact_pii",
     "top_trigrams",
     "ann_cosine_topk",

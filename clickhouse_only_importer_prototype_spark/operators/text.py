@@ -143,6 +143,60 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signals -> (doc_id, n_grams,
+    n_distinct_grams, dup_gram_per_1000, top_token_per_1000).
+
+    dup_gram_per_1000: fraction of n-gram occurrences that are repeats
+    (templated/spammy text scores high). top_token_per_1000: share of
+    the most frequent token (degenerate repetition). Both row-local
+    array algebra over one token split — zipped shifted slices, lambdas
+    touch only their variables (HOF discipline), zero shuffle.
+    """
+    staged = df.select(
+        F.col("doc_id"), F.split(_norm(F.col(text_col)), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(n)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
+    )
+    with_arrays = staged.select(
+        "doc_id",
+        toks.alias("__t"),
+        grams.alias("__g"),
+    )
+    n_grams = F.size(F.col("__g")).cast("long")
+    n_distinct = F.size(F.array_distinct(F.col("__g"))).cast("long")
+    # most-frequent-token share: count each distinct token's occurrences
+    # with a filter pass (distinct x tokens work per row — bounded by
+    # doc length, still row-local)
+    tok_counts = F.transform(
+        F.array_distinct(F.col("__t")),
+        lambda t: F.size(F.filter(F.col("__t"), lambda x: x == t)),
+    )
+    top_tok = F.coalesce(F.array_max(tok_counts), F.lit(0)).cast("long")
+    n_toks = F.size(F.col("__t")).cast("long")
+    return with_arrays.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        F.floor(
+            F.lit(1000) * (n_grams - n_distinct) / F.greatest(n_grams, F.lit(1))
+        )
+        .cast("long")
+        .alias("dup_gram_per_1000"),
+        F.floor(F.lit(1000) * top_tok / F.greatest(n_toks, F.lit(1)))
+        .cast("long")
+        .alias("top_token_per_1000"),
+    )
+
+
 # PII patterns restricted to syntax with identical semantics in Java
 # regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
 PII_PATTERNS: dict[str, str] = {

@@ -1052,6 +1052,44 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    f"""
+    WITH b AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [] END AS gr
+      FROM b
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(gr) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(gr)) AS BIGINT) AS n_distinct_grams,
+             CAST(len(t) AS BIGINT) AS n_toks,
+             CAST(coalesce(list_max(list_transform(list_distinct(t),
+                    x -> len(list_filter(t, y -> y = x)))), 0) AS BIGINT)
+               AS top_tok
+      FROM g
+    )
+    SELECT doc_id, n_grams, n_distinct_grams,
+           CAST(floor(1000 * (n_grams - n_distinct_grams)
+                      / greatest(n_grams, 1)) AS BIGINT) AS dup_gram_per_1000,
+           CAST(floor(1000 * top_tok / greatest(n_toks, 1)) AS BIGINT)
+             AS top_token_per_1000
+    FROM m
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (operators/text.repetition_features)."""
+    return text_ops.repetition_features(load(spark, sf_dir, "documents"), n=3)
+
+
+@register(
     "text_redact_pii",
     """
     SELECT doc_id,

@@ -116,3 +116,23 @@ def test_redact_pii(spark):
     assert got[1].n_url == 2 and got[1].redacted.count("<URL>") == 2
     assert got[2].redacted == rows[2][1]
     assert (got[2].n_email, got[2].n_url, got[2].n_phone) == (0, 0, 0)
+
+
+def test_repetition_features(spark):
+    from clickhouse_only_importer_prototype_spark.operators.text import (
+        repetition_features,
+    )
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),       # fully repetitive
+        (1, "one two three four five six seven"),   # no repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_features(df, n=3).collect()}
+    # doc 0: 4 trigrams, all identical -> 3/4 duplicated; top token 6/6
+    assert got[0].n_grams == 4 and got[0].n_distinct_grams == 1
+    assert got[0].dup_gram_per_1000 == 750
+    assert got[0].top_token_per_1000 == 1000
+    # doc 1: 5 distinct trigrams, each token once
+    assert got[1].dup_gram_per_1000 == 0
+    assert got[1].top_token_per_1000 == 1000 // 7 * 1 or got[1].top_token_per_1000 == 142
