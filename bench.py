@@ -45,6 +45,7 @@ HEADLINE = [
     "long_to_values_rebuild",
     "events_hourly",
     "events_sessionize",
+    "events_pivot_counts",
     "events_sliding_counts",
     "events_asof_join",
     "events_interval_join",

@@ -836,6 +836,35 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_pivot_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts, one column per
+    event type. The values list is explicit, so Catalyst skips the
+    extra distinct-values job a dynamic pivot needs and the plan is a
+    single partial+final aggregate — the 100 TB-safe pivot shape."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    cols = [F.col("user_id")]
+    cols += [F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    return out.select(*cols)
+
+
+@register(
     "events_sliding_counts",
     """
     WITH e AS (
