@@ -38,6 +38,7 @@ HEADLINE = [
     "segment_distinct_stats",
     "union_all_slices",
     "anti_join_idle_customers",
+    "intersect_except_customers",
     "events_json_extract",
     "pivot_concat_values",
     "melt_unpivot_part",

@@ -793,6 +793,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intersect_except_customers",
+    """
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01'),
+    y97 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_custkey, 'both' AS cohort
+    FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT o_custkey, 'only_1996' AS cohort
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    """,
+)
+def intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT) as customer cohorting:
+    active-both-years vs churned-after-1996. Both plan as hash
+    semi/anti joins over the distinct key sets — no sort-based set
+    difference."""
+    o = load(spark, sf_dir, "orders")
+
+    def active(year: int):
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit(f"{year}-01-01")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit(f"{year + 1}-01-01")))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = active(1996), active(1997)
+    both = y96.intersect(y97).select(
+        "o_custkey", F.lit("both").alias("cohort")
+    )
+    only96 = y96.exceptAll(y97).select(
+        "o_custkey", F.lit("only_1996").alias("cohort")
+    )
+    return both.unionByName(only96)
+
+
+@register(
     "anti_join_idle_customers",
     """
     SELECT c.c_custkey, c.c_mktsegment
