@@ -121,3 +121,85 @@ def test_jaccard_pairs_match_python(spark, texts):
             if j1000 >= 300:
                 expect[(a, b)] = j1000
     assert got == expect
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key
+        st.integers(min_value=0, max_value=100),   # ts
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(EVENTS, EVENTS)
+def test_asof_join_matches_bisect(spark, left_rows, right_rows):
+    import bisect
+
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, ts long",
+    )
+    # dedup right side per (k, ts): asof requires unique right keys
+    rmap = {}
+    for k, t in right_rows:
+        rmap[(k, t)] = float(k * 1000 + t)
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()] or [(99, 0, 0.0)],
+        "k long, ts long, rval double",
+    )
+    got = {
+        r.lid: (r.r_ts, r.r_rval)
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    by_key: dict[int, list[int]] = {}
+    for (k, t) in rmap:
+        by_key.setdefault(k, []).append(t)
+    for ts_list in by_key.values():
+        ts_list.sort()
+    for i, (k, t) in enumerate(left_rows):
+        cands = by_key.get(k, [])
+        pos = bisect.bisect_right(cands, t) - 1
+        expect = (
+            (cands[pos], rmap[(k, cands[pos])]) if pos >= 0 else (None, None)
+        )
+        assert got[i] == expect, (i, k, t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(EVENTS, EVENTS)
+def test_interval_join_matches_python(spark, point_rows, interval_rows):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        interval_join,
+    )
+
+    # sentinel rows for the empty case use disjoint keys so they never join
+    points = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(point_rows)] or [(0, 98, 0)],
+        "pid long, k long, t long",
+    )
+    intervals = spark.createDataFrame(
+        [(i, k, t, t + 13) for i, (k, t) in enumerate(interval_rows)]
+        or [(0, 99, 0, 1)],
+        "iid long, k long, t0 long, t1 long",
+    )
+    got = {
+        (r.iid, r.pid)
+        for r in interval_join(
+            points, intervals, on=["k"], point_ts="t",
+            start_col="t0", end_col="t1", bucket_width=7,
+        ).collect()
+    }
+    expect = {
+        (ii, pi)
+        for ii, (ik, it) in enumerate(interval_rows)
+        for pi, (pk, pt) in enumerate(point_rows)
+        if ik == pk and it <= pt < it + 13
+    }
+    assert got == expect
