@@ -1479,18 +1479,82 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode + feature extraction over binary payloads
     (deterministic stub decode — blake2b not in DuckDB => rows-only;
-    pinned by tests/test_multimodal.py)."""
+    pinned by tests/test_multimodal.py).
+
+    The raw operator returns ``features array<float>``; the driver's
+    row canonicalizer cannot hash arrays, so the *registered* query
+    explodes to one (media_id, pos, feat_1e6) row per component with
+    the float int-scaled to a bigint — driver-safe scalars only, the
+    operator itself unchanged."""
     media = mm_ops.documents_as_media(load(spark, sf_dir, "documents"))
-    return mm_ops.extract_features(media)
+    feats = mm_ops.extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "feat"),
+    ).select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.col("pos").cast("long").alias("pos"),
+        F.floor(F.col("feat").cast("double") * 1e6).cast("long").alias("feat_1e6"),
+    )
 
 
-@register("dedup_clusters", None)
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                   JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE floor(1000.0 * i.inter_size
+                  / (sa.set_size + sb.set_size - i.inter_size)) >= 800
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT CAST(a AS BIGINT) AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup components from MinHash-verified pairs: (doc_id,
     cluster_id=keeper). Iterative min-label propagation over the
     representative graph, members inherit
-    (operators/dedup.minhash_dedup_clusters); iterative => no SQL
-    oracle, pinned by tests/test_dedup.py."""
+    (operators/dedup.minhash_dedup_clusters).
+
+    Oracle: connected components (transitive closure via recursive CTE)
+    of the EXACT n-gram-Jaccard >= 0.8 pair graph — the same graph
+    dedup_ngram_jaccard oracles. Valid because MinHash verification
+    recomputes exact per-mille Jaccard on candidates (no false
+    positives) and at j >= 0.8 with 16 bands x 2 rows the banding
+    miss probability is 1-(1-0.64^2)^16 < 1e-7 (no false negatives in
+    practice); identical-text members join their rep's component in
+    both engines."""
     return dedup_ops.minhash_dedup_clusters(
         load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.8
     )

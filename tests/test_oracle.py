@@ -72,12 +72,19 @@ def test_query_matches_oracle(spark, oracle_sf_dir, ddb, name):
 
 
 def test_rows_only_queries_run(spark, oracle_sf_dir):
+    """Rows-only queries must still be driver-canonicalizable: the
+    driver sorts/hashes collected rows even without an oracle, so a
+    query returning raw arrays (unhashable in pandas) errs in the
+    harness despite counting fine — canonicalize here exactly like
+    test_query_matches_oracle to catch that locally."""
     all_q = entrymod.queries()
     rows_only = set(all_q) - set(entrymod.oracle_sql())
     assert rows_only  # the approximate ops exist
     for name in sorted(rows_only):
         df = all_q[name](spark, oracle_sf_dir)
-        assert df.count() >= 0, name
+        rows = [tuple(r) for r in df.collect()]
+        canon = _canon_rows(df.columns, rows)
+        assert len(canon) == len(rows), name
 
 
 def test_entry_smoke(spark):
