@@ -31,9 +31,14 @@ MODES = (
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("-mode", "--mode", required=True, choices=MODES)
+    # -mode defaults to convert-cna like the reference (cmd/cli/main.go:47-50)
+    parser.add_argument("-mode", "--mode", default="convert-cna", choices=MODES)
     parser.add_argument("-tsv-dir", "--tsv-dir", default=None)
     parser.add_argument("-parquet-dir", "--parquet-dir", required=True)
+    # combined-output base name, abs or relative (cmd/cli/main.go:59-63)
+    parser.add_argument(
+        "-output", "--output", default=pipelines.DEFAULT_COMBINE_OUTPUT
+    )
     args = parser.parse_args(argv)
 
     if args.mode.startswith("convert") and not args.tsv_dir:
@@ -69,10 +74,13 @@ def main(argv: list[str] | None = None) -> int:
             rc = 0 if summary.ok else 1
         elif args.mode in ("combine-cna", "combine-cna-with-derived"):
             pipelines.combine_cna(
-                spark, args.parquet_dir, with_derived=args.mode.endswith("with-derived")
+                spark,
+                args.parquet_dir,
+                with_derived=args.mode.endswith("with-derived"),
+                output=args.output,
             )
         elif args.mode == "combine-mutations":
-            pipelines.combine_mutations(spark, args.parquet_dir)
+            pipelines.combine_mutations(spark, args.parquet_dir, output=args.output)
     finally:
         # Total wall time, matching cmd/cli/main.go:107-108.
         logging.info("Total execution time: %.2fs", time.time() - start)

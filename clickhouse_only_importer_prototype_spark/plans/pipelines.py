@@ -268,26 +268,50 @@ def combine_parquet(
     return len(paths)
 
 
+# Reference default for the -output flag (cmd/cli/main.go:59-63).
+DEFAULT_COMBINE_OUTPUT = "combined-all-cna.parquet"
+
+
+def combined_output_base(parquet_dir: str, output: str) -> str:
+    """Combined-output base path, reference derivation
+    (cmd/cli/main.go:198-237 generateCombinedOutputPaths[WithDerived],
+    :561-579 generateCombinedMutationOutputPaths): an absolute output
+    is used as-is, a relative one is joined with parquet_dir; a
+    trailing ``.parquet`` suffix is stripped. Each table kind's file is
+    then ``<base>_<kind>.parquet``."""
+    base = output if os.path.isabs(output) else os.path.join(parquet_dir, output)
+    if base.endswith(".parquet"):
+        base = base[: -len(".parquet")]
+    return base
+
+
 def combine_cna(
-    spark: SparkSession, parquet_dir: str, with_derived: bool = False
+    spark: SparkSession,
+    parquet_dir: str,
+    with_derived: bool = False,
+    output: str = DEFAULT_COMBINE_OUTPUT,
 ) -> dict[str, int]:
     """combine-cna[-with-derived] (cmd/cli/main.go:153-196)."""
     kinds = ["genetic_alterations", "genetic_profile_samples"]
     if with_derived:
         kinds.append("derived")
+    base = combined_output_base(parquet_dir, output)
     out = {}
     for kind in kinds:
         pattern = os.path.join(parquet_dir, f"*_{kind}.parquet")
-        output = os.path.join(parquet_dir, f"combined_{kind}.parquet")
-        out[kind] = combine_parquet(spark, pattern, output)
+        out[kind] = combine_parquet(spark, pattern, f"{base}_{kind}.parquet")
     return out
 
 
-def combine_mutations(spark: SparkSession, parquet_dir: str) -> dict[str, int]:
+def combine_mutations(
+    spark: SparkSession,
+    parquet_dir: str,
+    output: str = DEFAULT_COMBINE_OUTPUT,
+) -> dict[str, int]:
     """combine-mutations (cmd/cli/main.go:538-559)."""
+    base = combined_output_base(parquet_dir, output)
     out = {}
     for kind in ("mutation_event", "mutation"):
         pattern = os.path.join(parquet_dir, f"*_{kind}.parquet")
-        output = os.path.join(parquet_dir, f"combined_{kind}.parquet")
-        out[kind] = combine_parquet(spark, pattern, output)
+        out[kind] = combine_parquet(spark, pattern, f"{base}_{kind}.parquet")
     return out

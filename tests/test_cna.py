@@ -100,5 +100,5 @@ def test_convert_cna_end_to_end(spark, study_tree, tmp_path):
     # combine mode: duplicate-preserving union-all (U1)
     counts = pipelines.combine_cna(spark, out, with_derived=True)
     assert counts["genetic_alterations"] == 2
-    combined = spark.read.parquet(os.path.join(out, "combined_genetic_alterations.parquet"))
+    combined = spark.read.parquet(os.path.join(out, "combined-all-cna_genetic_alterations.parquet"))
     assert combined.count() == 5  # 3 + 2, duplicates preserved

@@ -97,7 +97,7 @@ def test_combine_mutations(spark, study_tree, tmp_path):
     pipelines.convert_mutations(spark, study_tree, out)
     counts = pipelines.combine_mutations(spark, out)
     assert counts == {"mutation_event": 2, "mutation": 2}
-    combined = spark.read.parquet(os.path.join(out, "combined_mutation.parquet"))
+    combined = spark.read.parquet(os.path.join(out, "combined-all-cna_mutation.parquet"))
     assert combined.count() == 5
     ids = sorted(r.MUTATION_EVENT_ID for r in combined.collect())
     assert ids == [0, 1, 2, 3, 4]

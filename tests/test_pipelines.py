@@ -104,10 +104,36 @@ def test_combine_union_all(spark, study_tree, tmp_path):
         "genetic_profile_samples": 2,
         "derived": 2,
     }
-    combined = _read(out / "combined_genetic_alterations.parquet")
+    combined = _read(out / "combined-all-cna_genetic_alterations.parquet")
     # duplicates preserved, both studies present
     assert len(combined) == 3
     assert set(combined.CANCER_STUDY) == {"study_a", "study_b"}
+
+
+def test_combined_output_base_derivation(tmp_path):
+    """Reference -output path rules (cmd/cli/main.go:198-237,561-579):
+    relative joins parquet_dir, absolute used as-is, .parquet suffix
+    stripped once before _<kind>.parquet is appended."""
+    base = pipelines.combined_output_base("/pq", "my-run.parquet")
+    assert base == "/pq/my-run"
+    assert pipelines.combined_output_base("/pq", "my-run") == "/pq/my-run"
+    abs_base = pipelines.combined_output_base("/pq", "/elsewhere/x.parquet")
+    assert abs_base == "/elsewhere/x"
+    # default matches the reference's flag default
+    assert pipelines.DEFAULT_COMBINE_OUTPUT == "combined-all-cna.parquet"
+
+
+def test_combine_with_output_override(spark, study_tree, tmp_path):
+    out = tmp_path / "cout2"
+    other = tmp_path / "other_dir"
+    other.mkdir()
+    pipelines.convert_cna(spark, str(study_tree), str(out), with_derived=False)
+    counts = pipelines.combine_cna(
+        spark, str(out), output=str(other / "merged.parquet")
+    )
+    assert counts["genetic_alterations"] == 2
+    combined = _read(other / "merged_genetic_alterations.parquet")
+    assert len(combined) == 3
 
 
 def test_convert_cna_partitioned_matches_per_study(spark, study_tree, tmp_path):
