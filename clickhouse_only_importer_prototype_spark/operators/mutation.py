@@ -46,34 +46,44 @@ def field_or_empty(df: DataFrame, name: str) -> F.Column:
 def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
     """Assign dense, gapless int64 ids in (file, scan-order) order.
 
-    Two-pass prefix-sum (see module docstring). ``__mid`` captures scan
-    order within each file's partitions via monotonically_increasing_id
-    taken directly over the scan output; the per-file window then ranks
-    rows without a global sort. Offsets for each file are computed on
-    the driver from per-file counts (metadata-scale) and broadcast.
+    Two-pass prefix-sum (see module docstring), partition-parallel
+    WITHIN each file: ``__mid`` (monotonically_increasing_id) encodes
+    ``partition_id << 33 + row_offset``, so ordering by ``__mid``
+    within a file is identical to ordering by (scan partition, row
+    offset). Ranking therefore partitions the window by (file, scan
+    partition) — a single 100 GB MAF ranks across all its scan splits
+    in parallel instead of funneling through one task — and the driver
+    prefix-sums per-(file, partition) counts (metadata-scale: one row
+    per scan split) in (sorted path, partition) order, which yields
+    byte-identical ids to a per-file global rank.
     """
     spark = df.sparkSession
-    tagged = df.withColumn(_FILE, F.input_file_name()).withColumn(
-        "__mid", F.monotonically_increasing_id()
+    tagged = (
+        df.withColumn(_FILE, F.input_file_name())
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
-    # no persist: per-file counts are recompute-invariant and __mid is
-    # stable for an identical plan over identical files, so the counts
-    # pass and the ranking pass can each evaluate the scan — a pinned
-    # full-MAF cache per file would leak for the session lifetime
-    counts = tagged.groupBy(_FILE).count().collect()
+    # no persist: per-(file, partition) counts are recompute-invariant
+    # and __pid/__mid are stable for an identical plan over identical
+    # files (same FilePartition packing), so the counts pass and the
+    # ranking pass can each evaluate the scan — a pinned full-MAF cache
+    # per file would leak for the session lifetime
+    counts = tagged.groupBy(_FILE, "__pid").count().collect()
     offsets, acc = [], start
-    for row in sorted(counts, key=lambda r: r[_FILE]):
-        offsets.append((row[_FILE], acc))
+    for row in sorted(counts, key=lambda r: (r[_FILE], r["__pid"])):
+        offsets.append((row[_FILE], row["__pid"], acc))
         acc += row["count"]
-    offsets_df = spark.createDataFrame(offsets, f"{_FILE} string, __offset long")
-    w = Window.partitionBy(_FILE).orderBy("__mid")
+    offsets_df = spark.createDataFrame(
+        offsets, f"{_FILE} string, __pid int, __offset long"
+    )
+    w = Window.partitionBy(_FILE, "__pid").orderBy("__mid")
     out = (
-        tagged.join(F.broadcast(offsets_df), _FILE)
+        tagged.join(F.broadcast(offsets_df), [_FILE, "__pid"])
         .withColumn(
             EVENT_ID,
             (F.row_number().over(w) - F.lit(1) + F.col("__offset")).cast("long"),
         )
-        .drop(_FILE, "__mid", "__offset")
+        .drop(_FILE, "__pid", "__mid", "__offset")
     )
     return out
 

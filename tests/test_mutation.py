@@ -44,6 +44,37 @@ def test_event_id_row_order_within_file(spark, study_tree):
     assert rows["25398284"] == 2
 
 
+def test_sequential_ids_parallel_within_one_file(spark, tmp_path):
+    """A single large MAF must rank across >1 scan partition (the
+    VERDICT round-1 straggler: per-file window = one task per file)
+    while keeping ids gapless and in scan order."""
+    path = tmp_path / "data_mutations_big.txt"
+    n = 5000
+    lines = ["Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\tTumor_Sample_Barcode"]
+    lines += [f"G{i}\t{i}\t{i}\tS{i % 7}" for i in range(n)]
+    path.write_text("\n".join(lines) + "\n")
+
+    tiny_split = str(8 * 1024)  # ~140 KB file -> ~18 scan partitions
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", tiny_split)
+    try:
+        df = read_maf(spark, str(path))
+        assert df.rdd.getNumPartitions() > 1  # the file really splits
+        with_ids = mut_ops.with_sequential_ids(df, start=10)
+        got = [
+            int(r.Start_Position)
+            for r in with_ids.orderBy("MUTATION_EVENT_ID").collect()
+        ]
+        ids = sorted(
+            r.MUTATION_EVENT_ID
+            for r in with_ids.select("MUTATION_EVENT_ID").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert ids == list(range(10, 10 + n))  # dense, gapless, offset honored
+    assert got == list(range(n))  # scan order preserved across splits
+
+
 def test_missing_columns_become_empty_string(spark, study_tree):
     df = read_maf(
         spark, os.path.join(study_tree, "study_b", "data_mutations_extended.txt")
