@@ -40,7 +40,10 @@ def salted_join(
     right side is replicated ``salt`` times with every salt value, and
     the join runs on (key, salt) — splitting each hot key's rows across
     ``salt`` reducers instead of one straggler. Result equals
-    ``left.join(right, on, how)`` exactly.
+    ``left.join(right, on, how)`` exactly for the supported ``how``
+    values: because the right side is replicated ``salt`` times, an
+    unmatched right row would surface ``salt`` times under
+    ``right``/``full`` outer semantics — those modes are rejected.
 
     AQE's skew-join handles sort-merge skew automatically at runtime;
     salting remains the tool when AQE can't help (aggregation-free
@@ -49,6 +52,13 @@ def salted_join(
     produce identical output (determinism under task retry — a 100 TB
     correctness requirement, not a style point).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: the replicated "
+            f"right side would duplicate unmatched right rows. Allowed: inner, "
+            f"left, left_semi, left_anti."
+        )
     salted_l = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),

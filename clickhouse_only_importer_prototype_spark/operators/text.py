@@ -212,27 +212,33 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Row-local regexp_replace chain (JVM, codegen) with per-kind match
     counts for audit; patterns are deliberately dialect-portable so the
-    SQL oracle reproduces the exact redaction. Order matters: URLs are
-    scrubbed before phones so digit-heavy URLs don't double-count.
+    SQL oracle reproduces the exact redaction. Order matters: emails,
+    then URLs, then phones — and each count is taken on the
+    *progressively redacted* string, so a span swallowed by an earlier
+    replacement (a phone-like digit run inside a URL) is never counted:
+    sum of counts == number of placeholders in ``redacted``.
     At 100 TB this is a pure map over the scan — the shape every
     pre-training scrub pass needs.
     """
     c = F.col(text_col)
-    counts = {
-        kind: F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("long")
-        for kind, pat in PII_PATTERNS.items()
-    }
-    redacted = c
-    for kind in ("email", "url", "phone"):
-        redacted = F.regexp_replace(
-            redacted, PII_PATTERNS[kind], f"<{kind.upper()}>"
-        )
+    n_email = F.coalesce(
+        F.regexp_count(c, F.lit(PII_PATTERNS["email"])), F.lit(0)
+    ).cast("long")
+    after_email = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    n_url = F.coalesce(
+        F.regexp_count(after_email, F.lit(PII_PATTERNS["url"])), F.lit(0)
+    ).cast("long")
+    after_url = F.regexp_replace(after_email, PII_PATTERNS["url"], "<URL>")
+    n_phone = F.coalesce(
+        F.regexp_count(after_url, F.lit(PII_PATTERNS["phone"])), F.lit(0)
+    ).cast("long")
+    redacted = F.regexp_replace(after_url, PII_PATTERNS["phone"], "<PHONE>")
     return df.select(
         F.col("doc_id"),
         redacted.alias("redacted"),
-        counts["email"].alias("n_email"),
-        counts["url"].alias("n_url"),
-        counts["phone"].alias("n_phone"),
+        n_email.alias("n_email"),
+        n_url.alias("n_url"),
+        n_phone.alias("n_phone"),
     )
 
 

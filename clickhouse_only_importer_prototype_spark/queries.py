@@ -1164,19 +1164,29 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_redact_pii",
     """
+    WITH e AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM documents
+    ), u AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, 'https?://[^\\s]+')) AS BIGINT)
+               AS n_url,
+             regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+      FROM e
+    )
     SELECT doc_id,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               'https?://[^\\s]+', '<URL>', 'g'),
+           md5(regexp_replace(t2,
                '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5,
-           CAST(len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
-             AS n_email,
-           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
-             AS n_url,
-           CAST(len(regexp_extract_all(text,
+           n_email, n_url,
+           CAST(len(regexp_extract_all(t2,
                '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phone
-    FROM documents
+    FROM u
     """,
 )
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,6 +113,11 @@ def sessionize_stateful(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> D
     session_start, session_end, n_events). The open tail session stays
     in state across micro-batches and is emitted only once a later
     event closes it — the streaming contract for unbounded input.
+    Late events that fall within ``gap_ns`` of the open session merge
+    into it; later ones form (and immediately close) their own
+    sessions. A late event belonging to an *already emitted* session
+    cannot retract it (append mode) and becomes its own session — the
+    watermarkless tradeoff, documented here.
 
     Scale: state is one (start, last, n) triple per active user, keyed
     by the shuffle partitioning of user_id — no per-event state, no
@@ -141,31 +146,29 @@ def sessionize_stateful(events: DataFrame, gap_ns: int = 1_800_000_000_000) -> D
 
     def fn(key, pdfs, state):
         (user_id,) = key
-        ts_list: list[int] = []
+        # Each event is a degenerate [t, t] interval; the open session
+        # carried in state is a summarized interval (its internal gaps
+        # are all <= gap_ns by construction). Gap-merging the sorted
+        # intervals reproduces exact sessionization for any late-data
+        # pattern: a late event hours before the open session forms its
+        # own session instead of silently stretching the open one
+        # backwards, and a chain of late events merges among itself.
+        items: list[list[int]] = []
         for pdf in pdfs:
-            ts_list.extend(int(t) for t in pdf["ts"])
-        ts_list.sort()
+            items.extend([int(t), int(t), 1] for t in pdf["ts"])
         if state.exists:
             open_start, open_last, open_n = state.get
-        else:
-            open_start = open_last = None
-            open_n = 0
-        closed: list[tuple[int, int, int, int]] = []
-        for t in ts_list:
-            if open_start is None:
-                open_start = open_last = t
-                open_n = 1
-            elif t - open_last > gap_ns:
-                closed.append((user_id, open_start, open_last, open_n))
-                open_start = open_last = t
-                open_n = 1
+            items.append([open_start, open_last, open_n])
+        items.sort()
+        merged: list[list[int]] = []
+        for s, l, n in items:
+            if merged and s - merged[-1][1] <= gap_ns:
+                merged[-1][1] = max(merged[-1][1], l)
+                merged[-1][2] += n
             else:
-                # a late event from an earlier micro-batch may precede
-                # the open session: extend the interval, never regress it
-                open_start = min(open_start, t)
-                open_last = max(open_last, t)
-                open_n += 1
-        state.update((open_start, open_last, open_n))
+                merged.append([s, l, n])
+        closed = [(user_id, s, l, n) for s, l, n in merged[:-1]]
+        state.update(tuple(merged[-1]))
         if closed:
             yield pd.DataFrame(
                 closed,

@@ -76,6 +76,17 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert plain == salted
 
 
+def test_salted_join_rejects_outer_right(spark, sf_dir):
+    # the replicated right side would duplicate unmatched right rows
+    import pytest
+
+    o = q.load(spark, sf_dir, "orders").select("o_custkey")
+    c = q.load(spark, sf_dir, "customer").selectExpr("c_custkey as o_custkey")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(o, c, on="o_custkey", how=how)
+
+
 def test_interval_join_no_cartesian(spark, sf_dir):
     plan = _plan(q.events_interval_join(spark, sf_dir))
     assert "CartesianProduct" not in plan

@@ -108,3 +108,55 @@ def test_sessionize_stateful_stream(spark, tmp_path):
         (1, 5_000, 5_500, 2),
         (2, 10, 10, 1),
     }
+
+
+def test_sessionize_late_events_form_own_sessions(spark, tmp_path):
+    """A late event arriving a micro-batch behind, hours before the open
+    session, must NOT stretch the open session backwards — it forms (and
+    closes) its own session; a chain of late events merges among itself."""
+    import time
+
+    import pandas as pd
+
+    gap = 1_000
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["event_id"] = range(len(pdf))
+        pdf["event_type"] = "click"
+        pdf["value"] = 0.0
+        pdf["props"] = ""
+        spark.createDataFrame(
+            pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+        ).coalesce(1).write.parquet(str(tmp_path / "late_src" / name))
+
+    (tmp_path / "late_src").mkdir()
+    # batch 1: open session far in the future
+    write_batch("b1", [(1, 100_000), (1, 100_500)])
+    time.sleep(1.1)  # file-source ordering is by mod time (second granularity)
+    # batch 2: a late two-event chain way before the open session, plus a
+    # borderline-late event within gap of the open session's start
+    write_batch("b2", [(1, 10), (1, 600), (1, 99_400), (1, 101_000)])
+
+    stream = (
+        spark.readStream.schema(ev.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "late_src" / "*"))
+    )
+    out = ev.sessionize_stateful(stream, gap_ns=gap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_late_test").collect()
+    }
+    # late chain (10, 600) closes as ONE session; 99_400 merges into the
+    # open session (99_400..101_000, n=4) which stays open (not emitted)
+    assert got == {(1, 10, 600, 2)}

@@ -118,6 +118,31 @@ def test_redact_pii(spark):
     assert (got[2].n_email, got[2].n_url, got[2].n_phone) == (0, 0, 0)
 
 
+def test_redact_pii_counts_match_placeholders(spark):
+    """Counts are taken on the progressively-redacted string: a span
+    swallowed by an earlier replacement never counts, so each n_* equals
+    the number of its placeholders in `redacted`."""
+    from clickhouse_only_importer_prototype_spark.operators.text import redact_pii
+
+    rows = [
+        # phone-like digit run inside a URL: swallowed by <URL>
+        (0, "grab https://cdn.example.com/+1555123456789/file.bin today"),
+        # digits AFTER the url whitespace-boundary: still a phone
+        (1, "visit https://example.com then dial +1 555 123 4567 ok"),
+        # email whose local part looks phone-ish: swallowed by <EMAIL>
+        (2, "contact 15551234567@pager.example.com for help"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    for r in got.values():
+        assert r.n_email == r.redacted.count("<EMAIL>")
+        assert r.n_url == r.redacted.count("<URL>")
+        assert r.n_phone == r.redacted.count("<PHONE>")
+    assert (got[0].n_url, got[0].n_phone) == (1, 0)
+    assert (got[1].n_url, got[1].n_phone) == (1, 1)
+    assert (got[2].n_email, got[2].n_phone) == (1, 0)
+
+
 def test_repetition_features(spark):
     from clickhouse_only_importer_prototype_spark.operators.text import (
         repetition_features,
