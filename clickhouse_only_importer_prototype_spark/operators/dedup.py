@@ -662,9 +662,14 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         # localCheckpoint truncates the logical lineage: without it each
         # round's plan nests the last round's and analysis/codegen blows
-        # up past ~10 rounds
-        updated = jumped.localCheckpoint(eager=True)
-        changed = updated.where(F.col("__changed")).limit(1).count()
+        # up past ~10 rounds. Lazy checkpoint + a full-scan aggregate as
+        # the probe = ONE job per round: the sum must touch every
+        # partition, which computes and persists the checkpoint RDD as a
+        # side effect (an eager checkpoint + separate probe count is two)
+        updated = jumped.localCheckpoint(eager=False)
+        changed = (
+            updated.agg(F.sum(F.col("__changed").cast("long"))).first()[0] or 0
+        )
         labels = updated.drop("__changed")
         if changed == 0:
             break

@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from clickhouse_only_importer_prototype_spark import stats
 from clickhouse_only_importer_prototype_spark.operators import (
     dedup as dedup_ops,
     multimodal as mm_ops,
@@ -644,19 +645,38 @@ def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB): range-partition on the sort key, rank within each range
     partition in parallel, then add per-partition offsets (a 32-row
     prefix sum computed on the driver). Same gapless contract as the
-    pipeline's per-file assigner (operators/mutation.py)."""
+    pipeline's per-file assigner (operators/mutation.py).
+
+    Bucket boundaries come from parquet footer row-group statistics
+    (stats.py) — a metadata-only read, so the only data passes are the
+    per-bucket counts and the rank itself, and the split is calibrated
+    by actual row counts (a skewed key domain can't unbalance it the
+    way a uniform [min,max] split does). Buckets must be a PURE
+    FUNCTION of the row: repartitionByRange samples
+    nondeterministically per evaluation, so its boundaries can't be
+    trusted across the counts pass and the ranking pass."""
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # range buckets as a PURE FUNCTION of the row (uniform split of the
-    # key domain): repartitionByRange would sample nondeterministically
-    # per evaluation, so its boundaries can't be trusted across the
-    # counts pass and the ranking pass without pinning a cache
-    lo, hi = l.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
-    span = max(int(hi) - int(lo) + 1, 1)
-    bucket = F.least(
-        F.lit(n_parts - 1),
-        F.floor((F.col("l_orderkey") - F.lit(int(lo))) * n_parts / span),
-    ).cast("int")
+    try:
+        bounds = stats.boundaries_from_stats(
+            stats.parquet_rowgroup_stats(
+                f"{sf_dir}/lineitem.parquet", "l_orderkey"
+            ),
+            n_parts,
+        )
+    except Exception:
+        bounds = []
+    if bounds:
+        bucket = stats.bucket_expr("l_orderkey", bounds)
+    else:
+        # fallback when footers carry no stats: uniform split of the key
+        # domain (one extra min/max pass, skew-blind)
+        lo, hi = l.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+        span = max(int(hi) - int(lo) + 1, 1)
+        bucket = F.least(
+            F.lit(n_parts - 1),
+            F.floor((F.col("l_orderkey") - F.lit(int(lo))) * n_parts / span),
+        ).cast("int")
     bucketed = l.withColumn("__bkt", bucket)
     counts = {
         r["__bkt"]: r["cnt"]

@@ -1,0 +1,118 @@
+"""Driver-side statistics helpers: skew-calibrated range boundaries
+from parquet footer metadata.
+
+Range-bucketing a table on a sort key needs split points. A uniform
+split of [min, max] is one data pass and breaks on skewed key domains
+(a pareto-ish key puts most rows in bucket 0). Spark's own
+``repartitionByRange`` samples the data — but its sampling is
+re-executed per evaluation, so the boundaries are not stable across the
+two passes a gapless-id assignment needs (see queries.surrogate_ids).
+
+This module gets both properties — deterministic AND skew-calibrated —
+for free from parquet footers: every row group records (min, max,
+num_rows) per column (the zone maps written at ingest,
+cf. parquet-format Statistics). Reading footers is a metadata-only
+driver operation, the same class of work as Spark's file listing; at
+100 TB / ~100k files it is thousands of small reads, embarrassingly
+parallelizable and still no data scan.
+
+Boundary quality is bounded by row-group granularity: each row group
+contributes its row count spread uniformly between its recorded min and
+max, so the cumulative-weight quantiles are exact up to one row group's
+worth of rows per bucket — the same guarantee a sampled sort
+(TeraSort-style range partitioner) gives, without the nondeterminism.
+
+Limitation shared with every key-range scheme: rows with EQUAL keys
+always land in one bucket, so a single key holding a large fraction of
+the table is an irreducible straggler for order-preserving bucketing
+(tie-break columns cannot help — the bucket function may only read the
+range key, or bucket order stops matching key order).
+"""
+
+from __future__ import annotations
+
+import bisect
+from functools import reduce
+
+from pyspark.sql import Column, functions as F
+
+
+def parquet_rowgroup_stats(
+    path: str, column: str
+) -> list[tuple[float, float, int]]:
+    """(min, max, num_rows) per row group for ``column`` across all
+    parquet fragments under ``path`` (a file or a directory).
+
+    Returns [] when any row group lacks statistics for the column —
+    callers fall back to a data-pass strategy.
+    """
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(path, format="parquet")
+    segs: list[tuple[float, float, int]] = []
+    for frag in dataset.get_fragments():
+        # fragment metadata comes from the footer only — no data pages
+        md = frag.metadata
+        try:
+            idx = md.schema.to_arrow_schema().get_field_index(column)
+        except KeyError:
+            return []
+        if idx < 0:
+            return []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return []
+            segs.append((st.min, st.max, md.row_group(rg).num_rows))
+    return segs
+
+
+def boundaries_from_stats(
+    segs: list[tuple[float, float, int]], n_buckets: int
+) -> list[int]:
+    """n_buckets-1 ascending split values from row-group zone maps.
+
+    Each segment's rows are spread half on its min and half on its max
+    (the coarsest unbiased reading of a zone map); boundaries sit at the
+    cumulative-weight quantiles. Values are returned as ints (the
+    engine's range keys are integral ids); duplicates collapse, so
+    heavily-concentrated domains may yield fewer, wider buckets — which
+    is exactly what their data distribution supports.
+    """
+    if not segs or n_buckets <= 1:
+        return []
+    pts: dict[int, float] = {}
+    for mn, mx, rows in segs:
+        pts[int(mn)] = pts.get(int(mn), 0.0) + rows / 2
+        pts[int(mx)] = pts.get(int(mx), 0.0) + rows / 2
+    ordered = sorted(pts.items())
+    total = sum(w for _, w in ordered)
+    cum: list[float] = []
+    acc = 0.0
+    for _, w in ordered:
+        acc += w
+        cum.append(acc)
+    bounds: list[int] = []
+    for i in range(1, n_buckets):
+        target = total * i / n_buckets
+        j = bisect.bisect_left(cum, target)
+        j = min(j, len(ordered) - 1)
+        bounds.append(ordered[j][0])
+    return sorted(set(bounds))
+
+
+def bucket_expr(col: Column | str, bounds: list[int]) -> Column:
+    """Deterministic bucket id: count of boundaries strictly below the
+    key — a pure row-local function (stable under task retry, unlike
+    repartitionByRange's sampled partitioner). len(bounds) comparisons
+    per row, JVM-side; for hundreds of buckets switch to a broadcast
+    range join, but shuffle-partition counts live in the tens.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if not bounds:
+        return F.lit(0)
+    return reduce(
+        lambda a, b: a + b,
+        [(c > F.lit(int(v))).cast("int") for v in bounds],
+    ).cast("int")

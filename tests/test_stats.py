@@ -1,0 +1,126 @@
+"""Footer-statistics range bucketing (stats.py): skew calibration and
+the gapless-id contract it feeds (queries.surrogate_ids)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from clickhouse_only_importer_prototype_spark import stats
+
+
+def _write_skewed(tmp_path, keys: np.ndarray, row_group_size: int = 1000):
+    path = str(tmp_path / "skewed.parquet")
+    n = len(keys)
+    tbl = pa.table(
+        {
+            "k": pa.array(np.sort(keys).astype("int64")),
+            "line": pa.array(np.arange(n, dtype="int64")),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=row_group_size)
+    return path
+
+
+def _bucket_counts(keys: np.ndarray, bounds: list[int]) -> np.ndarray:
+    # mirror of stats.bucket_expr: count of bounds strictly below key
+    b = np.asarray(sorted(bounds), dtype="int64")
+    idx = np.searchsorted(b, keys, side="left")
+    # searchsorted('left') counts bounds < key only when key > bound;
+    # equal keys must NOT pass (expr uses strict >): side='right' counts
+    # bounds <= key... we need #(key > bound) = #(bound < key) = 'left'
+    # unless key == bound, where 'left' stops before the equal bound: OK
+    return np.bincount(idx, minlength=len(b) + 1)
+
+
+@pytest.mark.parametrize("dist", ["pareto", "uniform", "lognormal"])
+def test_boundaries_balance_skewed_keys(tmp_path, dist):
+    rng = np.random.default_rng(7)
+    n = 40_000
+    if dist == "pareto":
+        keys = (rng.pareto(1.2, n) * 1000).astype("int64")
+    elif dist == "lognormal":
+        keys = (rng.lognormal(8, 2, n)).astype("int64")
+    else:
+        keys = rng.integers(0, 1_000_000, n)
+    path = _write_skewed(tmp_path, keys)
+
+    segs = stats.parquet_rowgroup_stats(path, "k")
+    assert len(segs) == 40  # 40k rows / 1k row-group size
+    assert sum(s[2] for s in segs) == n
+
+    n_buckets = 8
+    bounds = stats.boundaries_from_stats(segs, n_buckets)
+    assert bounds == sorted(set(bounds))
+    counts = _bucket_counts(keys, bounds)
+    occupied = counts[counts > 0]
+    # calibrated split: no bucket beyond ~2.5x the ideal share (one
+    # row-group granularity of slack + integer-valued key collisions)
+    assert occupied.max() <= 2.5 * n / len(occupied)
+
+    if dist != "uniform":
+        # uniform [min,max] split on a heavy-tailed key is catastrophic:
+        # nearly everything lands in bucket 0 — the case calibration fixes
+        lo, hi = int(keys.min()), int(keys.max())
+        span = max(hi - lo + 1, 1)
+        ub = np.minimum(
+            n_buckets - 1, (keys - lo) * n_buckets // span
+        ).astype("int64")
+        uniform_max = np.bincount(ub, minlength=n_buckets).max()
+        assert uniform_max > 0.9 * n
+        assert occupied.max() < uniform_max / 2
+
+
+def test_rowgroup_stats_missing_column(tmp_path):
+    path = _write_skewed(tmp_path, np.arange(100, dtype="int64"))
+    assert stats.parquet_rowgroup_stats(path, "nope") == []
+    assert stats.boundaries_from_stats([], 8) == []
+
+
+def test_bucket_expr_matches_numpy_and_ids_gapless(spark, tmp_path):
+    """End-to-end on a pareto key: footer-calibrated buckets + two-pass
+    rank produce exactly the ids of a global ORDER BY, in parallel."""
+    from pyspark.sql import Window, functions as F
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = (rng.pareto(1.2, n) * 1000).astype("int64")
+    path = _write_skewed(tmp_path, keys)
+
+    segs = stats.parquet_rowgroup_stats(path, "k")
+    bounds = stats.boundaries_from_stats(segs, 8)
+    assert len(bounds) >= 3  # pareto has enough spread to split
+
+    df = spark.read.parquet(path)
+    bucketed = df.withColumn("__bkt", stats.bucket_expr("k", bounds))
+    # bucket expr agrees with the numpy mirror
+    got_counts = {
+        r["__bkt"]: r["cnt"]
+        for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    exp_counts = _bucket_counts(np.sort(keys), bounds)
+    for b, c in got_counts.items():
+        assert exp_counts[b] == c
+
+    offsets, acc = [], 0
+    for b in sorted(got_counts):
+        offsets.append((b, acc))
+        acc += got_counts[b]
+    off_df = spark.createDataFrame(offsets, "__bkt int, __offset long")
+    w = Window.partitionBy("__bkt").orderBy("k", "line")
+    out = (
+        bucketed.join(F.broadcast(off_df), "__bkt")
+        .select(
+            "k",
+            "line",
+            (F.row_number().over(w) - 1 + F.col("__offset"))
+            .cast("long")
+            .alias("seq_id"),
+        )
+    )
+    pdf = out.toPandas().sort_values(["k", "line"]).reset_index(drop=True)
+    # gapless, dense, and identical to the global sort order
+    assert pdf["seq_id"].tolist() == list(range(n))
