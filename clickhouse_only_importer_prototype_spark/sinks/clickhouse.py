@@ -46,6 +46,28 @@ def jdbc_writer_options(
     return opts
 
 
+def _write_jdbc(
+    df: DataFrame, opts: dict[str, str], mode: str, max_connections: int
+) -> None:
+    """Execute the JDBC bulk insert: bound connection fan-out with an
+    explicit repartition (each task = one connection inserting its
+    partition in ``batchsize`` chunks), then save.
+
+    Driver-agnostic on purpose: ``write_clickhouse`` routes here after
+    validating the ClickHouse driver, and the test suite drives the
+    identical path against Spark's bundled embedded Derby — so the
+    repartition+options+save machinery executes for real in CI even
+    though no ClickHouse server exists in the container.
+    """
+    (
+        df.repartition(max_connections)
+        .write.format("jdbc")
+        .options(**opts)
+        .mode(mode)
+        .save()
+    )
+
+
 def write_clickhouse(
     df: DataFrame,
     url: str,
@@ -71,10 +93,4 @@ def write_clickhouse(
     opts = jdbc_writer_options(
         url, table, batch_size, max_connections=max_connections, **credentials
     )
-    (
-        df.repartition(max_connections)
-        .write.format("jdbc")
-        .options(**opts)
-        .mode(mode)
-        .save()
-    )
+    _write_jdbc(df, opts, mode, max_connections)
