@@ -509,14 +509,72 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(F.col("doc_id"), _simhash64(F.col(text_col)).alias("simhash"))
 
 
+# nested-HOF signature build: outer aggregate walks the 60 bit
+# positions, inner aggregate counts that bit over the staged token-hash
+# array. `__hs` is a materialized column attribute (cheap re-reference
+# per outer element, NOT a re-computed expression — the HOF O(n²) trap
+# is outer *expressions* in lambda bodies); total work is 60·n integer
+# ops per doc, whole-stage codegen, no Python.
+_PORTABLE_SIG_EXPR = """
+aggregate(
+  sequence(0, 59),
+  cast(0 as bigint),
+  (acc, j) -> acc + IF(
+    2 * aggregate(__hs, cast(0 as bigint),
+                  (a, h) -> a + (shiftright(h, j) & 1)) > size(__hs),
+    shiftleft(cast(1 as bigint), j),
+    cast(0 as bigint)))
+"""
+
+
+def simhash_portable(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash, JVM-only and cross-engine
+    reproducible.
+
+    Token hash = first 15 md5 hex digits parsed as int64 (the
+    winnow_fingerprints idiom), tokens = single-space split of the
+    shared normalization — so a DuckDB oracle reproduces the signature
+    bit-for-bit (blake2b, used by the vectorized ``simhash`` UDF, is
+    not in DuckDB's function surface). Votes are count-weighted
+    naturally: the hash array keeps one entry per token INSTANCE.
+    Empty/whitespace-only text → no tokens → all-zero signature,
+    matching ``_simhash64``'s convention.
+
+    Scale: a pure projection over the scan — md5 per token plus 60·n
+    integer ops per doc inside whole-stage codegen; no shuffle, no
+    Arrow hop. Prefer this variant when oracle parity or zero-Python
+    matters; the blake2b pandas UDF wins when batches are huge and its
+    per-batch token cache amortizes.
+    """
+    staged = df.select(
+        F.col("doc_id"),
+        F.filter(
+            F.split(_norm(F.col(text_col)), " "), lambda t: t != F.lit("")
+        ).alias("__toks"),
+    )
+    hs = staged.select(
+        "doc_id",
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ).alias("__hs"),
+    )
+    return hs.select("doc_id", F.expr(_PORTABLE_SIG_EXPR).alias("simhash"))
+
+
 def simhash_neardup_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 16-bit chunks; distance
-    <= 3 implies at least one identical chunk, so candidates come from
-    4 hash-joins on chunk values rather than O(n²) comparisons.
+    Pigeonhole banding: split the signature into 4 chunks (16 bits for
+    the 64-bit blake2b variant, 15 for the 60-bit portable md5 one);
+    distance <= 3 implies at least one identical chunk, so candidates
+    come from 4 hash-joins on chunk values rather than O(n²)
+    comparisons.
 
     Collapses on the signature VALUE first (stronger than text-level
     collapse: different texts can share a signature): banding runs
@@ -524,10 +582,18 @@ def simhash_neardup_pairs(
     signature group every pair is hamming 0, across groups the rep
     pair's distance applies to all member pairs.
     """
-    # the blake2b pandas UDF dominates cost and this frame feeds the
+    if hash_fn == "blake2b":
+        sig_src, n_bits = simhash(df, text_col), 64
+    elif hash_fn == "md5":
+        sig_src, n_bits = simhash_portable(df, text_col), 60
+    else:
+        raise ValueError(f"hash_fn must be 'blake2b' or 'md5': {hash_fn}")
+    chunk_bits = n_bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    # the signature build dominates cost and this frame feeds the
     # grouping window, the rep filter, and both expansion joins —
     # persist so it runs over the corpus once
-    all_sigs = simhash(df, text_col).persist()
+    all_sigs = sig_src.persist()
     groups = all_sigs.withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("simhash"))
     ).select("doc_id", "rep_id")
@@ -544,8 +610,8 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("chunk"),
                     )
                     for i in range(4)

@@ -1590,12 +1590,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_pairs", None)
+# portable 60-bit SimHash signature as a DuckDB expression — the exact
+# twin of operators/dedup.simhash_portable (md5-15-hex token hash,
+# bit-serial votes); shared by the signature and pair oracles below
+_SQL_SIMHASH = f"""
+    WITH __sh_base AS (
+      SELECT doc_id,
+             list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    __sh_h AS (
+      SELECT doc_id,
+             list_transform(t,
+               x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs,
+             len(t) AS n
+      FROM __sh_base
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(range(0, 60), j ->
+               CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> j) & 1)) > n
+                    THEN (1::BIGINT << j) ELSE 0 END)), 0) AS BIGINT) AS simhash
+      FROM __sh_h
+    )
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    _SQL_SIMHASH
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding
-    (operators/dedup.simhash_neardup_pairs; blake2b => rows-only)."""
+    (operators/dedup.simhash_neardup_pairs, portable md5 variant).
+
+    Oracle: brute-force Hamming over the same 60-bit signatures —
+    valid because pigeonhole banding with 4 chunks is LOSSLESS for
+    d <= 3 (a pair within distance 3 must agree on a full chunk); the
+    quadratic form is oracle-only, the engine path stays bucketed."""
     return dedup_ops.simhash_neardup_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=3
+        load(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
     )
 
 
@@ -1615,21 +1655,61 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_lsh_candidates", None)
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(floor(1000.0 * i.inter_size
+                      / (sa.set_size + sb.set_size - i.inter_size)) AS BIGINT)
+             AS jaccard_per_1000
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE floor(1000.0 * i.inter_size
+                / (sa.set_size + sb.set_size - i.inter_size)) >= 800
+    """,
+)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH verified near-dup pairs (xxhash64-based — not
-    reproducible in DuckDB; correctness pinned by tests/test_dedup.py
-    against brute-force Jaccard)."""
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification
+    (operators/dedup.minhash_dedup_pairs).
+
+    Oracle: the exact n-gram-Jaccard >= 0.8 pair set (the
+    dedup_ngram_jaccard graph). Valid because verification recomputes
+    exact per-mille Jaccard on every candidate (no false positives)
+    and with 16 bands x 2 rows the banding miss probability at
+    j >= 0.8 is below 1e-7 (no false negatives in practice) — same
+    argument that oracles dedup_clusters."""
     return dedup_ops.minhash_dedup_pairs(
         load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.8
     )
 
 
-@register("simhash_signatures", None)
+@register(
+    "simhash_signatures",
+    _SQL_SIMHASH + "SELECT doc_id, simhash FROM sigs",
+)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (pandas-UDF; blake2b not in DuckDB's
-    function surface — rows-only check, pinned by tests)."""
-    return dedup_ops.simhash(load(spark, sf_dir, "documents"))
+    """60-bit portable SimHash per document
+    (operators/dedup.simhash_portable): md5-derived token hashes and
+    bit-serial votes reproduce bit-for-bit in DuckDB, turning the old
+    rows-only check (blake2b pandas UDF) into a full value oracle. The
+    vectorized blake2b variant remains as operators/dedup.simhash,
+    pinned by tests/test_dedup.py."""
+    return dedup_ops.simhash_portable(load(spark, sf_dir, "documents"))
 
 
 @register("ann_cosine_topk_lsh", None)
