@@ -71,6 +71,9 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_frame_plan",
     "multimodal_features",
+    "train_val_test_split",
+    "corpus_hash_sample",
+    "sequence_packing",
 ]
 
 

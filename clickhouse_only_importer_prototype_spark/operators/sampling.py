@@ -1,0 +1,80 @@
+"""Deterministic corpus sampling and splitting.
+
+Training pipelines need train/val/test assignment and subsampling that
+are (a) stable across runs, task retries, and engine versions, (b) pure
+row-local projections — no shuffle, no state, no rand(). Both operators
+key on md5 of a salted id (the cross-engine idiom used throughout:
+first 15 hex digits parsed as int64), so a DuckDB oracle reproduces
+every assignment bit-for-bit and re-running a 100 TB job never moves a
+document between splits (rand()-based splits do, under task retry —
+the same determinism point as functions.salted_join).
+
+The salt namespaces assignments: different salts give independent
+splits (changing the salt re-rolls every document), the same salt is
+stable forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BUCKETS = 10_000  # per-myriad resolution: weights are exact to 0.01%
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, BUCKETS) from md5(salt:id) — row-local."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign each row to a named split by hashed id.
+
+    ``weights`` maps split name -> fraction (need not sum to 1; the
+    remainder is unassigned as 'rest'). Assignment: bucket =
+    md5-hash(id) mod 10000; split boundaries at cumulative
+    weight * 10000, in the given dict order. Returns the input columns
+    plus ``split``.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = _hash_bucket(F.col(id_col), salt)
+    expr: Column = F.lit("rest")
+    acc = 0.0
+    cuts: list[tuple[str, int, int]] = []
+    for name, w in weights.items():
+        lo = round(acc * BUCKETS)
+        acc += w
+        hi = round(acc * BUCKETS)
+        cuts.append((name, lo, hi))
+    if cuts and abs(acc - 1.0) < 1e-9:
+        # avoid an unreachable 'rest' branch when weights cover exactly 1
+        cuts[-1] = (cuts[-1][0], cuts[-1][1], BUCKETS)
+    for name, lo, hi in reversed(cuts):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic ``rate`` subsample by hashed id (same row set on
+    every run/engine; nested samples: a 1% sample with the same salt is
+    a subset of the 10% sample)."""
+    cut = round(rate * BUCKETS)
+    return df.where(_hash_bucket(F.col(id_col), salt) < cut)

@@ -29,6 +29,8 @@ from clickhouse_only_importer_prototype_spark import stats
 from clickhouse_only_importer_prototype_spark.operators import (
     dedup as dedup_ops,
     multimodal as mm_ops,
+    packing as packing_ops,
+    sampling as sampling_ops,
     similarity as sim_ops,
     temporal as temporal_ops,
     text as text_ops,
@@ -1362,6 +1364,100 @@ _ORACLES["corpus_curation"] = _corpus_curation_sql()
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (operators/text.fingerprint)."""
     return text_ops.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# md5-bucket idiom of operators/sampling._hash_bucket as SQL
+_SQL_HASH_BUCKET = (
+    "CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 10000"
+)
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_HASH_BUCKET.format(salt="split-v1")} AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split by salted md5 of doc_id
+    (operators/sampling.hash_split) — stable under re-runs and task
+    retries, reproduced bucket-for-bucket by the SQL oracle."""
+    return sampling_ops.hash_split(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+@register(
+    "corpus_hash_sample",
+    f"""
+    SELECT doc_id
+    FROM documents
+    WHERE {_SQL_HASH_BUCKET.format(salt="sample-v1")} < 1000
+    """,
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus subsample
+    (operators/sampling.hash_sample); nested rates with the same salt
+    are subsets of one another."""
+    return sampling_ops.hash_sample(
+        load(spark, sf_dir, "documents").select("doc_id"), rate=0.10
+    )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_tok
+      FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(floor(start_tok / 2048) AS BIGINT) AS seq_first,
+           CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 2048)
+                AS BIGINT) AS seq_last
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk packing at budget 2048
+    (operators/packing.pack_sequences): each document's offset and
+    sequence span in the global token stream. The oracle's global
+    window cumsum is the single-task cliff the operator's range-bucket
+    prefix sum avoids; boundaries come from parquet footer stats."""
+    docs = load(spark, sf_dir, "documents")
+    try:
+        bounds = stats.boundaries_from_stats(
+            stats.parquet_rowgroup_stats(f"{sf_dir}/documents.parquet", "doc_id"),
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
+    except Exception:
+        bounds = []
+    return packing_ops.pack_sequences(
+        docs,
+        text_ops.wordpiece_count(F.col("text")),
+        budget=2048,
+        order_col="doc_id",
+        bounds=bounds,
+    )
 
 
 @register(

@@ -1,0 +1,87 @@
+"""Deterministic split/sample (operators/sampling) and sequence
+packing (operators/packing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_only_importer_prototype_spark.operators import (
+    packing,
+    sampling,
+    text as text_ops,
+)
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = sampling.hash_split(
+        docs, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in out.collect()}  # re-run: identical
+    assert a == b
+    n = len(a)
+    by_split = {}
+    for _, s in a:
+        by_split[s] = by_split.get(s, 0) + 1
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] > 0.7 * n  # ~0.8 with hash noise
+    assert by_split.get("val", 0) + by_split.get("test", 0) < 0.3 * n
+
+
+def test_hash_split_partial_weights_leave_rest(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(df, weights={"train": 0.5})
+    splits = {r.split for r in out.collect()}
+    assert splits == {"train", "rest"}
+
+
+def test_hash_sample_nested_and_stable(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    ten = {r.doc_id for r in sampling.hash_sample(df, 0.10).collect()}
+    one = {r.doc_id for r in sampling.hash_sample(df, 0.01).collect()}
+    assert one <= ten  # nested: smaller rate is a subset at same salt
+    assert 0.05 * 5000 < len(ten) < 0.15 * 5000
+    other = {r.doc_id for r in sampling.hash_sample(df, 0.10, salt="s2").collect()}
+    assert other != ten  # a different salt re-rolls membership
+
+
+def test_pack_sequences_matches_serial_reference(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(0, 700)) for i in range(500)]
+    # sprinkle zero-token docs to pin the ride-along convention
+    rows[10] = (10, 0)
+    rows[11] = (11, 0)
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = packing.pack_sequences(df, "n", budget=512).collect()
+    got = {r.doc_id: (r.n_tokens, r.start_tok, r.seq_first, r.seq_last) for r in out}
+    acc = 0
+    for doc_id, n in rows:
+        first = acc // 512
+        last = (acc + max(n, 1) - 1) // 512
+        assert got[doc_id] == (n, acc, first, last), doc_id
+        acc += n
+
+
+def test_pack_sequences_parallel_plan_and_bounds(spark, sf_dir):
+    """With explicit bounds the cumsum window runs per-bucket (no
+    single-partition global sort) and totals still line up gaplessly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = text_ops.wordpiece_count(F.col("text"))
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    ids.sort()
+    bounds = [ids[len(ids) // 4], ids[len(ids) // 2], ids[3 * len(ids) // 4]]
+    out = packing.pack_sequences(docs, tokens, budget=2048, bounds=bounds)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window partitions by bucket — a global order-by window would
+    # show a single-partition Sort/Exchange
+    assert "__bkt" in plan
+    rows = sorted(
+        ((r.doc_id, r.n_tokens, r.start_tok) for r in out.collect())
+    )
+    acc = 0
+    for _, n, start in rows:
+        assert start == acc
+        acc += n
