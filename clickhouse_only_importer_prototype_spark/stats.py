@@ -31,7 +31,6 @@ range key, or bucket order stops matching key order).
 
 from __future__ import annotations
 
-import bisect
 from functools import reduce
 
 from pyspark.sql import Column, functions as F
@@ -73,32 +72,51 @@ def boundaries_from_stats(
 ) -> list[int]:
     """n_buckets-1 ascending split values from row-group zone maps.
 
-    Each segment's rows are spread half on its min and half on its max
-    (the coarsest unbiased reading of a zone map); boundaries sit at the
-    cumulative-weight quantiles. Values are returned as ints (the
-    engine's range keys are integral ids); duplicates collapse, so
-    heavily-concentrated domains may yield fewer, wider buckets — which
-    is exactly what their data distribution supports.
+    Model: each row group spreads its rows UNIFORMLY across
+    [min, max] — the honest reading of a zone map, which carries no
+    intra-range information. Summing the per-group densities gives a
+    piecewise-uniform CDF; boundaries sit at its quantiles (linear
+    inversion inside each piece). Two regimes fall out naturally:
+
+    * key-sorted / clustered ingest → row groups are narrow and
+      disjoint → the CDF tracks the real distribution to row-group
+      granularity → skew-calibrated split;
+    * unsorted / replicated data → every row group spans ~the whole
+      domain → the CDF degrades to a uniform-domain split — the best
+      any metadata-only scheme can do, and critically NOT the
+      edge-clustered collapse an endpoint point-mass model produces
+      (half the weight piled on global min/max puts nearly every row
+      in one middle bucket).
+
+    Values are ints (the engine's range keys are integral ids);
+    duplicates collapse, so concentrated domains may yield fewer,
+    wider buckets — which is what their key resolution supports.
     """
     if not segs or n_buckets <= 1:
         return []
-    pts: dict[int, float] = {}
+    deltas: dict[int, float] = {}
+    total = 0.0
     for mn, mx, rows in segs:
-        pts[int(mn)] = pts.get(int(mn), 0.0) + rows / 2
-        pts[int(mx)] = pts.get(int(mx), 0.0) + rows / 2
-    ordered = sorted(pts.items())
-    total = sum(w for _, w in ordered)
-    cum: list[float] = []
-    acc = 0.0
-    for _, w in ordered:
-        acc += w
-        cum.append(acc)
+        lo, hi = int(mn), int(mx)
+        d = rows / (hi - lo + 1)
+        deltas[lo] = deltas.get(lo, 0.0) + d
+        deltas[hi + 1] = deltas.get(hi + 1, 0.0) - d
+        total += rows
+    xs = sorted(deltas)
+    targets = [total * i / n_buckets for i in range(1, n_buckets)]
     bounds: list[int] = []
-    for i in range(1, n_buckets):
-        target = total * i / n_buckets
-        j = bisect.bisect_left(cum, target)
-        j = min(j, len(ordered) - 1)
-        bounds.append(ordered[j][0])
+    ti = 0
+    cum = 0.0
+    dens = 0.0
+    for k in range(len(xs) - 1):
+        dens += deltas[xs[k]]
+        width = xs[k + 1] - xs[k]
+        mass = dens * width
+        while ti < len(targets) and targets[ti] <= cum + mass:
+            if dens > 0:
+                bounds.append(int(xs[k] + (targets[ti] - cum) / dens))
+            ti += 1
+        cum += mass
     return sorted(set(bounds))
 
 
