@@ -649,18 +649,56 @@ def simhash_neardup_pairs(
     return cross.unionByName(within)
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+# below this many (directed) edges the whole graph is driver-resident
+# metadata: union-find locally instead of paying multi-shuffle Spark
+# rounds. ~16 bytes/edge -> worst case a few MB on the driver.
+_DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_union_find(edge_rows: list) -> list[tuple[int, int]]:
+    """Path-compressed union-find over collected edges; returns
+    (doc_id, min-doc-in-component) rows."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((x, find(x)) for x in parent)
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    driver_cc_max_edges: int = _DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id)
     where cluster_id = min doc_id in the component (the keeper).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds — near-dup components are tiny (dup
-    clusters, not social graphs), so a handful. Each round is one join
-    + one groupBy on uniformly-hashed ids; lineage is cut with
-    localCheckpoint so iteration count doesn't nest plans. At extreme
-    scale swap in large-star/small-star (Kiveris et al.) — same
-    primitive operations, fewer rounds on high-diameter graphs.
+    Adaptive execution, decided by the measured edge count (the same
+    runtime-statistics philosophy as AQE):
+
+    * small graph (< ~200k edges — near-dup graphs usually are, the
+      corpus collapses to reps first): collect to the driver, run
+      path-compressed union-find, broadcast the labels back. One job,
+      no iteration — the graph is metadata-scale even when the corpus
+      that produced it is 100 TB.
+    * large graph: iterative min-label propagation — each round every
+      node takes the minimum label among itself and its neighbors;
+      converges in O(component diameter) rounds, halved by pointer
+      jumping; lineage cut per round with localCheckpoint. At extreme
+      scale swap in large-star/small-star (Kiveris et al.) — same
+      primitives, fewer rounds on high-diameter graphs.
+
+    Both paths produce identical output (differentially tested).
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     raw_edges = fwd.union(
@@ -671,6 +709,12 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # modest graph runs at the session's full partition width
     n_edges = raw_edges.count()
     spark = pairs.sparkSession
+    if n_edges <= driver_cc_max_edges:
+        rows = _driver_union_find(
+            [(r[0], r[1]) for r in raw_edges.collect()]
+        )
+        raw_edges.unpersist()
+        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(1, min(default_parts, n_edges // 50_000 + 1))
     edges = raw_edges

@@ -162,12 +162,39 @@ def test_neardup_clusters_long_chain(spark):
         neardup_clusters,
     )
 
-    # a 12-node path exercises multi-round propagation
+    # a 12-node path exercises multi-round propagation; force the
+    # distributed label-propagation path (threshold 0) so the iterative
+    # code keeps coverage now that small graphs union-find on the driver
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
     )
-    got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(pairs, driver_cc_max_edges=0).collect()
+    }
     assert got == {i: 0 for i in range(12)}
+
+
+def test_neardup_clusters_driver_and_distributed_agree(spark):
+    import random
+
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    rng = random.Random(5)
+    # random graph: chains, triangles, stars, singletons-in-pairs
+    edges = {(rng.randrange(300), rng.randrange(300)) for _ in range(250)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r.doc_id, r.cluster_id) for r in neardup_clusters(pairs).collect()
+    }
+    slow = {
+        (r.doc_id, r.cluster_id)
+        for r in neardup_clusters(pairs, driver_cc_max_edges=0).collect()
+    }
+    assert fast == slow
 
 
 def test_minhash_dedup_clusters_equals_expanded_graph(spark, sf_dir):
