@@ -1,11 +1,15 @@
-"""JDBC sink (S9): option plumbing + the write path executed for real
-against Spark's bundled embedded Derby (no ClickHouse in container)."""
+"""Sinks: JDBC (S9) option plumbing + write path executed for real
+against Spark's bundled embedded Derby (no ClickHouse in container),
+and bucketed tables joining shuffle-free."""
 
 from __future__ import annotations
 
 import pytest
 
-from clickhouse_only_importer_prototype_spark.sinks import clickhouse as ch
+from clickhouse_only_importer_prototype_spark.sinks import (
+    bucketed,
+    clickhouse as ch,
+)
 
 
 def test_jdbc_writer_options():
@@ -55,3 +59,44 @@ def test_write_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     got = {(r.id, r.v, r.name) for r in back.collect()}
     exp = {(i, float(i * 2), f"r{i}") for i in range(1000)}
     assert got == exp
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key sort-merge join with NO
+    shuffle on either side — the write-time shuffle is the whole point
+    of bucketing at 100 TB. Broadcast is disabled for the check so the
+    planner can't sidestep the question."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    bucketed.write_bucketed(
+        orders, "b_orders", 8, ["o_custkey"], path=str(tmp_path / "b_orders")
+    )
+    bucketed.write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        8,
+        ["o_custkey"],
+        path=str(tmp_path / "b_customer"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed.read_bucketed(spark, "b_orders").join(
+            bucketed.read_bucketed(spark, "b_customer"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # and it still computes the right thing
+        plain = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
