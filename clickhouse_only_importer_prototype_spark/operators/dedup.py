@@ -77,11 +77,18 @@ def _exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     that all verify to jaccard=1000). Near-dup math runs on the
     distinct representatives only; results expand back through this
     mapping — exactly equivalent output since identical texts have
-    identical shingles/signatures."""
-    fp = F.md5(_norm(F.col(text_col)))
-    return df.select(F.col("doc_id"), fp.alias("__fp")).withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy("__fp"))
-    ).select("doc_id", "rep_id")
+    identical shingles/signatures.
+
+    groupBy + self-join rather than min().over(partitionBy(fp)): the
+    aggregate gets map-side partial combine, so the shuffle carries one
+    (fp, min) row per distinct text per mapper instead of EVERY row
+    with its full width riding the exchange into the window sort — at
+    100 TB that's the difference between shuffling the dup histogram
+    and shuffling the corpus. AQE turns the mins side into a broadcast
+    when small; keys are md5-uniform, skew-free either way."""
+    keyed = df.select(F.col("doc_id"), F.md5(_norm(F.col(text_col))).alias("__fp"))
+    mins = keyed.groupBy("__fp").agg(F.min("doc_id").alias("rep_id"))
+    return keyed.join(mins, "__fp").select("doc_id", "rep_id")
 
 
 def _rep_docs(df: DataFrame, groups: DataFrame) -> DataFrame:
