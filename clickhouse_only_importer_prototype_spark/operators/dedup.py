@@ -26,7 +26,7 @@ Scale design notes (the point of each op is its 100 TB shape):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
@@ -601,9 +601,11 @@ def simhash_neardup_pairs(
     # grouping window, the rep filter, and both expansion joins —
     # persist so it runs over the corpus once
     all_sigs = sig_src.persist()
-    groups = all_sigs.withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy("simhash"))
-    ).select("doc_id", "rep_id")
+    # groupBy+join, not min().over(partitionBy): map-side combine means
+    # the shuffle carries per-signature minima, not every row (see
+    # _exact_groups for the full argument)
+    sig_mins = all_sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
+    groups = all_sigs.join(sig_mins, "simhash").select("doc_id", "rep_id")
     sig = all_sigs.join(
         groups.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
         "doc_id",
