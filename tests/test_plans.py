@@ -91,3 +91,55 @@ def test_interval_join_no_cartesian(spark, sf_dir):
     plan = _plan(q.events_interval_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_surrogate_ids_ranks_in_parallel(spark, sf_dir):
+    """The rank window partitions by range bucket — never a global
+    single-partition Sort (the 100 TB cliff this query exists to dodge),
+    and the offsets side is broadcast."""
+    plan = _plan(q.surrogate_ids(spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "__bkt" in physical
+    assert "Exchange SinglePartition" not in physical
+    assert "BroadcastHashJoin" in physical
+
+
+def test_sequence_packing_no_global_window(spark, sf_dir):
+    """The token cumsum runs per range-bucket, not as one global
+    ORDER BY window over the corpus."""
+    plan = _plan(q.sequence_packing(spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "__bkt" in physical
+    assert "Exchange SinglePartition" not in physical
+
+
+def test_hash_split_is_pure_projection(spark, sf_dir):
+    """Split assignment adds no shuffle: one scan, zero Exchange."""
+    plan = _plan(q.train_val_test_split(spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in physical
+
+
+def test_exact_groups_partial_aggregation(spark, sf_dir):
+    """Group building shuffles partial minima (map-side combine), not
+    full rows through a window sort."""
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        _exact_groups,
+    )
+
+    docs = q.load(spark, sf_dir, "documents")
+    plan = _plan(_exact_groups(docs))
+    assert "partial_min" in plan
+    assert "Window" not in plan.split("== Physical Plan ==")[1]
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    """The text-quality projection is one JVM scan-projection: no
+    Python evals, no shuffle. (The HOF aggregate keeps the Project
+    outside whole-stage codegen — interpreted JVM expressions, still
+    never Python.)"""
+    plan = _plan(q.text_quality(spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in physical
+    assert "BatchEvalPython" not in physical
+    assert "ArrowEvalPython" not in physical
