@@ -1,6 +1,7 @@
 """Property tests (SURVEY §5.2.3): text/dedup operators vs pure-Python
-references over randomized inputs. Each example ships a whole batch of
-documents through one Spark job to keep runtime sane.
+references over randomized inputs, plus pure-driver properties of the
+stats/sampling/packing helpers. Each Spark example ships a whole batch
+of documents through one job to keep runtime sane.
 """
 
 from __future__ import annotations
@@ -203,3 +204,73 @@ def test_interval_join_matches_python(spark, point_rows, interval_rows):
         if ik == pk and it <= pt < it + 13
     }
     assert got == expect
+
+
+# ---- pure-driver properties (no Spark session in the loop) ----------------
+
+SEGMENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # min
+        st.integers(min_value=0, max_value=5_000),   # extent
+        st.integers(min_value=1, max_value=100_000), # rows
+    ).map(lambda t: (t[0], t[0] + t[1], t[2])),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(SEGMENTS, st.integers(min_value=2, max_value=64))
+def test_boundaries_from_stats_invariants(segs, n_buckets):
+    from clickhouse_only_importer_prototype_spark import stats
+
+    bounds = stats.boundaries_from_stats(segs, n_buckets)
+    # sorted, unique, at most n-1, inside the observed key domain
+    assert bounds == sorted(set(bounds))
+    assert len(bounds) <= n_buckets - 1
+    if bounds:
+        lo = min(s[0] for s in segs)
+        hi = max(s[1] for s in segs)
+        assert lo <= bounds[0] and bounds[-1] <= hi + 1
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2_000), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=999),
+)
+def test_packing_reference_invariants(token_counts, budget):
+    """The concat-then-chunk layout the operator implements (checked
+    against Spark separately in test_sampling_packing): offsets are
+    gapless, sequence spans are monotone and within budget geometry."""
+    acc = 0
+    prev_last = 0
+    for n in token_counts:
+        first = acc // budget
+        last = (acc + max(n, 1) - 1) // budget
+        assert first <= last
+        # a doc spans ceil(n/budget)+{0,1} sequences (straddle slack)
+        assert last - first <= max(n, 1) // budget + 1
+        assert first >= prev_last - 1 if prev_last else True
+        prev_last = last
+        acc += n
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=5))
+def test_hash_split_cuts_partition_the_bucket_space(weights):
+    """Cut construction covers [0, 10000) without overlap regardless of
+    weight vector (the Spark side is a pure projection over these)."""
+    from clickhouse_only_importer_prototype_spark.operators.sampling import BUCKETS
+
+    total = sum(weights)
+    names = [f"w{i}" for i in range(len(weights))]
+    acc = 0.0
+    cuts = []
+    for w in weights:
+        lo = round(acc * BUCKETS)
+        acc += w
+        hi = round(acc * BUCKETS)
+        cuts.append((lo, hi))
+    for (lo1, hi1), (lo2, hi2) in zip(cuts, cuts[1:]):
+        assert hi1 == lo2  # contiguous
+        assert lo1 <= hi1 and lo2 <= hi2
+    if total <= 1.0:
+        assert cuts[-1][1] <= BUCKETS + 1
