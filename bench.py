@@ -74,6 +74,7 @@ HEADLINE = [
     "train_val_test_split",
     "corpus_hash_sample",
     "sequence_packing",
+    "embedding_quantize",
 ]
 
 

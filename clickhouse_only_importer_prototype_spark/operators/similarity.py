@@ -49,6 +49,45 @@ def _as_double(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+def quantize_embeddings(
+    df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: (id, scale_1e9, q
+    array<int>) with q_i = floor(127 * e_i / max|e|).
+
+    The embedding storage format of every large retrieval corpus —
+    4x smaller than float32, and cosine survives within ~1% for
+    typical distributions (pinned in tests). Per-VECTOR max-abs scaling
+    (not per-corpus) keeps outlier vectors from crushing everyone
+    else's resolution; the scale rides along int-scaled (floor(s*1e9))
+    so the record stays fully integral and cross-engine hashable.
+
+    floor (not round) on purpose: round's tie-breaking differs across
+    engines (HALF_UP / half-even / away-from-zero) and a single tie
+    breaks a value hash; floor of identical IEEE doubles is identical
+    everywhere. All JVM expression work — a pure projection over the
+    scan, embarrassingly parallel at any scale.
+    """
+    e = _as_double(emb_col)
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    # stage the scale as a column: referenced inside the quantize lambda,
+    # an inline expression would re-run the O(dim) max per ELEMENT (the
+    # HOF trap, see operators/text.py)
+    staged = df.select(
+        F.col(id_col),
+        e.alias("__e"),
+        F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs).alias("__scale"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.floor(F.col("__scale") * 1e9).cast("long").alias("scale_1e9"),
+        F.transform(
+            F.col("__e"),
+            lambda x: F.floor(F.lit(127.0) * x / F.col("__scale")).cast("int"),
+        ).alias("q"),
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1461,6 +1461,46 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0.0
+                  THEN 1.0
+                  ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e9) AS BIGINT) AS scale_1e9,
+           CAST(i - 1 AS BIGINT) AS pos,
+           CAST(floor(127.0 * e[i] / scale) AS BIGINT) AS qv
+    FROM s, UNNEST(range(1, len(e) + 1)) AS u(i)
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (operators/similarity.quantize_embeddings), exploded to
+    (vec_id, scale_1e9, pos, qv) rows so the driver canonicalizer never
+    sees a raw array (the multimodal_features lesson). floor-based
+    arithmetic keeps both engines bit-identical — no rounding-tie
+    divergence."""
+    out = sim_ops.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "scale_1e9",
+        F.posexplode("q").alias("pos", "qv"),
+    ).select(
+        "vec_id",
+        "scale_1e9",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("qv").cast("long").alias("qv"),
+    )
+
+
+@register(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

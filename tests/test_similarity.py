@@ -141,3 +141,34 @@ def test_ivf_train_fraction_validation(spark, embeddings):
         similarity.ivf_train_centroids(
             embeddings.limit(4), dim=64, n_centroids=16
         )
+
+
+def test_quantize_embeddings_preserves_cosine(spark, embeddings):
+    """int8 quantization: values bounded to [-127, 127], scale correct,
+    and dequantized cosine within ~2% of the float cosine."""
+    import numpy as np
+
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in embeddings.limit(50).collect()}
+    got = {
+        r.vec_id: (r.scale_1e9, np.array(r.q, dtype=np.int64))
+        for r in similarity.quantize_embeddings(embeddings.limit(50)).collect()
+    }
+    assert set(got) == set(raw)
+    ids = sorted(raw)
+    for i in ids:
+        scale_1e9, q = got[i]
+        assert q.min() >= -127 and q.max() <= 127
+        maxabs = np.abs(raw[i]).max()
+        if maxabs > 0:
+            assert abs(scale_1e9 - np.floor(maxabs * 1e9)) <= 1
+    # cosine preservation on a few pairs
+    for a, b in [(ids[0], ids[1]), (ids[2], ids[3]), (ids[4], ids[5])]:
+        ea, eb = raw[a], raw[b]
+        if not ea.any() or not eb.any():
+            continue
+        cos_f = ea @ eb / (np.linalg.norm(ea) * np.linalg.norm(eb))
+        qa = got[a][1].astype(np.float64)
+        qb = got[b][1].astype(np.float64)
+        cos_q = qa @ qb / (np.linalg.norm(qa) * np.linalg.norm(qb))
+        assert abs(cos_f - cos_q) < 0.02, (a, b, cos_f, cos_q)
