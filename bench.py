@@ -75,6 +75,7 @@ HEADLINE = [
     "corpus_hash_sample",
     "sequence_packing",
     "embedding_quantize",
+    "training_manifest",
 ]
 
 

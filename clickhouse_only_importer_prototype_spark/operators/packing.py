@@ -32,18 +32,23 @@ def pack_sequences(
     budget: int,
     order_col: str = "doc_id",
     bounds: list[int] | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """(order_col, n_tokens, start_tok, seq_first, seq_last) per doc.
+    """(order_col, [carry...,] n_tokens, start_tok, seq_first,
+    seq_last) per doc.
 
     ``tokens_col`` is a column/expression giving the document's token
     count (callers pick the tokenizer — e.g. text.wordpiece_count).
     ``bounds`` are optional ascending range-bucket split values for the
     order key (from stats.boundaries_from_stats); without them the key
-    domain is split uniformly from a min/max pass.
+    domain is split uniformly from a min/max pass. ``carry`` columns
+    ride through unchanged — cheaper than re-deriving the input subplan
+    for a post-hoc join when upstream is an expensive pipeline.
     """
     tc = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    carry = list(carry or [])
     base = df.select(
-        F.col(order_col), tc.cast("long").alias("n_tokens")
+        F.col(order_col), *carry, tc.cast("long").alias("n_tokens")
     )
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -81,6 +86,7 @@ def pack_sequences(
         bucketed.join(F.broadcast(off_df), "__bkt")
         .select(
             F.col(order_col),
+            *[F.col(c) for c in carry],
             F.col("n_tokens"),
             start.alias("start_tok"),
             F.floor(start / budget).cast("long").alias("seq_first"),

@@ -1353,6 +1353,57 @@ def _corpus_curation_sql() -> str:
 _ORACLES["corpus_curation"] = _corpus_curation_sql()
 
 
+@register("training_manifest", None)  # SQL generated below (shared CTEs)
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data manifest: curate (quality + language
+    + exact dedup, = corpus_curation) -> deterministic 90/5/5 split ->
+    concat-then-chunk sequence packing at budget 2048 over the
+    surviving docs in id order. One declarative plan composing four
+    previously-oracled operators; output is everything a loader needs:
+    (doc_id, split, n_tokens, start_tok, seq_first, seq_last).
+
+    Scale: curation fuses into the scan; split is a projection; the
+    pack's prefix sum is the bucketed two-pass (no global window). The
+    only shuffles are dedup's groupBy and the pack's bucket exchange."""
+    cur = corpus_curation(spark, sf_dir)
+    split = sampling_ops.hash_split(
+        cur.select("doc_id", "n_tokens"),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    packed = packing_ops.pack_sequences(
+        split, "n_tokens", budget=2048, carry=["split"]
+    )
+    return packed.select(
+        "doc_id", "split", "n_tokens", "start_tok", "seq_first", "seq_last"
+    )
+
+
+def _training_manifest_sql() -> str:
+    bucket = _SQL_HASH_BUCKET.format(salt="split-v1")
+    return f"""
+    WITH cur AS ({_corpus_curation_sql()}),
+    sp AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN {bucket} < 9000 THEN 'train'
+                  WHEN {bucket} < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cur
+    ),
+    c AS (
+      SELECT doc_id, split, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_tok
+      FROM sp
+    )
+    SELECT doc_id, split, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(floor(start_tok / 2048) AS BIGINT) AS seq_first,
+           CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 2048)
+                AS BIGINT) AS seq_last
+    FROM c
+    """
+
+
 @register(
     "doc_fingerprint",
     f"""
@@ -1371,6 +1422,10 @@ _SQL_HASH_BUCKET = (
     "CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
     "AS BIGINT) % 10000"
 )
+
+# generated here (needs _SQL_HASH_BUCKET); the query fn is registered
+# next to corpus_curation, whose CTEs the SQL composes
+_ORACLES["training_manifest"] = _training_manifest_sql()
 
 
 @register(
