@@ -76,6 +76,7 @@ HEADLINE = [
     "sequence_packing",
     "embedding_quantize",
     "training_manifest",
+    "multimodal_resize",
 ]
 
 

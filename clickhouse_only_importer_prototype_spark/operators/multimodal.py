@@ -137,6 +137,73 @@ def frame_sample_plan(
     return videos.mapInPandas(run, schema)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", LongType(), False),
+        StructField("out_height", LongType(), False),
+        StructField("n_bytes_in", LongType(), True),
+        StructField("n_bytes_out", LongType(), True),
+        StructField("resized", BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image decode+resize+re-encode:
+    blake2b keyed by payload and target dims, length scaled to w*h/256
+    so output sizes behave like a real thumbnailer's."""
+    import hashlib
+
+    n_out = max((w * h) // 256, 16)
+    out = b""
+    seed = hashlib.blake2b(
+        (payload or b"") + w.to_bytes(4, "big") + h.to_bytes(4, "big"),
+        digest_size=32,
+    ).digest()
+    while len(out) < n_out:
+        seed = hashlib.blake2b(seed, digest_size=32).digest()
+        out += seed
+    return out[:n_out]
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Resize image payloads to (width, height) via mapInPandas.
+
+    Same contract as extract_features: arrow batches in, fixed output
+    schema, payload bytes only ever cross the Arrow boundary once per
+    image. Non-image rows are filtered BEFORE the Python stage —
+    pruning in the JVM so audio/video payloads never pay the transfer.
+    The codec call is stubbed (`_fake_resize`, deterministic);
+    decode_stub=False marks where Pillow would run.
+    """
+    images = df.where(F.col("media_type") == "image").select(
+        "media_id", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires Pillow; not in container"
+                )
+            resized = [_fake_resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": [width] * len(pdf),
+                    "out_height": [height] * len(pdf),
+                    "n_bytes_in": [len(p or b"") for p in pdf["payload"]],
+                    "n_bytes_out": [len(r) for r in resized],
+                    "resized": resized,
+                }
+            )
+
+    return images.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapt the documents table into the media shape (testdata carries
     no real binary column, so payload = the text's UTF-8 bytes — the

@@ -1723,6 +1723,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_resize", None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas image resize plumbing (stubbed codec, JVM-side
+    image-only pruning before the Arrow hop — blake2b stub => rows-only;
+    pinned by tests/test_multimodal.py). Binary output md5-compressed
+    for driver canonicalization."""
+    media = mm_ops.documents_as_media(load(spark, sf_dir, "documents"))
+    out = mm_ops.resize_images(media, width=64, height=64)
+    return out.select(
+        "media_id",
+        "out_width",
+        "out_height",
+        "n_bytes_in",
+        "n_bytes_out",
+        F.md5(F.col("resized")).alias("resized_md5"),
+    )
+
+
 @register(
     "dedup_clusters",
     f"""

@@ -92,3 +92,35 @@ def test_frame_plan_counts(spark, sf_dir):
     for mid, dur in durations.items():
         expected = max((max(dur, 1) - 1) // 1000 + 1, 1)
         assert got[mid] == expected, mid
+
+
+def test_resize_images_plumbing(spark):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        _fake_resize,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=9)
+    out = {r.media_id: r for r in resize_images(media, 32, 48).collect()}
+    images = {r.media_id: r for r in media.where("media_type = 'image'").collect()}
+    # only image rows pass (JVM-side pruning), all of them
+    assert set(out) == set(images)
+    for mid, r in out.items():
+        assert (r.out_width, r.out_height) == (32, 48)
+        assert r.n_bytes_in == len(images[mid].payload)
+        assert r.n_bytes_out == len(r.resized) == max(32 * 48 // 256, 16)
+        # deterministic across runs/partitions
+        assert bytes(r.resized) == _fake_resize(bytes(images[mid].payload), 32, 48)
+
+
+def test_resize_images_stub_gate(spark):
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    with pytest.raises(Exception, match="Pillow"):
+        resize_images(synthetic_media(spark, 3), decode_stub=False).collect()
