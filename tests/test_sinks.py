@@ -100,3 +100,35 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_equality_predicate_prunes_buckets(spark, sf_dir, tmp_path):
+    """An equality filter on the bucket key scans 1 of n buckets.
+    autoBucketedScan must be off for a scan-only plan: Spark's auto
+    mode disables the bucketed scan when no operator exploits the
+    distribution, which also forfeits pruning."""
+    import io
+    import contextlib
+    import re
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    bucketed.write_bucketed(
+        orders, "bp_orders", 8, ["o_custkey"], path=str(tmp_path / "bp")
+    )
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = spark.table("bp_orders").where("o_custkey = 371")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", buf.getvalue())
+        assert m and (m.group(1), m.group(2)) == ("1", "8")
+        plain = orders.where("o_custkey = 371").count()
+        assert df.count() == plain
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.sql("DROP TABLE IF EXISTS bp_orders")
