@@ -77,6 +77,7 @@ HEADLINE = [
     "embedding_quantize",
     "training_manifest",
     "multimodal_resize",
+    "decontamination_hits",
 ]
 
 

@@ -851,6 +851,50 @@ def minhash_dedup_clusters(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, overlap_ngrams)
+    for every corpus document sharing >= min_overlap word n-grams with
+    a benchmark document.
+
+    The standard pre-training hygiene pass (n=8..13 word grams is the
+    common contamination window). Shape: the benchmark side is tiny by
+    construction (eval sets), so its shingles BROADCAST — the corpus
+    shingle stream joins map-side with no shuffle of corpus data, then
+    one groupBy on the (corpus, bench) pair counts overlaps. The
+    corpus is never self-joined; cost is one scan + one narrow
+    aggregation regardless of corpus size.
+    """
+    corpus_sh = shingles(corpus, text_col, n)
+    bench_sh = shingles(bench, text_col, n).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("overlap_ngrams"))
+        .where(F.col("overlap_ngrams") >= min_overlap)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Corpus minus contaminated docs (anti-join on contamination
+    pairs) — the drop-side twin of contamination_pairs."""
+    hits = contamination_pairs(corpus, bench, text_col, n, min_overlap)
+    return corpus.join(hits.select("doc_id").distinct(), "doc_id", "left_anti")
+
+
 def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row summary: total docs, distinct texts, exact-dup groups."""
     groups = exact_duplicates(df, text_col)

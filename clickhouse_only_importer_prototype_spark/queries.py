@@ -1799,6 +1799,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_shingle_cte(n: int, src: str = "documents") -> str:
+    """DISTINCT word-n-gram shingles of ``src`` as a CTE body — the SQL
+    twin of operators/text.shingles for arbitrary n."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+      SELECT DISTINCT doc_id, {gram} AS shingle
+      FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM {src}),
+           UNNEST(range(1, greatest(len(t) - {n - 2}, 1))) AS u(i)
+      WHERE len(t) >= {n}
+    """
+
+
+@register(
+    "decontamination_hits",
+    f"""
+    WITH corpus_sh AS ({_sql_shingle_cte(4)}),
+    bench_sh AS (
+      SELECT doc_id AS bench_id, shingle
+      FROM ({_sql_shingle_cte(4)}) WHERE doc_id % 97 = 0
+    )
+    SELECT c.doc_id, b.bench_id,
+           CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+    FROM corpus_sh c JOIN bench_sh b ON c.shingle = b.shingle
+    WHERE c.doc_id != b.bench_id
+    GROUP BY c.doc_id, b.bench_id
+    """,
+)
+def decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.contamination_pairs):
+    word-n-gram overlaps between the corpus and a deterministic
+    'benchmark' slice (doc_id % 97 == 0), self-pairs excluded. Bench
+    shingles broadcast; corpus data never shuffles. n=4 here because
+    the synthetic docs are short (production windows run 8-13 word
+    grams; at n=8 this corpus has zero overlaps and the gate would be
+    vacuous)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return dedup_ops.contamination_pairs(docs, bench, n=4).where(
+        F.col("doc_id") != F.col("bench_id")
+    )
+
+
 # portable 60-bit SimHash signature as a DuckDB expression — the exact
 # twin of operators/dedup.simhash_portable (md5-15-hex token hash,
 # bit-serial votes); shared by the signature and pair oracles below

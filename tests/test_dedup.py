@@ -279,3 +279,52 @@ def test_minhash_clusters_skip_zero_shingle_dups(spark):
         for r in neardup_clusters(minhash_dedup_pairs(df, threshold=0.8)).collect()
     }
     assert fast == naive == {(3, 3), (4, 3)}
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),  # 2 shared 8-grams
+            (1, "totally different words with no overlap at all here"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),       # exact 8-gram
+            (3, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r.doc_id, r.bench_id): r.overlap_ngrams
+        for r in contamination_pairs(corpus, bench, n=8).collect()
+    }
+    # doc 0 contains the bench 8-gram plus one shifted gram; doc 2 is exact
+    assert hits[(2, 100)] == 1
+    assert hits[(0, 100)] == 1  # only the identical 8-gram overlaps
+    assert (1, 100) not in hits and (3, 100) not in hits
+    clean = {r.doc_id for r in decontaminate(corpus, bench, n=8).collect()}
+    assert clean == {1, 3}
+
+
+def test_contamination_broadcasts_bench(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        contamination_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        contamination_pairs(docs, bench, n=8).explain("extended")
+    physical = buf.getvalue().split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
