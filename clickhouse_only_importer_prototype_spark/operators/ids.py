@@ -1,0 +1,68 @@
+"""Gapless sequential ids over a defined order — the reusable form of
+the reference's surrogate-key assignment (A3,
+mutation/transformer.go:348-371) and the pattern behind
+queries.surrogate_ids and packing.pack_sequences.
+
+A bare ``row_number() OVER (ORDER BY ...)`` funnels the whole table
+through ONE task — measured 9s at 6M rows locally, fatal at 100 TB.
+The two-pass replacement: range-bucket on the leading sort key with a
+deterministic pure-function bucketing (optionally skew-calibrated from
+parquet footer statistics via stats.boundaries_from_stats), count rows
+per bucket, prefix-sum the dozens of counts on the driver, then rank
+within each bucket in parallel and add the bucket's offset. Output ids
+are identical to the global sort's — dense, gapless, starting at 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from clickhouse_only_importer_prototype_spark import stats
+
+
+def rank_gapless(
+    df: DataFrame,
+    order_cols: list[str],
+    bounds: list[int] | None = None,
+    id_col: str = "seq_id",
+) -> DataFrame:
+    """Append ``id_col`` = dense 0-based rank over ``order_cols``.
+
+    The leading order column is the range-bucket key (must be numeric);
+    remaining columns break ties inside buckets. ``bounds`` are
+    optional ascending split values for the leading key (footer-stats
+    calibrated); without them the key domain splits uniformly from one
+    min/max pass. The full (order_cols) tuple must be unique per row
+    for a deterministic ranking — the same contract as ORDER BY.
+    """
+    key = order_cols[0]
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if bounds:
+        bucket = stats.bucket_expr(key, bounds)
+    else:
+        lo, hi = df.agg(F.min(key), F.max(key)).first()
+        span = max(int(hi) - int(lo) + 1, 1)
+        bucket = F.least(
+            F.lit(n_parts - 1),
+            F.floor((F.col(key) - F.lit(int(lo))) * n_parts / span),
+        ).cast("int")
+    bucketed = df.withColumn("__bkt", bucket)
+    counts = {
+        r["__bkt"]: r["cnt"]
+        for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    off_df = spark.createDataFrame(offsets, "__bkt int, __offset long")
+    w = Window.partitionBy("__bkt").orderBy(*order_cols)
+    return (
+        bucketed.join(F.broadcast(off_df), "__bkt")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w) - 1 + F.col("__offset")).cast("long"),
+        )
+        .drop("__bkt", "__offset")
+    )

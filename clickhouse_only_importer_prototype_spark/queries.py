@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from clickhouse_only_importer_prototype_spark import stats
 from clickhouse_only_importer_prototype_spark.operators import (
     dedup as dedup_ops,
+    ids as ids_ops,
     multimodal as mm_ops,
     packing as packing_ops,
     sampling as sampling_ops,
@@ -668,40 +669,9 @@ def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except Exception:
         bounds = []
-    if bounds:
-        bucket = stats.bucket_expr("l_orderkey", bounds)
-    else:
-        # fallback when footers carry no stats: uniform split of the key
-        # domain (one extra min/max pass, skew-blind)
-        lo, hi = l.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
-        span = max(int(hi) - int(lo) + 1, 1)
-        bucket = F.least(
-            F.lit(n_parts - 1),
-            F.floor((F.col("l_orderkey") - F.lit(int(lo))) * n_parts / span),
-        ).cast("int")
-    bucketed = l.withColumn("__bkt", bucket)
-    counts = {
-        r["__bkt"]: r["cnt"]
-        for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for b in sorted(counts):
-        offsets.append((b, acc))
-        acc += counts[b]
-    offsets_df = l.sparkSession.createDataFrame(
-        offsets, "__bkt int, __offset long"
-    )
-    w = Window.partitionBy("__bkt").orderBy("l_orderkey", "l_linenumber")
-    return (
-        bucketed.join(F.broadcast(offsets_df), "__bkt")
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            (F.row_number().over(w) - 1 + F.col("__offset"))
-            .cast("long")
-            .alias("seq_id"),
-        )
-    )
+    return ids_ops.rank_gapless(
+        l, ["l_orderkey", "l_linenumber"], bounds=bounds
+    ).select("l_orderkey", "l_linenumber", "seq_id")
 
 
 @register(

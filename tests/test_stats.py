@@ -124,3 +124,19 @@ def test_bucket_expr_matches_numpy_and_ids_gapless(spark, tmp_path):
     pdf = out.toPandas().sort_values(["k", "line"]).reset_index(drop=True)
     # gapless, dense, and identical to the global sort order
     assert pdf["seq_id"].tolist() == list(range(n))
+
+
+def test_rank_gapless_multicolumn_order(spark):
+    """Public rank_gapless: ids equal the global ORDER BY rank with a
+    multi-column tiebreak, all original columns preserved."""
+    import random
+
+    from clickhouse_only_importer_prototype_spark.operators.ids import rank_gapless
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(50), i, f"v{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, line long, payload string")
+    out = rank_gapless(df, ["k", "line"]).collect()
+    assert {r.payload for r in out} == {p for _, _, p in rows}
+    by_order = sorted(((r.k, r.line), r.seq_id) for r in out)
+    assert [s for _, s in by_order] == list(range(3000))
