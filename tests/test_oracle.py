@@ -87,6 +87,24 @@ def test_rows_only_queries_run(spark, oracle_sf_dir):
         assert len(canon) == len(rows), name
 
 
+def test_registry_order_oracled_first():
+    """The driver records correctness for a bounded prefix (50 entries
+    in rounds 1-2) of ``queries()`` in iteration order. Every oracled
+    query must precede every rows-only one, or its oracle silently
+    never runs in the hard gate (round-2 verdict, headline finding)."""
+    names = list(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    seen_rows_only = False
+    for n in names:
+        if n not in oracled:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, (
+                f"oracled query {n!r} registered after a rows-only query"
+            )
+    assert list(entrymod.oracle_sql()) == [n for n in names if n in oracled]
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
