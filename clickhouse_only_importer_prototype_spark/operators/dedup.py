@@ -597,20 +597,24 @@ def simhash_neardup_pairs(
         raise ValueError(f"hash_fn must be 'blake2b' or 'md5': {hash_fn}")
     chunk_bits = n_bits // 4
     chunk_mask = (1 << chunk_bits) - 1
-    # the signature build dominates cost and this frame feeds the
-    # grouping window, the rep filter, and both expansion joins —
-    # persist so it runs over the corpus once
+    # the signature build dominates cost and feeds both the group agg
+    # and the member join — persist so the corpus is scanned once
     all_sigs = sig_src.persist()
     # groupBy+join, not min().over(partitionBy): map-side combine means
     # the shuffle carries per-signature minima, not every row (see
-    # _exact_groups for the full argument)
-    sig_mins = all_sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
-    groups = all_sigs.join(sig_mins, "simhash").select("doc_id", "rep_id")
-    sig = all_sigs.join(
-        groups.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    # _exact_groups for the full argument). (simhash, rep_id) is ALSO
+    # the rep signature frame — one row per distinct signature — so
+    # banding reads it directly; no rep filter-join needed. It and the
+    # member map are referenced by banding plus both expansion joins
+    # plus the within-group self-join: persist both (columnar-compact
+    # id/signature pairs, metadata-scale next to the corpus).
+    sig_mins = (
+        all_sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id")).persist()
     )
+    groups = (
+        all_sigs.join(sig_mins, "simhash").select("doc_id", "rep_id").persist()
+    )
+    sig = sig_mins.select(F.col("rep_id").alias("doc_id"), "simhash")
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -643,13 +647,15 @@ def simhash_neardup_pairs(
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # hamming filter BEFORE the dedup shuffle: a pair can match on up
+    # to 4 chunks, but distinct only pays for survivors this way
     rep_pairs = (
         cands.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
     cross = _expand_cross(rep_pairs, groups, ["hamming"])
     within = _within_group_pairs(groups).select(
