@@ -863,6 +863,7 @@ def contamination_pairs(
     text_col: str = "text",
     n: int = 8,
     min_overlap: int = 1,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: (doc_id, bench_id, overlap_ngrams)
     for every corpus document sharing >= min_overlap word n-grams with
@@ -875,13 +876,21 @@ def contamination_pairs(
     one groupBy on the (corpus, bench) pair counts overlaps. The
     corpus is never self-joined; cost is one scan + one narrow
     aggregation regardless of corpus size.
+
+    CONTRACT: ``bench`` must be executor-memory small (its shingle set
+    is force-broadcast, an unconditional hint AQE will not demote). A
+    benchmark too big to broadcast — a merged eval suite of millions of
+    rows — is a misuse; pass ``broadcast_bench=False`` to fall back to
+    a plain shuffle join and let AQE pick the strategy.
     """
     corpus_sh = shingles(corpus, text_col, n)
     bench_sh = shingles(bench, text_col, n).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
     return (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        corpus_sh.join(bench_sh, "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").cast("long").alias("overlap_ngrams"))
         .where(F.col("overlap_ngrams") >= min_overlap)

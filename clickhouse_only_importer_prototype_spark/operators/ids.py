@@ -42,6 +42,8 @@ def rank_gapless(
         bucket = stats.bucket_expr(key, bounds)
     else:
         lo, hi = df.agg(F.min(key), F.max(key)).first()
+        if lo is None:  # empty input: nothing to rank, keep the schema
+            return df.withColumn(id_col, F.lit(0).cast("long"))
         span = max(int(hi) - int(lo) + 1, 1)
         bucket = F.least(
             F.lit(n_parts - 1),

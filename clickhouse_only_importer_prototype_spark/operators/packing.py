@@ -57,6 +57,15 @@ def pack_sequences(
         bucket = stats.bucket_expr(order_col, bounds)
     else:
         lo, hi = base.agg(F.min(order_col), F.max(order_col)).first()
+        if lo is None:  # empty input: emit the packed schema, no rows
+            return base.select(
+                F.col(order_col),
+                *[F.col(c) for c in carry],
+                F.col("n_tokens"),
+                F.lit(0).cast("long").alias("start_tok"),
+                F.lit(0).cast("long").alias("seq_first"),
+                F.lit(0).cast("long").alias("seq_last"),
+            )
         span = max(int(hi) - int(lo) + 1, 1)
         bucket = F.least(
             F.lit(n_parts - 1),

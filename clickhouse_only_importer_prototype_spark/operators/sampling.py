@@ -50,6 +50,10 @@ def hash_split(
     plus ``split``.
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"negative split weight: {weights}")
+    if sum(weights.values()) > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum past 1: {weights}")
     bucket = _hash_bucket(F.col(id_col), salt)
     expr: Column = F.lit("rest")
     acc = 0.0

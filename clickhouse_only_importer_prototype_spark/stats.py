@@ -52,10 +52,21 @@ def parquet_rowgroup_stats(
     for frag in dataset.get_fragments():
         # fragment metadata comes from the footer only — no data pages
         md = frag.metadata
-        try:
-            idx = md.schema.to_arrow_schema().get_field_index(column)
-        except KeyError:
-            return []
+        # row-group columns are indexed by LEAF position in the parquet
+        # schema, which diverges from the arrow field index once any
+        # earlier field is nested (struct/list explodes into several
+        # leaves) — so resolve the index against the leaf paths, not
+        # the arrow schema. A top-level flat column has path == name.
+        # leaves are addressed by dotted path ('meta.b'); a top-level
+        # flat column's path is just its name
+        idx = next(
+            (
+                i
+                for i in range(len(md.schema.names))
+                if md.schema.column(i).path == column
+            ),
+            -1,
+        )
         if idx < 0:
             return []
         for rg in range(md.num_row_groups):

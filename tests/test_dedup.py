@@ -328,3 +328,28 @@ def test_contamination_broadcasts_bench(spark, sf_dir):
     physical = buf.getvalue().split("== Physical Plan ==")[1]
     assert "BroadcastHashJoin" in physical
     assert "SortMergeJoin" not in physical
+
+
+def test_contamination_broadcast_opt_out(spark):
+    """broadcast_bench=False drops the forced hint (big-bench escape
+    valve) without changing results."""
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    forced = contamination_pairs(corpus, bench, n=8).collect()
+    free = contamination_pairs(
+        corpus, bench, n=8, broadcast_bench=False
+    ).collect()
+    assert sorted(map(tuple, forced)) == sorted(map(tuple, free))

@@ -3,6 +3,7 @@ packing (operators/packing)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from clickhouse_only_importer_prototype_spark.operators import (
@@ -85,3 +86,18 @@ def test_pack_sequences_parallel_plan_and_bounds(spark, sf_dir):
     for _, n, start in rows:
         assert start == acc
         acc += n
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="negative"):
+        sampling.hash_split(df, weights={"train": -0.1, "val": 0.5})
+    with pytest.raises(ValueError, match="sum past 1"):
+        sampling.hash_split(df, weights={"train": 0.9, "val": 0.2})
+
+
+def test_pack_sequences_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, n long")
+    out = packing.pack_sequences(empty, "n", budget=128)
+    assert out.columns == ["doc_id", "n_tokens", "start_tok", "seq_first", "seq_last"]
+    assert out.count() == 0

@@ -140,3 +140,37 @@ def test_rank_gapless_multicolumn_order(spark):
     assert {r.payload for r in out} == {p for _, _, p in rows}
     by_order = sorted(((r.k, r.line), r.seq_id) for r in out)
     assert [s for _, s in by_order] == list(range(3000))
+
+
+def test_rowgroup_stats_nested_schema_leaf_resolution(tmp_path):
+    """A nested struct BEFORE the target column explodes into several
+    parquet leaves; the arrow field index would point at the wrong
+    leaf's stats. Resolution must go through leaf paths."""
+    path = str(tmp_path / "nested.parquet")
+    n = 100
+    tbl = pa.table(
+        {
+            "meta": pa.array(
+                [{"a": 0, "b": -1000}] * n,
+                type=pa.struct([("a", pa.int64()), ("b", pa.int64())]),
+            ),
+            "k": pa.array(np.arange(500, 500 + n, dtype="int64")),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=50)
+    segs = stats.parquet_rowgroup_stats(path, "k")
+    assert len(segs) == 2
+    assert segs[0] == (500, 549, 50)
+    assert segs[1] == (550, 599, 50)
+    # nested leaves are addressable by their dotted path, flat name is not
+    assert stats.parquet_rowgroup_stats(path, "meta.b")[0][0] == -1000
+    assert stats.parquet_rowgroup_stats(path, "meta") == []
+
+
+def test_rank_gapless_empty_input(spark):
+    from clickhouse_only_importer_prototype_spark.operators.ids import rank_gapless
+
+    empty = spark.createDataFrame([], "k long, line long")
+    out = rank_gapless(empty, ["k", "line"])
+    assert out.columns == ["k", "line", "seq_id"]
+    assert out.count() == 0
