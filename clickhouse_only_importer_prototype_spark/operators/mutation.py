@@ -56,6 +56,15 @@ def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
     prefix-sums per-(file, partition) counts (metadata-scale: one row
     per scan split) in (sorted path, partition) order, which yields
     byte-identical ids to a per-file global rank.
+
+    ASSUMPTION (load-bearing): ``__pid``/``__mid`` are identical across
+    the counts pass and the rank pass. True when both evaluate the same
+    plan over unchanged files — FilePartition packing is a stable sort
+    of splits — but a scan-conf change between the passes (AQE
+    coalesce, ``spark.sql.files.maxPartitionBytes``) would repartition
+    the second scan. Rather than silently permuting ids, the rank pass
+    re-checks every (file, partition) row count against the broadcast
+    expectation and raises mid-plan on any drift.
     """
     spark = df.sparkSession
     tagged = (
@@ -71,19 +80,45 @@ def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
     counts = tagged.groupBy(_FILE, "__pid").count().collect()
     offsets, acc = [], start
     for row in sorted(counts, key=lambda r: (r[_FILE], r["__pid"])):
-        offsets.append((row[_FILE], row["__pid"], acc))
+        offsets.append((row[_FILE], row["__pid"], acc, row["count"]))
         acc += row["count"]
     offsets_df = spark.createDataFrame(
-        offsets, f"{_FILE} string, __pid int, __offset long"
+        offsets, f"{_FILE} string, __pid int, __offset long, __expect long"
     )
     w = Window.partitionBy(_FILE, "__pid").orderBy("__mid")
+    # same partition keys as `w`: shares its exchange, adds no shuffle
+    w_full = Window.partitionBy(_FILE, "__pid")
+    # left join so a partition the counts pass never saw surfaces as a
+    # null expectation (raise) instead of vanishing through an inner join
+    guard_ok = F.col("__expect").isNotNull() & (
+        F.count("*").over(w_full) == F.col("__expect")
+    )
     out = (
-        tagged.join(F.broadcast(offsets_df), [_FILE, "__pid"])
+        tagged.join(F.broadcast(offsets_df), [_FILE, "__pid"], "left")
         .withColumn(
             EVENT_ID,
-            (F.row_number().over(w) - F.lit(1) + F.col("__offset")).cast("long"),
+            F.when(
+                guard_ok,
+                F.row_number().over(w) - F.lit(1) + F.col("__offset"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit(
+                            "with_sequential_ids: FilePartition packing"
+                            " drifted between the counts pass and the"
+                            " rank pass for"
+                        ),
+                        F.col(_FILE),
+                        F.lit("pid"),
+                        F.col("__pid").cast("string"),
+                    )
+                ).cast("long")
+            )
+            .cast("long"),
         )
-        .drop(_FILE, "__pid", "__mid", "__offset")
+        .drop(_FILE, "__pid", "__mid", "__offset", "__expect")
     )
     return out
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from clickhouse_only_importer_prototype_spark.operators import mutation as mut_ops
 from clickhouse_only_importer_prototype_spark.plans import pipelines
 from clickhouse_only_importer_prototype_spark.schemas import (
@@ -142,3 +144,31 @@ def test_next_event_id_preserves_start_on_empty(spark):
 
     empty = spark.createDataFrame([], f"{EVENT_ID} long, x string")
     assert next_event_id(empty, start=137) == 137
+
+
+def test_sequential_ids_guard_trips_on_partition_drift(spark, tmp_path):
+    """Changing the scan conf between the counts pass (inside the call)
+    and the rank pass (evaluation of the result) repacks FilePartitions;
+    the cross-pass guard must fail loud instead of permuting ids."""
+    path = tmp_path / "data_mutations_drift.txt"
+    n = 5000
+    lines = ["Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\tTumor_Sample_Barcode"]
+    lines += [f"G{i}\t{i}\t{i}\tS{i % 7}" for i in range(n)]
+    path.write_text("\n".join(lines) + "\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024))
+    try:
+        df = read_maf(spark, str(path))
+        with_ids = mut_ops.with_sequential_ids(df)  # counts pass: ~18 splits
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024))
+        with pytest.raises(Exception, match="packing drifted"):
+            with_ids.collect()  # rank pass: ~70 splits -> unseen pids
+        # drift the other way: rank pass merges splits -> count mismatch
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024))
+        with_ids2 = mut_ops.with_sequential_ids(read_maf(spark, str(path)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024 * 128))
+        with pytest.raises(Exception, match="packing drifted"):
+            with_ids2.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
