@@ -16,10 +16,111 @@ connector when available; JDBC is the lowest-common-denominator path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, types as T
 
 DEFAULT_BATCH_SIZE = 100_000
 CLICKHOUSE_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
+
+_SIMPLE_TYPES: dict[type, str] = {
+    T.StringType: "String",
+    T.BinaryType: "String",  # ClickHouse stores raw bytes in String
+    T.ByteType: "Int8",
+    T.ShortType: "Int16",
+    T.IntegerType: "Int32",
+    T.LongType: "Int64",
+    T.FloatType: "Float32",
+    T.DoubleType: "Float64",
+    T.BooleanType: "Bool",
+    T.DateType: "Date32",
+}
+
+
+def clickhouse_type(
+    dt: T.DataType, nullable: bool = False, low_cardinality: bool = False
+) -> str:
+    """Map a Spark SQL type to the ClickHouse column type the JDBC
+    writer's inserts expect on the server side.
+
+    Composition rules mirror ClickHouse's: ``Nullable`` wraps only
+    scalar leaves (Array/Map/Tuple cannot be Nullable — their inner
+    element types carry nullability instead), Map keys are never
+    Nullable, and ``LowCardinality`` sits INSIDE ``Nullable``'s
+    position, i.e. ``LowCardinality(Nullable(String))``.
+    """
+    if isinstance(dt, T.DecimalType):
+        base: str | None = f"Decimal({dt.precision}, {dt.scale})"
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        base = "DateTime64(6)"  # Spark timestamps are microsecond
+    elif isinstance(dt, T.ArrayType):
+        return f"Array({clickhouse_type(dt.elementType, dt.containsNull)})"
+    elif isinstance(dt, T.MapType):
+        key = clickhouse_type(dt.keyType, nullable=False)
+        val = clickhouse_type(dt.valueType, dt.valueContainsNull)
+        return f"Map({key}, {val})"
+    elif isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"`{f.name}` {clickhouse_type(f.dataType, f.nullable)}"
+            for f in dt.fields
+        )
+        return f"Tuple({inner})"
+    else:
+        base = _SIMPLE_TYPES.get(type(dt))
+    if base is None:
+        raise TypeError(f"no ClickHouse mapping for Spark type {dt}")
+    if nullable:
+        base = f"Nullable({base})"
+    if low_cardinality:
+        base = f"LowCardinality({base})"
+    return base
+
+
+def clickhouse_ddl(
+    schema: T.StructType,
+    table: str,
+    order_by: list[str] | None = None,
+    low_cardinality: set[str] | frozenset[str] | None = None,
+    partition_by: str | None = None,
+    engine: str = "MergeTree",
+) -> str:
+    """CREATE TABLE DDL for ``schema``, shaped for the cgds.sql-style
+    tables the reference's parquet mirrors (README modes section:
+    genetic_alteration / genetic_profile_samples / mutation outputs).
+
+    ``order_by`` defaults to the first column (MergeTree requires an
+    ORDER BY; sort-key columns are emitted non-Nullable, matching the
+    server default that rejects Nullable keys). ``low_cardinality``
+    names dictionary-encoded columns — the natural choice for enum-ish
+    reference columns like chromosome, variant type, or study id.
+    """
+    low_cardinality = low_cardinality or frozenset()
+    key_cols = order_by if order_by is not None else [schema.fields[0].name]
+    missing = set(key_cols) - {f.name for f in schema.fields}
+    if missing:
+        raise ValueError(f"order_by columns not in schema: {sorted(missing)}")
+    cols = ",\n    ".join(
+        "`{}` {}".format(
+            f.name,
+            clickhouse_type(
+                f.dataType,
+                nullable=f.nullable and f.name not in key_cols,
+                low_cardinality=f.name in low_cardinality,
+            ),
+        )
+        for f in schema.fields
+    )
+    order_clause = (
+        "({})".format(", ".join(f"`{c}`" for c in key_cols))
+        if key_cols
+        else "tuple()"
+    )
+    parts = [
+        f"CREATE TABLE IF NOT EXISTS `{table}` (\n    {cols}\n)",
+        f"ENGINE = {engine}",
+    ]
+    if partition_by:
+        parts.append(f"PARTITION BY {partition_by}")
+    parts.append(f"ORDER BY {order_clause}")
+    return "\n".join(parts)
 
 
 def jdbc_writer_options(

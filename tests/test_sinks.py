@@ -132,3 +132,89 @@ def test_bucketed_equality_predicate_prunes_buckets(spark, sf_dir, tmp_path):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
         )
         spark.sql("DROP TABLE IF EXISTS bp_orders")
+
+
+def test_clickhouse_type_mapping():
+    from pyspark.sql import types as T
+
+    cases = [
+        (T.StringType(), False, False, "String"),
+        (T.StringType(), True, False, "Nullable(String)"),
+        (T.StringType(), True, True, "LowCardinality(Nullable(String))"),
+        (T.LongType(), False, False, "Int64"),
+        (T.IntegerType(), True, False, "Nullable(Int32)"),
+        (T.DoubleType(), False, False, "Float64"),
+        (T.BooleanType(), False, False, "Bool"),
+        (T.DateType(), False, False, "Date32"),
+        (T.TimestampType(), True, False, "Nullable(DateTime64(6))"),
+        (T.DecimalType(18, 4), False, False, "Decimal(18, 4)"),
+        (T.BinaryType(), False, False, "String"),
+    ]
+    for dt, nullable, lc, want in cases:
+        assert ch.clickhouse_type(dt, nullable, lc) == want
+    # composites: Nullable moves inside, never wraps the container
+    arr = T.ArrayType(T.StringType(), containsNull=True)
+    assert ch.clickhouse_type(arr, nullable=True) == "Array(Nullable(String))"
+    mp = T.MapType(T.StringType(), T.LongType(), valueContainsNull=True)
+    assert ch.clickhouse_type(mp, nullable=True) == "Map(String, Nullable(Int64))"
+    st = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    assert ch.clickhouse_type(st) == "Tuple(`a` Int64, `b` Nullable(String))"
+    with pytest.raises(TypeError, match="no ClickHouse mapping"):
+        ch.clickhouse_type(T.NullType())
+
+
+def test_clickhouse_ddl_snapshot_mutation_event():
+    """DDL for the cgds.sql-shaped mutation_event output
+    (reference README modes: *_mutation_event.parquet)."""
+    from clickhouse_only_importer_prototype_spark.schemas import (
+        MUTATION_EVENT_SCHEMA,
+    )
+
+    ddl = ch.clickhouse_ddl(
+        MUTATION_EVENT_SCHEMA,
+        "mutation_event",
+        order_by=["MUTATION_EVENT_ID"],
+        low_cardinality={"CHR", "MUTATION_TYPE", "NCBI_BUILD"},
+    )
+    lines = ddl.splitlines()
+    assert lines[0] == "CREATE TABLE IF NOT EXISTS `mutation_event` ("
+    assert "    `MUTATION_EVENT_ID` Int64" in ddl  # sort key: non-Nullable
+    assert "`CHR` LowCardinality(Nullable(String))" in ddl
+    assert "`ENTREZ_GENE_ID` Nullable(String)" in ddl
+    assert ddl.endswith("ENGINE = MergeTree\nORDER BY (`MUTATION_EVENT_ID`)")
+    # every schema field appears exactly once
+    assert sum(l.strip().startswith("`") for l in lines) == len(
+        MUTATION_EVENT_SCHEMA.fields
+    )
+
+
+def test_clickhouse_ddl_partition_and_validation(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("study_id", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ddl = ch.clickhouse_ddl(
+        schema,
+        "samples",
+        order_by=["study_id", "ts"],
+        partition_by="toYYYYMM(ts)",
+    )
+    assert "PARTITION BY toYYYYMM(ts)" in ddl
+    assert "ORDER BY (`study_id`, `ts`)" in ddl
+    assert "`study_id` String" in ddl and "`ts` DateTime64(6)" in ddl
+    with pytest.raises(ValueError, match="order_by columns not in schema"):
+        ch.clickhouse_ddl(schema, "samples", order_by=["nope"])
+    # default: first column is the sort key
+    assert "ORDER BY (`study_id`)" in ch.clickhouse_ddl(schema, "samples")
+    # the DDL is accepted by a SQL parser as a create statement shape
+    assert ddl.count("(") == ddl.count(")")
