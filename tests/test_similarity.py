@@ -5,6 +5,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from clickhouse_only_importer_prototype_spark.operators import similarity
 
 
@@ -172,3 +174,18 @@ def test_quantize_embeddings_preserves_cosine(spark, embeddings):
         qb = got[b][1].astype(np.float64)
         cos_q = qa @ qb / (np.linalg.norm(qa) * np.linalg.norm(qb))
         assert abs(cos_f - cos_q) < 0.02, (a, b, cos_f, cos_q)
+
+
+def test_topk_recall_floor_semantics(spark, embeddings):
+    from clickhouse_only_importer_prototype_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        topk_recall,
+    )
+
+    q = embeddings.where(F.col("vec_id") < 5)
+    truth = cosine_topk_bruteforce(embeddings, q, k=3)
+    # perfect recall against itself; impossible floor flips the bit
+    row = topk_recall(truth, truth, "self", 1000).first()
+    assert row.variant == "self" and row.meets_floor
+    assert row.truth_pairs == truth.count()
+    assert not topk_recall(truth, truth.limit(0), "none", 1).first().meets_floor
