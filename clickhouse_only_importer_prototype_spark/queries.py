@@ -1979,6 +1979,63 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ingest_dedup",
+    f"SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM documents",
+)
+def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (streaming/dedup.dedup_stream) driven
+    end-to-end as a batch twin: the documents fixture streams through
+    an availableNow file source, engine-native dropDuplicates state
+    suppresses re-seen fingerprints, and the surviving rows land in an
+    in-memory sink.
+
+    Which doc_id survives a duplicate group is arrival-order dependent
+    (dropDuplicates keeps the first row the state store sees), so the
+    deterministic contract — and the oracle — is the surviving
+    FINGERPRINT SET, which must equal dedup_exact's group keys
+    (SELECT DISTINCT md5(normalized text)). The memory sink is a
+    test/gate convenience; production ingest writes the same stream to
+    parquet (sinks/parquet.py) with identical dedup semantics."""
+    import os
+    import tempfile
+    import uuid
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        dedup as streaming_dedup,
+    )
+
+    schema = load(spark, sf_dir, "documents").select("doc_id", "text").schema
+    work = tempfile.mkdtemp(prefix="ingest_dedup_")
+    src = os.path.join(work, "src")
+    os.mkdir(src)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src, "documents.parquet"),
+    )
+    name = "ingest_dedup_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+    handle = (
+        streaming_dedup.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    handle.awaitTermination()
+    return spark.table(name).select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fp")
+    )
+
+
 # oracled queries whose component already holds a second, stronger
 # CORRECTNESS row — these sit LAST within the oracled class so that the
 # driver's bounded recording window (observed: 50 entries) spends its
