@@ -25,6 +25,7 @@ def rank_gapless(
     order_cols: list[str],
     bounds: list[int] | None = None,
     id_col: str = "seq_id",
+    bucket_counts: list[int] | None = None,
 ) -> DataFrame:
     """Append ``id_col`` = dense 0-based rank over ``order_cols``.
 
@@ -34,7 +35,17 @@ def rank_gapless(
     calibrated); without them the key domain splits uniformly from one
     min/max pass. The full (order_cols) tuple must be unique per row
     for a deterministic ranking — the same contract as ORDER BY.
+
+    ``bucket_counts`` (requires ``bounds``; entry i = exact row count
+    of bucket i) skips the counting data-pass entirely — the caller
+    vouches the counts match ``df``, e.g. from parquet row-group
+    metadata when the bounds sit on row-group gaps
+    (stats.aligned_counts_from_stats). The single remaining data pass
+    is the rank itself. Wrong counts would overlap id ranges, so pass
+    them only from exact metadata over the UNFILTERED scan.
     """
+    if bucket_counts is not None and not bounds:
+        raise ValueError("bucket_counts requires explicit bounds")
     key = order_cols[0]
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -50,10 +61,15 @@ def rank_gapless(
             F.floor((F.col(key) - F.lit(int(lo))) * n_parts / span),
         ).cast("int")
     bucketed = df.withColumn("__bkt", bucket)
-    counts = {
-        r["__bkt"]: r["cnt"]
-        for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
-    }
+    if bucket_counts is not None:
+        counts = {i: c for i, c in enumerate(bucket_counts) if c}
+    else:
+        counts = {
+            r["__bkt"]: r["cnt"]
+            for r in bucketed.groupBy("__bkt")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
     offsets, acc = [], 0
     for b in sorted(counts):
         offsets.append((b, acc))

@@ -661,14 +661,25 @@ def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     try:
-        bounds = stats.boundaries_from_stats(
-            stats.parquet_rowgroup_stats(
-                f"{sf_dir}/lineitem.parquet", "l_orderkey"
-            ),
-            n_parts,
+        segs = stats.parquet_rowgroup_stats(
+            f"{sf_dir}/lineitem.parquet", "l_orderkey"
         )
     except Exception:
-        bounds = []
+        segs = []
+    # key-sorted multi-row-group layout: cut on row-group gaps and take
+    # EXACT counts from the footers — the counting data-pass vanishes
+    # and the rank is the only scan. The small-SF fixtures are a single
+    # row group, so they take the counted path; the aligned path is
+    # differential-tested on multi-group files (tests/test_stats.py).
+    aligned = stats.aligned_counts_from_stats(segs, n_parts)
+    if aligned:
+        return ids_ops.rank_gapless(
+            l,
+            ["l_orderkey", "l_linenumber"],
+            bounds=aligned[0],
+            bucket_counts=aligned[1],
+        )
+    bounds = stats.boundaries_from_stats(segs, n_parts)
     return ids_ops.rank_gapless(
         l, ["l_orderkey", "l_linenumber"], bounds=bounds
     ).select("l_orderkey", "l_linenumber", "seq_id")

@@ -145,3 +145,58 @@ def bucket_expr(col: Column | str, bounds: list[int]) -> Column:
         lambda a, b: a + b,
         [(c > F.lit(int(v))).cast("int") for v in bounds],
     ).cast("int")
+
+
+def aligned_counts_from_stats(
+    segs: list[tuple[float, float, int]], n_buckets: int
+) -> tuple[list[int], list[int]] | None:
+    """(bounds, exact per-bucket row counts) cut ONLY at row-group key
+    gaps — or None when the footer layout can't support it.
+
+    When a cut sits at a gap (every earlier row group's max < every
+    later one's min), ``bucket_expr``'s strict-``>`` assignment puts
+    exactly the earlier groups' rows below it, so the per-bucket counts
+    are the row-group ``num_rows`` sums: EXACT from metadata, no
+    counts data-pass needed (rank_gapless accepts them as
+    ``bucket_counts``). Key-sorted ingest — the common shape for large
+    sorted fact tables — has a gap at nearly every group edge; a
+    single-row-group file (the small-SF fixtures) or overlapping
+    groups return None and callers fall back to the counted path.
+
+    Cuts greedily chase the uniform target total/n_buckets, so balance
+    is row-group-granular: within 1 group size of even.
+    """
+    if not segs or n_buckets <= 1:
+        return None
+    s = sorted(segs, key=lambda x: (x[0], x[1]))
+    total = sum(r for _, _, r in s)
+    if total == 0:
+        return None
+    # gap before group i: all groups 0..i-1 end strictly below min_i
+    prefix_max = []
+    running = None
+    for mn, mx, _ in s:
+        running = mx if running is None else max(running, mx)
+        prefix_max.append(running)
+    gaps = {i for i in range(1, len(s)) if s[i][0] > prefix_max[i - 1]}
+    if not gaps:
+        return None
+    target = total / n_buckets
+    bounds: list[int] = []
+    counts: list[int] = []
+    acc = 0  # rows in groups before i
+    used = 0  # rows already assigned to closed buckets
+    for i, (_, _, rows) in enumerate(s):
+        if (
+            i in gaps
+            and len(bounds) < n_buckets - 1
+            and acc >= target * (len(bounds) + 1)
+        ):
+            bounds.append(int(prefix_max[i - 1]))
+            counts.append(acc - used)
+            used = acc
+        acc += rows
+    if not bounds:
+        return None
+    counts.append(total - used)
+    return bounds, counts

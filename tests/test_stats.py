@@ -174,3 +174,72 @@ def test_rank_gapless_empty_input(spark):
     out = rank_gapless(empty, ["k", "line"])
     assert out.columns == ["k", "line", "seq_id"]
     assert out.count() == 0
+
+
+def test_aligned_counts_sorted_multigroup(spark, tmp_path):
+    """Key-sorted multi-row-group file: cuts sit on group gaps, counts
+    come from footers only, and rank_gapless with them reproduces the
+    global ORDER BY ids with a single data pass."""
+    from clickhouse_only_importer_prototype_spark.operators.ids import rank_gapless
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    # sorted pareto keys with duplicates -> groups disjoint, gaps real
+    keys = np.sort((rng.pareto(1.2, n) * 500).astype("int64"))
+    path = _write_skewed(tmp_path, keys, row_group_size=1000)
+    segs = stats.parquet_rowgroup_stats(path, "k")
+    assert len(segs) == 20
+    aligned = stats.aligned_counts_from_stats(segs, 8)
+    assert aligned is not None
+    bounds, counts = aligned
+    assert sum(counts) == n and len(counts) == len(bounds) + 1
+    # counts are exact: every bucket's metadata count matches the data
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    real = {
+        r["b"]: r["cnt"]
+        for r in df.groupBy(stats.bucket_expr("k", bounds).alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert [real.get(i, 0) for i in range(len(counts))] == counts
+    out = rank_gapless(df, ["k", "line"], bounds=bounds, bucket_counts=counts)
+    pdf = out.toPandas().sort_values(["k", "line"]).reset_index(drop=True)
+    assert pdf["seq_id"].tolist() == list(range(n))
+    # the plan has NO count aggregate: the only data pass is the rank
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+
+
+def test_aligned_counts_refuses_unsorted_and_single_group(tmp_path):
+    rng = np.random.default_rng(6)
+    # single row group -> no gaps
+    (tmp_path / "one").mkdir()
+    one = _write_skewed(tmp_path / "one", np.arange(100, dtype="int64"), 1000)
+    assert (
+        stats.aligned_counts_from_stats(
+            stats.parquet_rowgroup_stats(one, "k"), 8
+        )
+        is None
+    )
+    # unsorted write -> groups overlap -> no usable gaps
+    import pandas as pd_
+
+    p = str(tmp_path / "shuf.parquet")
+    keys = rng.permutation(np.arange(10_000, dtype="int64"))
+    tbl = pa.table({"k": keys, "line": np.arange(10_000, dtype="int64")})
+    pq.write_table(tbl, p, row_group_size=1000)
+    assert (
+        stats.aligned_counts_from_stats(
+            stats.parquet_rowgroup_stats(p, "k"), 8
+        )
+        is None
+    )
+    with pytest.raises(ValueError, match="bucket_counts requires"):
+        from clickhouse_only_importer_prototype_spark.operators.ids import (
+            rank_gapless,
+        )
+
+        rank_gapless(None, ["k"], bounds=None, bucket_counts=[1])
