@@ -9,6 +9,12 @@ Each query is forced end-to-end with a noop sink (full compute, no
 collect/serialize overhead). Session startup is excluded; per-query
 times are a single measured run after one tiny warm-up query to JIT
 the session.
+
+Repeatable 10x stress gate (one command, mechanical diff per round):
+  python bench.py --gen-10x /tmp/sf10x      # deterministic 10x tables
+  python bench.py --sf-dir /tmp/sf10x       # same JSON line at 10x
+``--sf-dir`` overrides $SPARK_GRAFT_SF_DIR; the default invocation the
+driver uses is unchanged.
 """
 
 from __future__ import annotations
@@ -23,6 +29,121 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from clickhouse_only_importer_prototype_spark import queries as q  # noqa: E402
 from clickhouse_only_importer_prototype_spark.session import get_spark  # noqa: E402
 
+# key column -> FK domain; every replica shifts a domain's keys by
+# i * (domain max + 1) so uniqueness AND referential joins survive
+_KEY_DOMAINS = {
+    "c_custkey": "custkey",
+    "o_custkey": "custkey",
+    "o_orderkey": "orderkey",
+    "l_orderkey": "orderkey",
+    "p_partkey": "partkey",
+    "l_partkey": "partkey",
+    "s_suppkey": "suppkey",
+    "l_suppkey": "suppkey",
+    "event_id": "event_id",
+    "user_id": "user_id",
+    "doc_id": "doc_id",
+    "vec_id": "vec_id",
+}
+_DOMAIN_SOURCE = {  # domain size comes from the owning table's key
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+_COPY_ONLY = {"region", "nation"}  # dimensions: same at every scale
+
+
+def gen_10x(src_dir: str, out_dir: str, copies: int = 10) -> None:
+    """Deterministic ``copies``x replication of the sf tables.
+
+    pyarrow end-to-end (NOT DuckDB: events carries TIMESTAMP(NANOS),
+    which DuckDB would silently downcast to micros). Facts replicate
+    with per-domain key shifts (FKs stay joinable inside each replica);
+    text/embeddings replicate verbatim, so dedup operators face real
+    duplicate blowup — the regression the 10x gate exists to catch.
+    lineitem is written SORTED by its rank key in 250k-row groups,
+    giving the key-sorted multi-row-group layout that exercises the
+    metadata-only aligned-counts path in surrogate_ids.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    offsets = {
+        dom: int(
+            pc.max(
+                pq.read_table(
+                    f"{src_dir}/{tbl}.parquet", columns=[col]
+                ).column(col)
+            ).as_py()
+        )
+        + 1
+        for dom, (tbl, col) in _DOMAIN_SOURCE.items()
+    }
+    for tbl in _TABLES:
+        base = pq.read_table(f"{src_dir}/{tbl}.parquet")
+        if tbl in _COPY_ONLY:
+            out = base
+        else:
+            shifted = []
+            for i in range(copies):
+                cols = []
+                for name in base.column_names:
+                    col = base.column(name)
+                    dom = _KEY_DOMAINS.get(name)
+                    if dom is not None and i > 0:
+                        col = pc.add(col, i * offsets[dom])
+                    cols.append(col)
+                shifted.append(
+                    pa.table(cols, names=base.column_names)
+                )
+            out = pa.concat_tables(shifted)
+        if tbl == "lineitem":
+            # key-sorted ingest with row groups flushed ON orderkey
+            # boundaries (~250k rows each): every group edge is a key
+            # gap, so surrogate_ids' metadata-only aligned-counts path
+            # runs with full bucket parallelism at 10x
+            import numpy as np
+
+            out = out.sort_by(
+                [("l_orderkey", "ascending"), ("l_linenumber", "ascending")]
+            )
+            keys = out.column("l_orderkey").to_numpy()
+            n = len(keys)
+            cuts, pos = [], 0
+            while pos + 250_000 < n:
+                nxt = pos + 250_000
+                cut = int(np.searchsorted(keys, keys[nxt], side="left"))
+                if cut <= pos:
+                    cut = nxt  # degenerate single-key run
+                cuts.append(cut)
+                pos = cut
+            with pq.ParquetWriter(
+                f"{out_dir}/{tbl}.parquet", out.schema
+            ) as w:
+                prev = 0
+                for c in cuts + [n]:
+                    w.write_table(out.slice(prev, c - prev))
+                    prev = c
+        else:
+            pq.write_table(
+                out, f"{out_dir}/{tbl}.parquet", row_group_size=250_000
+            )
+        print(
+            f"  {tbl}: {out.num_rows} rows -> {out_dir}/{tbl}.parquet",
+            file=sys.stderr,
+        )
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -31,6 +152,15 @@ HEADLINE = [
     "q10_returned_items",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q19_bracket_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_balances",
     "region_rollup",
     "rollup_region_nation",
     "priority_quantiles",
@@ -78,11 +208,21 @@ HEADLINE = [
     "training_manifest",
     "multimodal_resize",
     "decontamination_hits",
+    "ann_recall_check",
+    "ingest_dedup",
 ]
 
 
 def main() -> None:
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--gen-10x":
+        out = argv[1] if len(argv) > 1 else "/tmp/sf10x_synth"
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        gen_10x(src, out)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(argv) >= 2 and argv[0] == "--sf-dir":
+        sf_dir = argv[1]
     spark = get_spark(app_name="cips-bench")
     registry = q.queries()
 

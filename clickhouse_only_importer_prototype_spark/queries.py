@@ -398,6 +398,456 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_priority_exists",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS -> left-semi join -> 5-row agg
+    (the slim schema has no commit/receipt dates, so the existence
+    predicate is a returned line — same semi-join plan).
+
+    Scale: both sides shuffle once on orderkey for the semi join (the
+    filtered quarter of orders and the R-flag slice of lineitem); semi
+    join emits at most one row per order, so the aggregate input is
+    bounded by the orders slice.
+    """
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             {_SQL_REV.replace('l_', 'l.l_')} AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year between two nations.
+
+    Scale: nation (twice) and supplier broadcast; the symmetric
+    nation-pair predicate prunes rows before the one orders⨝lineitem
+    shuffle; customer broadcasts onto orders. Output is 2 pairs × years.
+    """
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(floor(1000000.0 *
+                 CAST(CAST(COALESCE(SUM(CASE WHEN nation = 'NATION_1'
+                                             THEN volume END),
+                                    0) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE))
+                AS BIGINT) AS mkt_share_1e6
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             {_SQL_REV.replace('l_', 'l.l_')} AS volume,
+             n2.n_name AS nation
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's PROMO-part revenue
+    per year, as int-scaled micro-units (floor(share * 1e6) — both
+    engines divide the identical decimal-sum doubles, so the quotient
+    is bit-stable).
+
+    Scale: every dimension broadcasts (part's type filter first);
+    orders⨝lineitem is again the only shuffle. The conditional
+    numerator uses null-skipping SUM(CASE) so no decimal-vs-zero type
+    unification is involved.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = _revenue()
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    num = F.sum(F.when(F.col("nation") == "NATION_1", vol)).cast("double")
+    den = F.sum(vol).cast("double")
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.floor(F.lit(1000000.0) * F.coalesce(num, F.lit(0.0)) / den)
+        .cast("long")
+        .alias("mkt_share_1e6")
+    )
+
+
+@register(
+    "q12_priority_lines",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + dual conditional counts (the
+    slim schema keys the CASE on order priority instead of shipmode).
+
+    Scale: one shuffle join on orderkey, two ELSE-0 counting sums with
+    map-side combine — shuffle output is |linestatus| rows/partition.
+    """
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                           AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of orders-per-customer, keeping zero-order
+    customers via the left outer join (priority filter stands in for
+    the comment anti-pattern).
+
+    Scale: one shuffle join on custkey, then per-customer counts whose
+    re-aggregation input is |customers| rows; the second groupBy's
+    domain is tiny (max orders per customer).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(floor(1000000.0 *
+             CAST(CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+                                         THEN {_SQL_REV.replace('l_', 'l.l_')}
+                                    END), 0) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM({_SQL_REV.replace('l_', 'l.l_')})
+                    AS VARCHAR) AS DOUBLE)) AS BIGINT) AS promo_share_1e6
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo parts' revenue share in one month, int-scaled.
+
+    Scale: part broadcasts onto the month slice of lineitem; a single
+    global aggregate row — partials combine map-side, the final reduce
+    sees one row per partition.
+    """
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    p = load(spark, sf_dir, "part")
+    vol = _revenue()
+    num = F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double")
+    den = F.sum(vol).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.floor(
+                F.lit(1000000.0) * F.coalesce(num, F.lit(0.0)) / den
+            )
+            .cast("long")
+            .alias("promo_share_1e6")
+        )
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    f"""
+    SELECT CAST(CAST(SUM({_SQL_REV.replace('l_', 'l.l_')}) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND predicate brackets across the join
+    (brand/size/quantity stand in for the container/shipmode columns
+    the slim schema lacks).
+
+    Scale: Catalyst pushes the brand/size disjunction down to the part
+    scan (visible in PushedFilters) and part broadcasts; the residual
+    per-bracket quantity conjunctions evaluate post-join, JVM codegen.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity").cast("double")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & q.between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(20, 50)
+            & q.between(20, 50)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(bracket)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole at-fault supplier in multi-supplier
+    finalized orders — correlated EXISTS + NOT EXISTS as semi/anti
+    joins (returnflag stands in for the receipt-after-commit lag).
+
+    Scale: all three lineitem roles shuffle on the SAME key
+    (orderkey), so the exchanges line up; orders' F-filter joins on
+    that key too; supplier broadcasts for the name. Top-20 sorts the
+    |suppliers|-bounded aggregate only.
+    """
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_balances",
+    """
+    WITH pos AS (
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                  AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey IN (3, 8, 13, 18, 23)
+    )
+    SELECT c.c_nationkey AS cntry, COUNT(*) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2)))
+                AS VARCHAR) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_nationkey IN (3, 8, 13, 18, 23)
+      AND CAST(c.c_acctbal AS DOUBLE) > pos.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    grouped by country (nationkey stands in for the phone prefix).
+
+    Scale: the scalar average is a one-row broadcast cross join (exact
+    decimal sum / count, so both engines derive the identical double
+    threshold); the NOT EXISTS is a shuffle anti join on custkey.
+    """
+    sel = F.col("c_nationkey").isin(3, 8, 13, 18, 23)
+    c = load(spark, sf_dir, "customer").where(sel)
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "region_rollup",
     """
     SELECT r.r_name,
@@ -668,11 +1118,15 @@ def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         segs = []
     # key-sorted multi-row-group layout: cut on row-group gaps and take
     # EXACT counts from the footers — the counting data-pass vanishes
-    # and the rank is the only scan. The small-SF fixtures are a single
-    # row group, so they take the counted path; the aligned path is
-    # differential-tested on multi-group files (tests/test_stats.py).
+    # and the rank is the only scan. Only worth it when enough gaps
+    # exist to keep the rank parallel (each bucket is one window task);
+    # too-few gaps, a single row group (the small-SF fixtures), or
+    # overlapping groups fall back to the counted two-pass. The aligned
+    # path is differential-tested on multi-group files
+    # (tests/test_stats.py) and exercised at scale by the 10x gate
+    # (bench.py --gen-10x writes lineitem key-aligned).
     aligned = stats.aligned_counts_from_stats(segs, n_parts)
-    if aligned:
+    if aligned and len(aligned[1]) >= max(2, n_parts // 2):
         return ids_ops.rank_gapless(
             l,
             ["l_orderkey", "l_linenumber"],
