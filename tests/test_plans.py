@@ -143,3 +143,43 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
     assert "Exchange" not in physical
     assert "BatchEvalPython" not in physical
     assert "ArrowEvalPython" not in physical
+
+
+def test_q19_or_brackets_pushed_to_both_scans(spark, sf_dir):
+    plan = _formatted(q.q19_bracket_revenue(spark, sf_dir))
+    scans = {
+        seg.split("Location")[0]: seg
+        for seg in plan.split("\n\n")
+        if "PushedFilters" in seg
+    }
+    part = next(s for s in scans.values() if "part.parquet" in s)
+    line = next(s for s in scans.values() if "lineitem.parquet" in s)
+    # brand/size disjunction reaches the part scan...
+    assert "Or(" in part.split("PushedFilters")[1].splitlines()[0]
+    assert "EqualTo(p_brand,Brand#1)" in part
+    # ...and the per-bracket quantity envelope reaches lineitem
+    assert "l_quantity" in line.split("PushedFilters")[1].splitlines()[0]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_semi_and_anti_share_orderkey_exchanges(spark, sf_dir):
+    plan = _plan(q.q21_waiting_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # supplier rides in as a broadcast for the name lookup
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q8_only_fact_join_shuffles(spark, sf_dir):
+    plan = _plan(q.q8_market_share(spark, sf_dir))
+    # 7 dimension joins broadcast; orders⨝lineitem is the lone shuffle
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_not_inner(spark, sf_dir):
+    plan = _plan(q.q4_priority_exists(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # EXISTS must not degenerate into an inner join + distinct
+    assert "Distinct" not in plan
