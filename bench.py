@@ -210,6 +210,9 @@ HEADLINE = [
     "decontamination_hits",
     "ann_recall_check",
     "ingest_dedup",
+    "stratified_lang_sample",
+    "source_quota_sample",
+    "domain_mixture",
 ]
 
 

@@ -16,7 +16,7 @@ stable forever.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 BUCKETS = 10_000  # per-myriad resolution: weights are exact to 0.01%
 
@@ -82,3 +82,64 @@ def hash_sample(
     a subset of the 10% sample)."""
     cut = round(rate * BUCKETS)
     return df.where(_hash_bucket(F.col(id_col), salt) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Per-group deterministic subsample: keep each row of group g with
+    probability ``rates[g]`` (``default_rate`` for unlisted groups),
+    decided by the salted id hash.
+
+    The mixture-rebalancing primitive (up/down-weight languages or
+    sources to a target distribution) with the same guarantees as
+    hash_sample: pure row-local projection — no shuffle, no rand(),
+    stable under retries — and nested (a group's 1% is a subset of its
+    10% under the same salt).
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate out of [0,1] for {g!r}: {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate out of [0,1]: {default_rate}")
+    cut: Column = F.lit(round(default_rate * BUCKETS))
+    for g, r in rates.items():
+        cut = F.when(F.col(group_col) == g, F.lit(round(r * BUCKETS))).otherwise(cut)
+    return df.where(_hash_bucket(F.col(id_col), salt) < cut)
+
+
+def quota_per_group(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Cap each group at ``quota`` rows, chosen deterministically by
+    the salted id hash (a uniform random-but-stable draw, NOT head-of-
+    file order, which over-represents whatever sorted first).
+
+    The domain-capping primitive: stop one crawl source from dominating
+    the mixture. Shape: per-group top-K via row_number over the hash —
+    one shuffle on group_col, windows run per-group in parallel. A
+    group with far more rows than the quota is exactly the hot-key case
+    the hash order tolerates (ties broken by id, so the draw is total);
+    for quotas in the millions prefer two-stage: hash_sample down to
+    ~quota-scale first, then cap exactly.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1: {quota}")
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

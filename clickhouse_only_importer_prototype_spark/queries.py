@@ -1905,6 +1905,75 @@ def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_lang_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SQL_HASH_BUCKET.format(salt="strat-v1")} <
+          CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000 ELSE 10000 END
+    """,
+)
+def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing (operators/sampling.stratified_sample):
+    downsample dominant languages (en 20%, de 50%), keep the tail —
+    a pure row-local projection with per-group hash cuts, reproduced
+    cut-for-cut by the oracle."""
+    return sampling_ops.stratified_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"),
+        rates={"en": 0.2, "de": 0.5},
+        default_rate=1.0,
+    )
+
+
+@register(
+    "source_quota_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) ranked WHERE rn <= 20
+    """,
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (operators/sampling.quota_per_group): at most 20
+    docs per crawl source, drawn by salted hash (stable, uniform — not
+    head-of-file). One shuffle on source; per-group windows in
+    parallel. Oracle orders by the identical md5 hex string."""
+    return sampling_ops.quota_per_group(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        quota=20,
+    )
+
+
+@register(
+    "domain_mixture",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                         - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', ''))
+                         + 1 END) AS n_tokens
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture report: docs and whitespace tokens per
+    (source, lang) cell (operators/text.token_count) — the table a
+    mixture-weighting pass reads before setting stratified rates.
+    One partial-agg shuffle of |sources × langs| cells."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text_ops.token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+@register(
     "sequence_packing",
     """
     WITH t AS (

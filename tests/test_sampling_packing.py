@@ -101,3 +101,44 @@ def test_pack_sequences_empty_input(spark):
     out = packing.pack_sequences(empty, "n", budget=128)
     assert out.columns == ["doc_id", "n_tokens", "start_tok", "seq_first", "seq_last"]
     assert out.count() == 0
+
+
+def test_stratified_sample_rates_and_nesting(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = sampling.stratified_sample(
+        docs, rates={"en": 0.2}, default_rate=1.0
+    )
+    en_total = docs.where("lang = 'en'").count()
+    en_kept = out.where("lang = 'en'").count()
+    assert 0.05 < en_kept / en_total < 0.4  # ~20% of the dominant group
+    # non-listed groups ride through untouched
+    assert (
+        out.where("lang <> 'en'").count() == docs.where("lang <> 'en'").count()
+    )
+    # nesting: the 10% en sample is a subset of the 20% one
+    tighter = sampling.stratified_sample(docs, rates={"en": 0.1}, default_rate=1.0)
+    a = {r.doc_id for r in tighter.where("lang='en'").collect()}
+    b = {r.doc_id for r in out.where("lang='en'").collect()}
+    assert a <= b
+    with pytest.raises(ValueError, match="rate out of"):
+        sampling.stratified_sample(docs, rates={"en": 1.5})
+
+
+def test_quota_per_group_caps_exactly_and_stably(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = sampling.quota_per_group(docs, quota=5)
+    sizes = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    orig = {r.source: r.n for r in docs.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    for src, n in sizes.items():
+        assert n == min(5, orig[src])
+    # deterministic: same draw on re-evaluation
+    again = {r.doc_id for r in sampling.quota_per_group(docs, quota=5).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+    with pytest.raises(ValueError, match="quota"):
+        sampling.quota_per_group(docs, quota=0)
