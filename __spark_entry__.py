@@ -35,7 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; approximate / hash-based ops
-    (minhash, simhash, LSH ANN) are intentionally omitted -> the driver
-    records the weaker rows-only check for those."""
+    """DuckDB-equivalent SQL per query. Only the approximate ANN top-k
+    sets and the mapInPandas codec stubs are omitted (rows-only); their
+    recall/plumbing is still gated via ann_recall_check and pytest."""
     return _q.oracle_sql()

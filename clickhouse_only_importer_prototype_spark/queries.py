@@ -756,41 +756,38 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole at-fault supplier in multi-supplier
-    finalized orders — correlated EXISTS + NOT EXISTS as semi/anti
-    joins (returnflag stands in for the receipt-after-commit lag).
+    finalized orders — correlated EXISTS + NOT EXISTS (returnflag
+    stands in for the receipt-after-commit lag).
 
-    Scale: all three lineitem roles shuffle on the SAME key
-    (orderkey), so the exchanges line up; orders' F-filter joins on
-    that key too; supplier broadcasts for the name. Top-20 sorts the
-    |suppliers|-bounded aggregate only.
+    Scale: instead of the literal semi + anti joins (three lineitem
+    exchanges on orderkey), ONE per-order aggregate computes distinct
+    suppliers and distinct at-fault suppliers; for an R-flagged l1 row,
+    EXISTS(other supplier) == n_supp >= 2 and NOT EXISTS(other at-fault
+    supplier) == n_r_supp == 1. Two lineitem shuffles total (aggregate
+    + join, both on orderkey), with map-side partial aggregation; row
+    multiplicity of l1 is preserved, so counts match the correlated
+    form exactly. supplier broadcasts for the name; top-20 sorts only
+    the |suppliers|-bounded aggregate.
     """
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = (
-        li.where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .alias("l3")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("__n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__n_r_supp"),
+    )
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
     )
     base = (
-        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+        l1.join(per_order, "l_orderkey")
+        .where((F.col("__n_supp") >= 2) & (F.col("__n_r_supp") == 1))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
     )
     return (
-        base.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        base.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

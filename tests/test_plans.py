@@ -163,9 +163,12 @@ def test_q19_or_brackets_pushed_to_both_scans(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_semi_and_anti_share_orderkey_exchanges(spark, sf_dir):
+def test_q21_exists_folds_into_one_aggregate(spark, sf_dir):
     plan = _plan(q.q21_waiting_supplier(spark, sf_dir))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # the correlated EXISTS/NOT EXISTS pair is ONE per-order aggregate
+    # with map-side combine, not semi+anti joins (3 exchanges -> 2)
+    assert "partial_count(distinct" in plan or "count(distinct" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
     # supplier rides in as a broadcast for the name lookup
     assert "BroadcastHashJoin" in plan
