@@ -164,6 +164,10 @@ HEADLINE = [
     "region_rollup",
     "rollup_region_nation",
     "priority_quantiles",
+    "hll_distinct_audit",
+    "order_gaps",
+    "customer_spend_deciles",
+    "embedding_norm_stats",
     "window_topk_orders",
     "segment_distinct_stats",
     "union_all_slices",

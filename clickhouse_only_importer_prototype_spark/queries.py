@@ -917,6 +917,179 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_distinct_audit",
+    """
+    SELECT 'o_custkey' AS col,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS approx_ok
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority' AS col,
+           COUNT(DISTINCT o_orderpriority) AS exact_distinct,
+           TRUE AS approx_ok
+    FROM orders
+    """,
+)
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch audit: HyperLogLog++ distinct counts checked against the
+    exact ones in-engine, oracle-pinned like ann_recall_check — the
+    exact side reproduces in SQL, the sketch side folds into a
+    tolerance boolean (rsd 5% -> assert within 15%), so sketch
+    regressions fail the hard gate.
+
+    Scale rationale: at 100 TB exact COUNT(DISTINCT key) over a
+    high-cardinality column shuffles every distinct value; HLL carries
+    a fixed few-KB sketch per partition with map-side merge. The audit
+    certifies the accuracy contract at the SF where exact is cheap.
+    """
+    o = load(spark, sf_dir, "orders")
+
+    def one(col: str) -> DataFrame:
+        exact = F.count_distinct(F.col(col))
+        approx = F.approx_count_distinct(col, rsd=0.05)
+        return o.agg(
+            F.lit(col).alias("col"),
+            exact.alias("exact_distinct"),
+            (
+                F.abs(approx - exact)
+                <= F.lit(0.15) * exact.cast("double")
+            ).alias("approx_ok"),
+        )
+
+    return one("o_custkey").unionByName(one("o_orderpriority"))
+
+
+@register(
+    "order_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(gap_days) AS n_gaps,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer via LAG over a total
+    order ((o_orderdate, o_orderkey) — ties broken, both engines agree
+    row-for-row).
+
+    Scale: one shuffle on custkey; windows run per-customer in
+    parallel (bounded partitions — no global sort); the aggregate
+    reuses the window's exchange.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        o.withColumn("gap_days", gap)
+        .where(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+        )
+    )
+
+
+@register(
+    "customer_spend_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                  AS VARCHAR) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, total_spend,
+             NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+      FROM spend
+    )
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(CAST(total_spend AS VARCHAR)
+                AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS decile_spend
+    FROM tiled GROUP BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend deciles: NTILE(10) over a total order
+    (spend desc, custkey) — both engines tile identically because the
+    order is total and NTILE's floor-division bucket sizes are part of
+    the SQL standard.
+
+    Scale: the global NTILE sorts only the per-customer AGGREGATE
+    (|customers| rows, not |orders|); the per-customer sum shuffles
+    once with map-side combine. Deciles of a 100 TB fact table are
+    really deciles of its distinct-key aggregate — keep the window on
+    the small side of the aggregation.
+    """
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(
+                F.col("total_spend").cast("string").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("decile_spend"),
+        )
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(floor(1000000.0 *
+                 SUM(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))))
+                 / COUNT(*)) AS BIGINT) AS avg_norm_1e6
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean L2 norm of the embedding column, int-scaled —
+    the sanity pass a vector pipeline runs before cosine math
+    (operators/similarity.norm: JVM-side aggregate/zip_with fold,
+    deterministic left-to-right like DuckDB's list_inner_product).
+
+    Scale: pure row-local norm + one partial-agg shuffle of |labels|
+    cells; the array column never leaves the JVM.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = sim_ops.norm(F.col("embedding").cast("array<double>"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.floor(F.lit(1000000.0) * F.sum(nrm) / F.count("*"))
+            .cast("long")
+            .alias("avg_norm_1e6"),
+        )
+        .select(F.col("label").cast("long").alias("label"), "n_vecs", "avg_norm_1e6")
+    )
+
+
+@register(
     "priority_quantiles",
     """
     SELECT o_orderpriority,
