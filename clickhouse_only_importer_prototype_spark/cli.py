@@ -26,6 +26,10 @@ MODES = (
     # many-study corpora (see pipelines.convert_cna_partitioned)
     "convert-cna-partitioned",
     "convert-cna-partitioned-with-derived",
+    # beyond the reference: emit the ClickHouse CREATE TABLE statements
+    # for the five catalog tables (the DDL the JDBC sink's inserts or an
+    # out-of-band parquet load assume on the server)
+    "ddl",
 )
 
 
@@ -34,13 +38,24 @@ def main(argv: list[str] | None = None) -> int:
     # -mode defaults to convert-cna like the reference (cmd/cli/main.go:47-50)
     parser.add_argument("-mode", "--mode", default="convert-cna", choices=MODES)
     parser.add_argument("-tsv-dir", "--tsv-dir", default=None)
-    parser.add_argument("-parquet-dir", "--parquet-dir", required=True)
+    parser.add_argument("-parquet-dir", "--parquet-dir", default=None)
     # combined-output base name, abs or relative (cmd/cli/main.go:59-63)
     parser.add_argument(
         "-output", "--output", default=pipelines.DEFAULT_COMBINE_OUTPUT
     )
     args = parser.parse_args(argv)
 
+    if args.mode == "ddl":
+        # no Spark session: schemas are static
+        from clickhouse_only_importer_prototype_spark.sinks.clickhouse import (
+            catalog_ddl,
+        )
+
+        for stmt in catalog_ddl().values():
+            print(stmt, end=";\n\n")
+        return 0
+    if not args.parquet_dir:
+        parser.error("-parquet-dir required for convert/combine modes")
     if args.mode.startswith("convert") and not args.tsv_dir:
         parser.error("-tsv-dir required for convert modes")
 

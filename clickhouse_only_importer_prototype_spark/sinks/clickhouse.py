@@ -195,3 +195,54 @@ def write_clickhouse(
         url, table, batch_size, max_connections=max_connections, **credentials
     )
     _write_jdbc(df, opts, mode, max_connections)
+
+
+# per-catalog-table physical layout: sort key (MergeTree ORDER BY) and
+# dictionary-encoded columns. Keys mirror how cgds.sql-shaped consumers
+# query these tables: alterations by (study, profile, gene), samples by
+# (study, profile), mutations by event id / sample.
+_CATALOG_LAYOUT: dict[str, tuple[list[str], set[str]]] = {
+    "genetic_alterations": (
+        ["CANCER_STUDY", "GENETIC_PROFILE", "GENE_SYMBOL"],
+        {"CANCER_STUDY", "GENETIC_PROFILE"},
+    ),
+    "genetic_profile_samples": (
+        ["CANCER_STUDY", "GENETIC_PROFILE"],
+        {"CANCER_STUDY", "GENETIC_PROFILE"},
+    ),
+    "derived": (
+        ["CANCER_STUDY", "GENETIC_PROFILE", "GENE_SYMBOL", "SAMPLE_ID"],
+        {"CANCER_STUDY", "GENETIC_PROFILE", "ALTERATION"},
+    ),
+    "mutation_event": (
+        ["MUTATION_EVENT_ID"],
+        {"CHR", "MUTATION_TYPE", "NCBI_BUILD", "STRAND", "VARIANT_TYPE"},
+    ),
+    "mutation": (
+        ["MUTATION_EVENT_ID", "SAMPLE_ID"],
+        {"CANCER_STUDY", "GENETIC_PROFILE", "MUTATION_STATUS"},
+    ),
+}
+
+
+def catalog_ddl() -> dict[str, str]:
+    """CREATE TABLE statements for every catalog table (schemas.py
+    ALL_TABLES) — what a ClickHouse instance needs before the JDBC sink
+    (or an out-of-band parquet load) can ingest the engine's outputs.
+    Columns the layout table doesn't know (absent from a schema
+    variant) are ignored per-table."""
+    from clickhouse_only_importer_prototype_spark import schemas
+
+    out = {}
+    for name, schema in schemas.ALL_TABLES.items():
+        order_by, low_card = _CATALOG_LAYOUT.get(name, (None, set()))
+        fields = {f.name for f in schema.fields}
+        if order_by is not None:
+            order_by = [c for c in order_by if c in fields]
+        out[name] = clickhouse_ddl(
+            schema,
+            name,
+            order_by=order_by or None,
+            low_cardinality={c for c in low_card if c in fields},
+        )
+    return out

@@ -218,3 +218,28 @@ def test_clickhouse_ddl_partition_and_validation(spark):
     assert "ORDER BY (`study_id`)" in ch.clickhouse_ddl(schema, "samples")
     # the DDL is accepted by a SQL parser as a create statement shape
     assert ddl.count("(") == ddl.count(")")
+
+
+def test_catalog_ddl_covers_all_tables():
+    from clickhouse_only_importer_prototype_spark import schemas
+
+    ddls = ch.catalog_ddl()
+    assert set(ddls) == set(schemas.ALL_TABLES)
+    for name, stmt in ddls.items():
+        assert stmt.startswith(f"CREATE TABLE IF NOT EXISTS `{name}`")
+        assert "ENGINE = MergeTree" in stmt and "ORDER BY (`" in stmt
+        # every schema column appears
+        for f in schemas.ALL_TABLES[name].fields:
+            assert f"`{f.name}`" in stmt
+    # sort keys are non-Nullable, dictionary columns LowCardinality
+    assert "`CANCER_STUDY` LowCardinality(String)" in ddls["genetic_alterations"]
+    assert "`MUTATION_EVENT_ID` Int64" in ddls["mutation_event"]
+
+
+def test_cli_ddl_mode(capsys):
+    from clickhouse_only_importer_prototype_spark.cli import main
+
+    assert main(["-mode", "ddl"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("CREATE TABLE IF NOT EXISTS") == 5
+    assert out.rstrip().endswith(";")
