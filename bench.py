@@ -165,6 +165,7 @@ HEADLINE = [
     "rollup_region_nation",
     "priority_quantiles",
     "hll_distinct_audit",
+    "orders_profile",
     "order_gaps",
     "customer_spend_deciles",
     "embedding_norm_stats",

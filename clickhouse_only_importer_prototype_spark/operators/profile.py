@@ -1,0 +1,58 @@
+"""Column profiling: per-column row/null/distinct counts in one pass.
+
+The first query any engine user runs against an unfamiliar table, and
+the input to null-threshold data-quality gates. One aggregation job
+emits every column's stats; the wide one-row aggregate is unpivoted to
+(column, n_rows, n_null, n_distinct) long form so downstream checks
+join on column name.
+
+Scale: exact multi-column COUNT(DISTINCT) compiles to a single Expand
++ aggregate — one shuffle, but the Expand multiplies scan rows by the
+column count, the standard exact-profiling cost. ``approx=True`` swaps
+in HyperLogLog++ sketches (no Expand, fixed-size partial state): the
+right default at 100 TB, with hll_distinct_audit certifying the
+accuracy contract in the hard gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct) per profiled column.
+
+    ``n_distinct`` counts non-null distincts (COUNT(DISTINCT col)
+    semantics in both engines). Column order of the output follows
+    ``cols``; row order is undefined (sort downstream).
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+        )
+        aggs.append(distinct(c).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) as (column, n_null, n_distinct)",
+        "n_rows",
+    ).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

@@ -1090,6 +1090,41 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_profile",
+    """
+    SELECT col AS column, (SELECT COUNT(*) FROM orders) AS n_rows,
+           n_null, n_distinct
+    FROM (
+      SELECT 'o_custkey' AS col,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+             COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderpriority) FROM orders
+    ) s
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders (operators/profile.profile_table): one
+    aggregation pass emits rows/nulls/distincts for every profiled
+    column via Expand — the oracle recomputes each column separately,
+    checking the fused pass against the naive per-column form."""
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        profile_table,
+    )
+
+    return profile_table(
+        load(spark, sf_dir, "orders"),
+        cols=["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
     "priority_quantiles",
     """
     SELECT o_orderpriority,

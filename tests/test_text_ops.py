@@ -161,3 +161,26 @@ def test_repetition_features(spark):
     # doc 1: 5 distinct trigrams, each token once
     assert got[1].dup_gram_per_1000 == 0
     assert got[1].top_token_per_1000 == 1000 // 7 * 1 or got[1].top_token_per_1000 == 142
+
+
+def test_profile_table_exact_and_approx(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        profile_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = {r.column: r for r in profile_table(docs, ["doc_id", "lang"]).collect()}
+    n = docs.count()
+    assert prof["doc_id"].n_rows == n and prof["doc_id"].n_null == 0
+    assert prof["doc_id"].n_distinct == n  # primary key
+    assert prof["lang"].n_distinct == docs.select("lang").distinct().count()
+    # approx mode: within HLL tolerance of exact
+    aprof = {
+        r.column: r
+        for r in profile_table(docs, ["doc_id", "lang"], approx=True).collect()
+    }
+    assert abs(aprof["doc_id"].n_distinct - n) <= 0.1 * n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="columns not in"):
+        profile_table(docs, ["nope"])
