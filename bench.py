@@ -166,6 +166,7 @@ HEADLINE = [
     "priority_quantiles",
     "hll_distinct_audit",
     "orders_profile",
+    "sql_yearly_revenue",
     "order_gaps",
     "customer_spend_deciles",
     "embedding_norm_stats",

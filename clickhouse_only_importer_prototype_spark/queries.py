@@ -1090,6 +1090,49 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_yearly_revenue",
+    f"""
+    SELECT year(o.o_orderdate) AS o_year,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(CAST(SUM({_SQL_REV.replace('l_', 'l.l_')}) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def sql_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end path: temp views + ``spark.sql`` — same
+    Catalyst plan as the DataFrame API (this is the one catalog query
+    exercising it, so a user embedding the engine via SQL strings has
+    a gate-checked example). Session-scoped view names are suffixed
+    per sf_dir to avoid collisions across concurrent gates."""
+    tag = abs(hash(sf_dir)) % 100000
+    load(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_v{tag}")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        f"lineitem_v{tag}"
+    )
+    one = "CAST(1 AS DECIMAL(6,4))"
+    rev = (
+        f"CAST(l.l_extendedprice AS DECIMAL(12,2)) * "
+        f"({one} - CAST(l.l_discount AS DECIMAL(6,4)))"
+    )
+    return spark.sql(
+        f"""
+        SELECT year(o.o_orderdate) AS o_year,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(SUM({rev}) AS DOUBLE) AS revenue
+        FROM orders_v{tag} o JOIN lineitem_v{tag} l
+          ON o.o_orderkey = l.l_orderkey
+        GROUP BY year(o.o_orderdate)
+        """
+    ).select(
+        F.col("o_year").cast("long").alias("o_year"),
+        "n_orders",
+        "revenue",
+    )
+
+
+@register(
     "orders_profile",
     """
     SELECT col AS column, (SELECT COUNT(*) FROM orders) AS n_rows,
