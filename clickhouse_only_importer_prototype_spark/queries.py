@@ -2818,6 +2818,373 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H tail: the six reference queries whose canonical form needs the
+# PARTSUPP table, adapted to this corpus's schema (TESTDATA.md has no
+# partsupp) by deriving the part<->supplier relation from lineitem:
+# "supply cost" = min unit price a supplier ever shipped a part at,
+# "stock value" = shipped extended price. Plan SHAPES are the point —
+# correlated min (Q2), multi-dim profit rollup (Q9), HAVING vs a global
+# scalar (Q11), max-equality CTE reuse (Q15), distinct-count + NOT IN
+# (Q16), nested threshold semi-join (Q20).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), scoped AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost
+      FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'AMERICA'
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost FROM scoped
+      GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+    FROM scoped c
+      JOIN best b ON b.l_partkey = c.l_partkey
+                 AND c.unit_cost = b.best_cost
+      JOIN part p ON p.p_partkey = c.l_partkey
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 10 AND p.p_type = 'STANDARD'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): cheapest supplier per part within a region.
+
+    The canonical query's correlated MIN subquery over partsupp becomes
+    a groupBy+join over lineitem-derived unit costs: one shuffle builds
+    per-(part,supplier) min unit price with map-side partial_min, a
+    second tiny groupBy finds the per-part best, and the equality join
+    back is on the already-partitioned part key. supplier/nation/region
+    /part all broadcast; the min-of-identical-doubles equality is
+    bit-stable cross-engine. Scale: the only data-sized shuffle is the
+    first groupBy, keyed (part,supplier) — no skew (pairs are near
+    unique), no window, no correlated re-scan per part (the reference's
+    N+1 subquery shape; cf. reference README modes: single-pass ethos).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    region_suppliers = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    scoped = cost.join(
+        F.broadcast(region_suppliers), cost.l_suppkey == F.col("s_suppkey")
+    )
+    best = scoped.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 10) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        scoped.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year,
+           CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             {_SQL_REV.replace('l_', 'l.l_')}
+               - CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted): profit by supplier nation and order year for
+    parts matching a name pattern; supply cost proxied by
+    p_retailprice (no partsupp in this corpus).
+
+    Scale: part's LIKE filter broadcasts and prunes lineitem FIRST
+    (the selective dimension drives the probe); supplier+nation
+    broadcast; orders joins on the lineitem shuffle key. All decimal
+    arithmetic stays in DECIMAL(38) — same exact sum both engines.
+    """
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = _revenue() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH scoped AS (
+      SELECT l.l_partkey,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS val
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ), per_part AS (
+      SELECT l_partkey, CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) AS value
+      FROM scoped GROUP BY l_partkey
+    ), total AS (
+      SELECT CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) AS grand FROM scoped
+    )
+    SELECT p.l_partkey AS p_partkey, p.value
+    FROM per_part p, total t
+    WHERE p.value > t.grand * 0.001
+    ORDER BY p.value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): parts whose shipped value from one
+    nation's suppliers exceeds a fraction of that nation's total —
+    HAVING against a global scalar subquery.
+
+    Scale: ONE shuffle computes both sides — the per-part partial sums
+    are re-aggregated (32 rows -> 1) for the grand total instead of
+    rescanning lineitem, then the one-row total broadcasts back onto
+    per_part. Threshold compares the identical decimal-sum doubles
+    both engines, so the boundary cannot flip. The canonical query
+    scans partsupp twice; this shape reads the fact table once.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nat_suppliers = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    scoped = li.join(F.broadcast(nat_suppliers), li.l_suppkey == F.col("s_suppkey"))
+    per_part = scoped.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(_dec("l_extendedprice")).alias("dec_value")
+    )
+    # reuse the per-part partials for the grand total: 2000-row agg, no
+    # second pass over lineitem
+    total = per_part.agg(F.sum("dec_value").cast("double").alias("grand"))
+    return (
+        per_part.withColumn("value", F.col("dec_value").cast("double"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("grand") * 0.001)
+        .select("p_partkey", "value")
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1.0 AS DECIMAL(6,4))
+                    - CAST(l_discount AS DECIMAL(6,4)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(CAST(r.total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum revenue in a quarter — the
+    view-reuse query (revenue referenced twice: rows and its MAX).
+
+    Scale: the revenue aggregate is supplier-count-sized (tiny), so it
+    is computed ONCE and the max folds from its partials — a broadcast
+    of the 1-row max back onto it, not a second lineitem scan. The
+    decimal-equality against MAX is exact in both engines. The
+    quarter filter is pushed to the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("total_rev")
+    )
+    best = revenue.agg(F.max("total_rev").alias("best_rev"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("total_rev") == F.col("best_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted): distinct supplier count per part attribute
+    triple, excluding a denylisted supplier set (NOT IN -> broadcast
+    anti-join; the complaints LIKE becomes a name-suffix predicate —
+    this corpus has no s_comment).
+
+    Scale: part's compound predicate broadcasts; the NOT IN side is a
+    100-row broadcast anti-join (null-safe by construction: s_suppkey
+    is a key). count(DISTINCT) expands to the two-level partial
+    aggregate, so no single reducer sees all suppliers of a hot triple.
+    """
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    denied = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(denied), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promotion_parts",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                  AS VARCHAR) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ), part_total AS (
+      SELECT l_partkey, CAST(CAST(SUM(CAST(qty AS DECIMAL(18,2)))
+                        AS VARCHAR) AS DOUBLE) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    ), dominant AS (
+      SELECT DISTINCT sh.l_suppkey
+      FROM shipped sh
+        JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+        JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_name LIKE 'small%' AND sh.qty > pt.total_qty * 0.3
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+      JOIN dominant d ON d.l_suppkey = s.s_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+    ORDER BY s.s_name
+    """,
+)
+def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers who dominate the supply of some
+    name-filtered part in a year (shipped > 30% of the part's total) —
+    the nested threshold semi-join. partsupp availqty becomes shipped
+    quantity; the availqty > 0.5 * SUM(qty) correlated subquery becomes
+    a per-part total re-aggregated from the (supplier, part) partials.
+
+    Scale: one lineitem shuffle on (suppkey, partkey); part_total
+    reuses those partials (no second scan); part's LIKE broadcasts;
+    the dominant-supplier set is distinct-collapsed BEFORE joining the
+    100-row supplier dim. Threshold compares identical decimal-sum
+    doubles, so it cannot flip cross-engine.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("qty")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum(_dec("qty", 18, 2)).cast("double").alias("total_qty")
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    dominant = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .join(part_total, shipped.l_partkey == F.col("pt_partkey"))
+        .where(F.col("qty") > F.col("total_qty") * 0.3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With more than 50 oracled queries registered, WHICH ones
