@@ -3196,26 +3196,38 @@ def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_oracle.py runs the identical side-by-side comparison).
 _WINDOW_PRIORITY = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q10_returned_items",
+    "q10_returned_items",
     "q17_small_quantity_revenue", "q18_large_orders", "region_rollup",
     "priority_quantiles", "window_topk_orders", "segment_distinct_stats",
     "union_all_slices", "pivot_concat_values", "melt_unpivot_part",
-    "surrogate_ids", "events_hourly", "events_sessionize",
+    "surrogate_ids", "events_sessionize",
     "intersect_except_customers", "anti_join_idle_customers",
     "events_json_extract", "events_pivot_counts", "events_sliding_counts",
     "events_asof_join", "events_interval_join", "dedup_exact",
-    "dedup_ngram_jaccard", "text_quality", "text_repetition",
-    "text_redact_pii", "top_trigrams", "lang_id", "corpus_curation",
+    "dedup_ngram_jaccard", "text_quality",
+    "text_redact_pii", "lang_id", "corpus_curation",
     "training_manifest", "doc_fingerprint", "train_val_test_split",
-    "corpus_hash_sample", "sequence_packing", "embedding_quantize",
+    "sequence_packing", "embedding_quantize",
     "ann_cosine_topk", "embedding_neardup", "winnow_fingerprint",
-    "multimodal_meta", "multimodal_frame_plan", "dedup_clusters",
+    "multimodal_meta", "dedup_clusters",
     "decontamination_hits", "dedup_simhash_pairs",
     "minhash_lsh_candidates", "simhash_signatures", "ann_recall_check",
     "ingest_dedup",
+    # round-3 components' primary evidence (each is the only driver row
+    # for its operator family)
+    "orders_profile", "sql_yearly_revenue", "hll_distinct_audit",
+    "domain_mixture", "order_gaps", "customer_spend_deciles",
 ]
-# oracled, but their component already holds a second green row —
-# kept at the very tail of the oracled class
+# oracled, but their component already holds a second green row in the
+# window above — kept at the very tail of the oracled class so the
+# driver's 50-entry cap never displaces a component's ONLY evidence.
+# (q6: scan-agg shape covered by q1/q14; events_hourly: tumbling agg
+# covered by events_sliding_counts; text_repetition/top_trigrams:
+# text-component twins of text_quality; corpus_hash_sample: sampling
+# twin of train_val_test_split; multimodal_frame_plan: twin of
+# multimodal_meta; the adapted TPC-H tail q2/q9/q11/q15/q16/q20 and
+# embedding_norm_stats/stratified_lang_sample/source_quota_sample are
+# family siblings of in-window rows.)
 _REDUNDANT_EVIDENCE_TAIL = ["long_to_values_rebuild", "rollup_region_nation"]
 
 
