@@ -1999,12 +1999,19 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.token_count(F.col("text")).alias("n_tokens"),
         pred.alias("predicted_lang"),
     ).where((F.col("n_tokens") >= 30) & (F.col("predicted_lang") == "en"))
-    # keeper = rank-1 per fingerprint: one shuffle, and the expensive
-    # text projection runs once (a groupBy+semi-join would re-scan it)
-    w = Window.partitionBy("__fp").orderBy("doc_id")
+    # keeper = min doc per fingerprint. n_tokens/predicted_lang are
+    # pure functions of the text, hence CONSTANT within a fingerprint
+    # group — so min() reproduces the keeper's values exactly and the
+    # whole reduction is one partial-agged groupBy: the shuffle carries
+    # per-fp minima, not every duplicate row through a window sort
+    # (same groupBy-beats-window argument as dedup._exact_groups).
     return (
-        filt.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        filt.groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("predicted_lang").alias("predicted_lang"),
+        )
         .select("doc_id", "n_tokens", "predicted_lang")
     )
 
@@ -2053,6 +2060,12 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.select("doc_id", "n_tokens"),
         weights={"train": 0.9, "val": 0.05, "test": 0.05},
     )
+    # pack_sequences makes up to three passes over its input (key
+    # span, bucket totals, ranked output); without a boundary the
+    # whole curation pipeline would re-execute per pass. The frame is
+    # three slim columns per SURVIVING doc — metadata-scale next to
+    # the corpus — so persist is the documented cache-wins exception.
+    split = split.persist()
     packed = packing_ops.pack_sequences(
         split, "n_tokens", budget=2048, carry=["split"]
     )
