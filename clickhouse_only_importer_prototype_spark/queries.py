@@ -1927,12 +1927,26 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: the 20 most document-frequent word
-    trigrams. Map-side combine collapses the exploded shingles before
-    the shuffle; the top-k sorts only the aggregated counts."""
-    sh = text_ops.shingles(load(spark, sf_dir, "documents"), n=3)
+    trigrams, via WEIGHTED rep-collapse: the trigram explode (the cost
+    center) runs once per distinct normalized text, and each rep
+    carries its duplicate count as a weight — doc_freq = sum of
+    weights is exactly the per-doc count, since a shingle's presence
+    is a pure function of the text. Map-side combine collapses the
+    weighted shingles before the shuffle; the top-k sorts only the
+    aggregated counts. (10x stress: 10.0s -> explode shrinks by the
+    dup ratio; on a dup-free corpus the fp pass adds one slim shuffle.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.md5(text_ops._norm(F.col("text"))).alias("__fp"), "text"
+    )
+    wts = keyed.groupBy("__fp").agg(F.count("*").alias("__w"))
+    reps = keyed.dropDuplicates(["__fp"]).withColumnRenamed("__fp", "doc_id")
+    sh = text_ops.shingles(reps, n=3)
     return (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("doc_freq"))
+        sh.join(wts.withColumnRenamed("__fp", "doc_id"), "doc_id")
+        .groupBy("shingle")
+        .agg(F.sum("__w").cast("long").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), "shingle")
         .limit(20)
     )
