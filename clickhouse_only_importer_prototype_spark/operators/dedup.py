@@ -950,6 +950,65 @@ def contamination_pairs(
     )
 
 
+def chunk_dedup(
+    df: DataFrame, text_col: str = "text", chunk_tokens: int = 16
+) -> DataFrame:
+    """Substring-granular exact dedup: fixed-size token chunks, keep
+    the globally FIRST occurrence of each distinct chunk.
+
+    (doc_id, n_chunks, kept_chunks, kept_tokens) per document with at
+    least one token — the bookkeeping a RefinedWeb/Stack-style
+    substring-dedup pass needs to rewrite or drop documents whose
+    content is mostly recycled. "First" = minimum (doc_id, chunk_idx),
+    packed as doc_id * 1_000_000 + idx so the keeper reduction is a
+    single BIGINT min (documents are assumed under 1M chunks — 16M
+    tokens at the default — which every training corpus satisfies).
+
+    Scale: one scan explodes chunks (size/chunk_tokens rows per doc,
+    ~16x fewer than token-level suffix structures), one partial-min
+    groupBy on the chunk hash finds keepers, the join back is on the
+    same hash key (no re-partition under AQE), and the final per-doc
+    rollup shuffles slim counter rows. No all-pairs stage, no global
+    sort — the same bucketed shape as the other dedup operators.
+    """
+    toks = F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    staged = df.select(F.col("doc_id"), toks.alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    ct = F.lit(chunk_tokens)
+    n_chunks = F.ceil(F.size("__toks") / ct).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i * ct + 1, chunk_tokens)),
+    )
+    exploded = staged.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    ).select(
+        "doc_id",
+        "idx",
+        F.md5("chunk").alias("__h"),
+        F.size(F.split(F.col("chunk"), " ")).alias("__ct"),
+        (F.col("doc_id") * 1_000_000 + F.col("idx")).alias("__packed"),
+    )
+    keepers = exploded.groupBy("__h").agg(
+        F.min("__packed").alias("__first_packed")
+    )
+    kept = F.col("__packed") == F.col("__first_packed")
+    return (
+        exploded.join(keepers, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(kept.cast("long")).alias("kept_chunks"),
+            F.sum(F.when(kept, F.col("__ct")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     bench: DataFrame,

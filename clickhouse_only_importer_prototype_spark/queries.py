@@ -2851,6 +2851,107 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i - 1 AS idx,
+             array_to_string(t[(i-1)*16+1 : (i-1)*16+16], ' ') AS chunk
+      FROM toks,
+           UNNEST(range(1, CAST(ceil(len(t) / 16.0) AS BIGINT) + 1)) AS u(i)
+      WHERE len(t) > 0
+    ),
+    keep AS (
+      SELECT md5(chunk) AS h, MIN(doc_id * 1000000 + idx) AS first_packed
+      FROM ch GROUP BY 1
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN c.doc_id * 1000000 + c.idx = k.first_packed
+                    THEN 1 ELSE 0 END) AS kept_chunks,
+           SUM(CASE WHEN c.doc_id * 1000000 + c.idx = k.first_packed
+                    THEN len(string_split(c.chunk, ' ')) ELSE 0 END)
+             AS kept_tokens
+    FROM ch c JOIN keep k ON md5(c.chunk) = k.h
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular exact dedup (operators/dedup.chunk_dedup):
+    16-token chunks, first occurrence kept, per-doc retention
+    bookkeeping. Complements the exact/minhash/simhash/jaccard family
+    at the finer-than-document granularity RefinedWeb-style pipelines
+    rewrite with."""
+    return dedup_ops.chunk_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "stream_hourly",
+    """
+    SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE)
+             AS value_sum
+    FROM events
+    GROUP BY hour_bucket, event_type
+    """,
+)
+def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts (streaming/events.
+    tumbling_counts) driven end-to-end as a batch twin, like
+    ingest_dedup: the events fixture streams through an availableNow
+    file source, the watermarked hourly aggregation runs in UPDATE
+    mode (one batch -> exactly one update row per closed-or-open
+    window), and the memory sink's contents must equal the BATCH
+    hourly rollup (events_hourly's oracle) — pinning that the
+    streaming operator computes the same aggregation the batch engine
+    does. value is cast to DECIMAL before the stream so the sum is
+    exact cross-engine; hour buckets derive from the window start."""
+    import os
+    import tempfile
+    import uuid
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as streaming_events,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_hourly_")
+    src = os.path.join(work, "src")
+    os.mkdir(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    stream = streaming_events.read_events_stream(spark, src).withColumn(
+        "value", _dec("value", 14, 2)
+    )
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    handle = (
+        streaming_events.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    handle.awaitTermination()
+    return spark.table(name).select(
+        (F.col("window_start").cast("long") / 3600)
+        .cast("long")
+        .alias("hour_bucket"),
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H tail: the six reference queries whose canonical form needs the
 # PARTSUPP table, adapted to this corpus's schema (TESTDATA.md has no

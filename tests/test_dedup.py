@@ -353,3 +353,33 @@ def test_contamination_broadcast_opt_out(spark):
         corpus, bench, n=8, broadcast_bench=False
     ).collect()
     assert sorted(map(tuple, forced)) == sorted(map(tuple, free))
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # doc 0: two distinct 4-token chunks; doc 1 repeats doc 0's text
+    # (all chunks recycled); doc 2 shares the first chunk only
+    a = "alpha beta gamma delta"
+    b = "epsilon zeta eta theta"
+    rows = [(0, f"{a} {b}"), (1, f"{a} {b}"), (2, f"{a} iota kappa lam mu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup(df, chunk_tokens=4).collect()
+    }
+    assert out[0].n_chunks == 2 and out[0].kept_chunks == 2
+    assert out[0].kept_tokens == 8
+    assert out[1].kept_chunks == 0 and out[1].kept_tokens == 0
+    # doc 2: chunk0 == a (recycled), chunk1 = "iota kappa lam mu" (new)
+    assert out[2].n_chunks == 2 and out[2].kept_chunks == 1
+    assert out[2].kept_tokens == 4
+
+
+def test_chunk_dedup_tail_chunk_and_empty(spark):
+    rows = [(0, "one two three four five"), (1, "   "), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.chunk_dedup(df, chunk_tokens=4).collect()
+    # empty/whitespace docs have no chunks and drop out
+    assert [r.doc_id for r in out] == [0]
+    r = out[0]
+    # 5 tokens -> one full chunk + one 1-token tail, all kept
+    assert r.n_chunks == 2 and r.kept_chunks == 2 and r.kept_tokens == 5
