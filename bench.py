@@ -161,6 +161,12 @@ HEADLINE = [
     "q19_bracket_revenue",
     "q21_waiting_supplier",
     "q22_idle_balances",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q20_promotion_parts",
     "region_rollup",
     "rollup_region_nation",
     "priority_quantiles",
@@ -214,8 +220,10 @@ HEADLINE = [
     "training_manifest",
     "multimodal_resize",
     "decontamination_hits",
+    "chunk_dedup",
     "ann_recall_check",
     "ingest_dedup",
+    "stream_hourly",
     "stratified_lang_sample",
     "source_quota_sample",
     "domain_mixture",
