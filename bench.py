@@ -220,10 +220,13 @@ HEADLINE = [
     "training_manifest",
     "multimodal_resize",
     "decontamination_hits",
+    "decontaminate_corpus",
+    "dedup_stats",
     "chunk_dedup",
     "ann_recall_check",
     "ingest_dedup",
     "stream_hourly",
+    "stream_sessionize",
     "stratified_lang_sample",
     "source_quota_sample",
     "domain_mixture",

@@ -2852,6 +2852,53 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_stats",
+    f"""
+    WITH g AS (
+      SELECT md5({_SQL_NORM}) AS fp, COUNT(*) AS c
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS total_docs,
+           CAST(COUNT(*) AS BIGINT) AS distinct_texts,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_groups
+    FROM g
+    """,
+)
+def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication summary (operators/dedup.dedup_stats): the
+    one-row health check a pipeline runs before choosing a dedup
+    strategy. Two partial-agged reductions, no row data shuffled."""
+    return dedup_ops.dedup_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontaminate_corpus",
+    f"""
+    WITH corpus_sh AS ({_sql_shingle_cte(4)}),
+    bench_sh AS (
+      SELECT shingle FROM ({_sql_shingle_cte(4)}) WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM corpus_sh c JOIN bench_sh b ON c.shingle = b.shingle
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-side of decontamination (operators/dedup.decontaminate):
+    surviving doc ids after removing everything sharing a 4-gram with
+    the benchmark slice (bench docs remove themselves — a self-pair
+    counts, matching the operator). Anti-join on the distinct
+    contaminated set; the corpus row data never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return dedup_ops.decontaminate(docs, bench, n=4).select("doc_id")
+
+
+@register(
     "chunk_dedup",
     f"""
     WITH toks AS (
@@ -2949,6 +2996,83 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH x AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+    y AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    z AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM y
+    ),
+    s AS (
+      SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM z GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY session_start DESC) > 1
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful sessionizer
+    (streaming/events.sessionize_stateful, applyInPandasWithState)
+    driven end-to-end through an availableNow file stream into a
+    memory sink — the hard-gate row for the one operator Spark's
+    built-in windows can't express.
+
+    The deterministic contract: each user's OPEN tail session stays in
+    state (it would be emitted only when later data closes it), so the
+    stream's output is exactly the batch sessionization MINUS every
+    user's last session — which is what the oracle computes (QUALIFY
+    drops the max-start session per user). Event times are
+    micro-truncated on the Spark side because DuckDB reads
+    TIMESTAMP(NANOS) parquet at microsecond precision (the
+    events_sessionize convention)."""
+    import os
+    import tempfile
+    import uuid
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as streaming_events,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_sessionize_")
+    src = os.path.join(work, "src")
+    os.mkdir(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    stream = streaming_events.read_events_stream(spark, src).withColumn(
+        "ts", F.expr("ts div 1000") * 1000
+    )
+    name = "stream_sessionize_" + uuid.uuid4().hex[:8]
+    handle = (
+        streaming_events.sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    handle.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
     )
 
 
