@@ -3474,7 +3474,7 @@ _WINDOW_PRIORITY = [
     # round-3 components' primary evidence (each is the only driver row
     # for its operator family)
     "orders_profile", "sql_yearly_revenue", "hll_distinct_audit",
-    "domain_mixture", "order_gaps", "customer_spend_deciles",
+    "domain_mixture", "order_gaps", "stream_sessionize",
 ]
 # oracled, but their component already holds a second green row in the
 # window above — kept at the very tail of the oracled class so the
@@ -3483,7 +3483,11 @@ _WINDOW_PRIORITY = [
 # covered by events_sliding_counts; text_repetition/top_trigrams:
 # text-component twins of text_quality; corpus_hash_sample: sampling
 # twin of train_val_test_split; multimodal_frame_plan: twin of
-# multimodal_meta; the adapted TPC-H tail q2/q9/q11/q15/q16/q20 and
+# multimodal_meta; customer_spend_deciles: the window-function
+# family's fourth row (topk rank + quantiles + lag gaps stay in);
+# the adapted TPC-H tail q2/q9/q11/q15/q16/q20, dedup_stats/
+# decontaminate_corpus/chunk_dedup (dedup family), stream_hourly
+# (streaming family, ingest_dedup+stream_sessionize stay in), and
 # embedding_norm_stats/stratified_lang_sample/source_quota_sample are
 # family siblings of in-window rows.)
 _REDUNDANT_EVIDENCE_TAIL = ["long_to_values_rebuild", "rollup_region_nation"]

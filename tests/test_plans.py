@@ -186,3 +186,41 @@ def test_q4_semi_join_not_inner(spark, sf_dir):
     assert "LeftSemi" in plan
     # EXISTS must not degenerate into an inner join + distinct
     assert "Distinct" not in plan
+
+
+def test_q2_broadcasts_dims_and_partial_min(spark, sf_dir):
+    plan = _plan(q.q2_min_cost_supplier(spark, sf_dir))
+    # supplier/nation/region/part/best all broadcast; the only
+    # data-sized shuffle is the (part,supplier) min-cost groupBy,
+    # which must partial-aggregate map-side
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_reuses_shipped_partials_no_cartesian(spark, sf_dir):
+    plan = _plan(q.q20_promotion_parts(spark, sf_dir))
+    assert "partial_sum" in plan  # per-(supp,part) quantity rollup
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_keeper_is_partial_min(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators import dedup
+
+    docs = q.load(spark, sf_dir, "documents")
+    plan = _plan(dedup.chunk_dedup(docs))
+    # the first-occurrence reduction must combine map-side (the shuffle
+    # carries per-chunk-hash minima, not every exploded chunk row)
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_collapse_no_corpus_self_join(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators import dedup
+
+    docs = q.load(spark, sf_dir, "documents")
+    bench = docs.where(docs.doc_id % 97 == 0)
+    plan = _plan(dedup.contamination_pairs(docs, bench, n=4))
+    # bench shingles broadcast onto the rep shingle stream
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
