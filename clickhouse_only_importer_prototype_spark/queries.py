@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 from clickhouse_only_importer_prototype_spark import stats
 from clickhouse_only_importer_prototype_spark.operators import (
@@ -82,8 +83,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
                 pass
         _CONF_APPLIED.add(app_id)
     if table == "events":
-        # TIMESTAMP(NANOS) parquet: read as long nanos (driver sessions
-        # may not have the conf; it is runtime-settable)
+        # TIMESTAMP(NANOS) parquet reads as long nanos only with this
+        # conf (driver sessions may not have it; runtime-settable)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{table}.parquet"
     key = (sf_dir, table)
@@ -91,9 +92,27 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if cached is None:
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[key] = df.schema
-        return df
-    # skip the footer/schema-inference pass on repeat loads
-    return spark.read.schema(cached).parquet(path)
+    else:
+        # skip the footer/schema-inference pass on repeat loads
+        df = spark.read.schema(cached).parquet(path)
+    if table == "events":
+        df = _ts_to_nanos(df)
+    return df
+
+
+def _ts_to_nanos(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to raw long nanos regardless of the
+    parquet physical type. Driver fixtures have shipped both
+    TIMESTAMP(NANOS) (read as long via nanosAsLong — pass-through) and
+    timestamp[us] (read as TIMESTAMP_NTZ — converted here). Session
+    timezone is UTC, so the NTZ -> instant interpretation matches
+    DuckDB's ``epoch_ns`` on the same naive timestamps, and every
+    query/oracle keeps the established raw-nanos contract."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        ns = F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)
+        return df.withColumn("ts", ns.cast("long"))
+    return df
 
 
 def _dec(col: str | Column, prec: int = 12, scale: int = 2) -> Column:

@@ -5,9 +5,11 @@ pipeline is bounded batch), but the extended engine covers the events
 surface: tumbling/sliding window aggregates with watermarks for late
 data, plus a batch-equivalent of each so results are oracle-checkable.
 
-The driver's ``events`` parquet carries TIMESTAMP(NANOS) which Spark
-reads as long nanos (session conf nanosAsLong) — ``with_event_time``
-derives a proper timestamp column once, at scan.
+The driver's ``events`` parquet has shipped both TIMESTAMP(NANOS)
+(read as long nanos via session conf nanosAsLong) and timestamp[us]
+(read as TIMESTAMP_NTZ) — ``normalize_ts`` folds both to the engine's
+raw-long-nanos contract and ``with_event_time`` derives a proper
+timestamp column once, at scan.
 
 Scale: windowed aggregation state is partitioned by (window, keys);
 watermark bounds state size — without it a 100 TB stream accretes
@@ -24,12 +26,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
+# The long-nanos shape every operator downstream consumes (and the
+# shape test fixtures write directly).
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # nanos (nanosAsLong read)
+        StructField("ts", LongType(), True),  # raw nanos
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
@@ -38,22 +44,42 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Fold ``ts`` to raw long nanos whatever the source type: long
+    nanos pass through; timestamp[us]/TIMESTAMP_NTZ converts via
+    unix_micros under the engine's UTC session timezone (matching
+    DuckDB's ``epoch_ns`` of the same naive timestamps)."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        ns = F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)
+        return df.withColumn("ts", ns.cast("long"))
+    return df
+
+
 def with_event_time(df: DataFrame) -> DataFrame:
-    """Derive a microsecond event_time from the long-nanos ts column.
+    """Derive a microsecond event_time from the (normalized) long-nanos
+    ts column.
 
     Integer division — double division of epoch-scale nanos (> 2^53)
     rounds the low bits and lands ~12% of events one microsecond off,
     which flips window membership at boundaries."""
+    df = normalize_ts(df)
     return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming read of the events parquet directory."""
+    """Streaming read of the events parquet directory.
+
+    The stream schema is pinned from the files' own footer (a batch
+    schema inference — metadata-only), so both the long-nanos fixture
+    shape and the driver's timestamp[us] shape stream correctly;
+    ``with_event_time`` then normalizes to long nanos."""
     # TIMESTAMP(NANOS) parquet -> long requires this (runtime-settable);
     # external sessions won't have it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     return with_event_time(
-        spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+        spark.readStream.schema(schema).parquet(path)
     )
 
 
