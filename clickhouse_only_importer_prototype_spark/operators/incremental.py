@@ -1,0 +1,65 @@
+"""Incremental aggregate maintenance: mergeable partial aggregates.
+
+The reference recomputes every output from scratch each run
+(cmd/cli/main.go modes are full rebuilds). At 100 TB a daily metric
+over an append-mostly table must NOT rescan history: keep per-group
+partial aggregates (count / sum / min / max — commutative monoids),
+compute partials for each new delta only, and fold. avg and friends
+derive from (sum, count) at finalize time. This is the
+materialized-view maintenance pattern, expressed as plain DataFrames:
+``merge_partials`` is a union + one re-aggregation whose input is
+groups x slices — metadata-scale, never the data.
+
+The ``incremental_agg_merge`` catalog query pins the algebra in the
+hard gate: partials(base) ⊕ partials(delta) must hash-match a
+single-pass aggregate over the union (the DuckDB oracle recomputes
+the latter).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+_ROWS = "n_rows"
+
+
+def partial_aggs(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: dict[str, tuple[str, Column]],
+) -> DataFrame:
+    """Per-group partial state: ``n_rows`` plus one column per spec.
+
+    ``specs`` maps output column -> (fn, expr) with fn in
+    {'sum','min','max'}. Sums over floats should pass decimal-cast
+    exprs — float partial sums are order-dependent and would break
+    exact re-fold equality.
+    """
+    aggs = [F.count(F.lit(1)).alias(_ROWS)]
+    for out, (fn, expr) in specs.items():
+        if fn not in _FNS:
+            raise ValueError(f"unsupported partial agg {fn!r} for {out!r}")
+        aggs.append(_FNS[fn](expr).alias(out))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def merge_partials(
+    partials: Sequence[DataFrame],
+    group_cols: list[str],
+    specs: dict[str, tuple[str, Column]],
+) -> DataFrame:
+    """Fold partial-aggregate slices into one: sum⊕sum, min⊕min,
+    max⊕max, n_rows adds. Input frames must share the
+    ``partial_aggs`` schema for the same specs."""
+    if not partials:
+        raise ValueError("no partial frames to merge")
+    unioned = partials[0]
+    for p in partials[1:]:
+        unioned = unioned.unionByName(p)
+    aggs = [F.sum(_ROWS).cast("long").alias(_ROWS)]
+    for out, (fn, _) in specs.items():
+        aggs.append(_FNS["sum" if fn == "sum" else fn](F.col(out)).alias(out))
+    return unioned.groupBy(*group_cols).agg(*aggs)

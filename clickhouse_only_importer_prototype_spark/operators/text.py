@@ -141,6 +141,50 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Fixed integer weights for the linear quality scorer. Integer-only
+# arithmetic keeps the score bit-exact across engines (a sigmoid/exp
+# calibration would inherit libm differences); the weights are the
+# usual hand-tuned stand-ins for a trained fastText-style classifier's
+# coefficients — swap in learned ones without touching the plan.
+QUALITY_WEIGHTS = {
+    "stop_per_1000_tokens": 5,
+    "punct_per_1000_chars": -2,
+}
+_IDEAL_TOKEN_LEN = 5
+_LEN_PENALTY = 50
+_TOKEN_CREDIT_CAP = 256
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality scoring: a linear classifier over the
+    quality_features signals -> (doc_id, quality_score, quality_label).
+
+    score = 5*stopword-rate - 2*punct-rate - 50*|mean_token_len - 5|
+            + min(n_tokens, 256); labels cut at >= 2000 (high) and
+    >= 800 (medium). Row-local integer projection fused onto the
+    feature pass — at 100 TB this is the cheap scorer that gates which
+    documents ever reach an expensive model scorer.
+    """
+    f = quality_features(df, text_col)
+    score = (
+        F.lit(QUALITY_WEIGHTS["stop_per_1000_tokens"])
+        * F.col("stop_per_1000_tokens")
+        + F.lit(QUALITY_WEIGHTS["punct_per_1000_chars"])
+        * F.col("punct_per_1000_chars")
+        - F.lit(_LEN_PENALTY)
+        * F.abs(F.col("mean_token_len_floor") - F.lit(_IDEAL_TOKEN_LEN))
+        + F.least(F.col("n_tokens"), F.lit(_TOKEN_CREDIT_CAP))
+    ).cast("long")
+    return f.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.when(score >= 2000, F.lit("high"))
+        .when(score >= 800, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("quality_label"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, whitespace-collapsed) — the exact-dedup key."""
