@@ -144,93 +144,10 @@ def gen_10x(src_dir: str, out_dir: str, copies: int = 10) -> None:
             file=sys.stderr,
         )
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q12_priority_lines",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q19_bracket_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_balances",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q20_promotion_parts",
-    "region_rollup",
-    "rollup_region_nation",
-    "priority_quantiles",
-    "hll_distinct_audit",
-    "orders_profile",
-    "sql_yearly_revenue",
-    "order_gaps",
-    "customer_spend_deciles",
-    "embedding_norm_stats",
-    "window_topk_orders",
-    "segment_distinct_stats",
-    "union_all_slices",
-    "anti_join_idle_customers",
-    "intersect_except_customers",
-    "events_json_extract",
-    "pivot_concat_values",
-    "melt_unpivot_part",
-    "surrogate_ids",
-    "long_to_values_rebuild",
-    "events_hourly",
-    "events_sessionize",
-    "events_pivot_counts",
-    "events_sliding_counts",
-    "events_asof_join",
-    "events_interval_join",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "winnow_fingerprint",
-    "corpus_curation",
-    "text_repetition",
-    "text_redact_pii",
-    "top_trigrams",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "minhash_lsh_candidates",
-    "dedup_clusters",
-    "simhash_signatures",
-    "dedup_simhash_pairs",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf",
-    "multimodal_meta",
-    "multimodal_frame_plan",
-    "multimodal_features",
-    "train_val_test_split",
-    "corpus_hash_sample",
-    "sequence_packing",
-    "embedding_quantize",
-    "training_manifest",
-    "multimodal_resize",
-    "decontamination_hits",
-    "decontaminate_corpus",
-    "dedup_stats",
-    "chunk_dedup",
-    "ann_recall_check",
-    "ingest_dedup",
-    "stream_hourly",
-    "stream_sessionize",
-    "stratified_lang_sample",
-    "source_quota_sample",
-    "domain_mixture",
-]
+# Bench every registered query, in registry (gate-priority) order —
+# list built from the live registry so new operators are benched the
+# round they land, with no second list to forget to update.
+HEADLINE = list(q.queries())
 
 
 def main() -> None:

@@ -33,7 +33,6 @@ def latest_changes(
     changes: DataFrame,
     key_cols: list[str],
     seq_col: str = "seq",
-    op_col: str = "op",
 ) -> DataFrame:
     """Collapse a change stream to one winning row per key: highest
     ``seq_col`` wins. ``seq_col`` must be unique per key (a CDC LSN /
@@ -81,7 +80,15 @@ def merge_changes(
     missing = [c for c in data_cols if c not in changes.columns]
     if missing:
         raise ValueError(f"changes missing base columns: {missing}")
-    latest = latest_changes(changes, key_cols, seq_col, op_col)
+    clash = [c for c in (op_col, seq_col) if c in base.columns]
+    if clash:
+        # a base column named like the CDC marker/sequence would be
+        # silently overwritten with 'I'/'U' markers — refuse loudly
+        raise ValueError(
+            f"base columns {clash} collide with CDC marker/seq columns; "
+            "rename via op_col/seq_col"
+        )
+    latest = latest_changes(changes, key_cols, seq_col)
     # base and changes often share lineage (a change feed derived from
     # the snapshot in tests); qualified-name refs over explicit aliases
     # keep the self-join unambiguous
@@ -138,19 +145,23 @@ def scd2_history(
         attr_col,
         ts_col,
         tiebreak_col,
+        F.row_number().over(w).alias("__rn"),
         F.lag(attr_col).over(w).alias("__prev"),
     )
+    # null-safe change test + explicit first-row marker: a NULL
+    # attribute observation is a real version (and a NULL-attr first
+    # row must not vanish just because lag() also yields NULL there)
     starts = marked.where(
-        F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
+        (F.col("__rn") == 1)
+        | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
     )
-    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    eff_to = F.lead(ts_col).over(w2)
+    eff_to = F.lead(ts_col).over(w)
     ts_type = log.schema[ts_col].dataType
     return starts.select(
         F.col(key_col),
         F.col(attr_col),
         F.col(ts_col).alias("eff_from"),
         F.coalesce(eff_to, F.lit(high_ts).cast(ts_type)).alias("eff_to"),
-        F.row_number().over(w2).cast("long").alias("version"),
+        F.row_number().over(w).cast("long").alias("version"),
         eff_to.isNull().cast("long").alias("is_current"),
     )

@@ -38,6 +38,13 @@ def partial_aggs(
     exprs — float partial sums are order-dependent and would break
     exact re-fold equality.
     """
+    reserved = {_ROWS, *group_cols}
+    bad = [out for out in specs if out in reserved]
+    if bad:
+        raise ValueError(
+            f"spec outputs {bad} collide with group columns or the "
+            f"reserved {_ROWS!r} column"
+        )
     aggs = [F.count(F.lit(1)).alias(_ROWS)]
     for out, (fn, expr) in specs.items():
         if fn not in _FNS:

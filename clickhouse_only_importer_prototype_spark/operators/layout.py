@@ -41,16 +41,26 @@ def grid_cell(v: Column, lo: Column, hi: Column, cells: int) -> Column:
     """Affine map of ``v`` from [lo, hi] onto integer cells
     0..cells-1. Float expression order is fixed — (v - lo) * cells,
     then / span — so an engine mirroring it (see ``grid_cell_sql``)
-    computes bit-identical doubles."""
+    computes bit-identical doubles. A degenerate dimension (hi == lo)
+    maps to cell 0 instead of dividing by zero (ANSI mode would
+    otherwise kill the job on a constant column)."""
     span = hi.cast("double") - lo.cast("double")
-    raw = F.floor((v.cast("double") - lo.cast("double")) * F.lit(float(cells)) / span)
+    raw = F.when(span == 0, F.lit(0)).otherwise(
+        F.floor(
+            (v.cast("double") - lo.cast("double")) * F.lit(float(cells)) / span
+        )
+    )
     return F.least(F.greatest(raw, F.lit(0)), F.lit(cells - 1)).cast("long")
 
 
 def grid_cell_sql(v: str, lo: str, hi: str, cells: int) -> str:
-    """DuckDB twin of ``grid_cell`` — identical operation order."""
+    """DuckDB twin of ``grid_cell`` — identical operation order and
+    the same degenerate-span guard."""
     span = f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))"
-    raw = f"floor((CAST({v} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {float(cells)} / {span})"
+    raw = (
+        f"CASE WHEN {span} = 0 THEN 0 ELSE "
+        f"floor((CAST({v} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {float(cells)} / {span}) END"
+    )
     return f"CAST(least(greatest({raw}, 0), {cells - 1}) AS BIGINT)"
 
 
@@ -153,14 +163,19 @@ def skew_audit(df: DataFrame, key_col: str, label: str | None = None) -> DataFra
     (key_col, n_keys, n_rows, max_rows, p95_rows, top1_share_per_mille,
     skewed).
 
-    ``skewed`` uses integer arithmetic (max * n_keys >= 4 * n_rows,
-    i.e. the hottest key holds >= 4x the mean) so the flag is exact
-    across engines. The verdict routes the join: balanced -> plain
-    shuffle; few hot keys -> AQE skew split; adversarial -> salting.
+    ``skewed`` flags the hottest key holding >= 4x the mean row count.
+    The mean is computed as a double (sum/keys) rather than the
+    algebraically equivalent max*n_keys >= 4*n_rows — the integer
+    product overflows BIGINT at exactly the adversarial scale this
+    audit exists to catch (1e12-row hot key x 1e7 keys). Double ops
+    are identical across engines, so the flag stays exact. The
+    verdict routes the join: balanced -> plain shuffle; few hot
+    keys -> AQE skew split; adversarial -> salting.
     """
     counts = df.groupBy(F.col(key_col).alias("__k")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    mean_rows = F.sum("cnt").cast("double") / F.count(F.lit(1))
     return counts.agg(
         F.lit(label or key_col).alias("key_col"),
         F.count(F.lit(1)).alias("n_keys"),
@@ -170,7 +185,7 @@ def skew_audit(df: DataFrame, key_col: str, label: str | None = None) -> DataFra
         F.floor(
             F.lit(1000) * F.max("cnt") / F.sum("cnt")
         ).cast("long").alias("top1_share_per_mille"),
-        (F.max("cnt") * F.count(F.lit(1)) >= F.lit(4) * F.sum("cnt"))
+        (F.max("cnt") >= F.lit(4) * mean_rows)
         .cast("long")
         .alias("skewed"),
     )

@@ -1815,10 +1815,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality",
-    f"""
-    WITH n AS (
+# Shared SQL twin of operators/text.quality_features (the n/m CTE
+# bodies): stated ONCE so the stopword list / punct class / token
+# regex can't drift between the text_quality and quality_score
+# oracles.
+_SQL_QF_CTES = f"""n AS (
       SELECT doc_id, text, {_SQL_NORM} AS norm FROM documents
     ),
     m AS (
@@ -1834,7 +1835,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   x -> x IN ('the', 'and', 'is', 'of')))
                   AS BIGINT) AS n_stopwords
       FROM n
-    )
+    )"""
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH {_SQL_QF_CTES}
     SELECT doc_id, n_chars, n_tokens, n_pieces, n_punct, n_stopwords,
            CAST(floor(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)
              AS punct_per_1000_chars,
@@ -3737,7 +3744,8 @@ def _skew_audit_sql(key: str, table: str) -> str:
            quantile_cont(cnt, 0.95) AS p95_rows,
            CAST(floor(1000 * MAX(cnt) / SUM(cnt)) AS BIGINT)
              AS top1_share_per_mille,
-           CAST(MAX(cnt) * COUNT(*) >= 4 * SUM(cnt) AS BIGINT) AS skewed
+           CAST(MAX(cnt) >= 4 * (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS skewed
     FROM (SELECT {key}, COUNT(*) AS cnt FROM {table} GROUP BY {key})
     """
 
@@ -3810,22 +3818,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_score",
     f"""
-    WITH n AS (
-      SELECT doc_id, text, {_SQL_NORM} AS norm FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             CAST(length(text) AS BIGINT) AS n_chars,
-             CASE WHEN norm = '' THEN 0
-                  ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END
-               AS n_tokens,
-             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                  AS BIGINT) AS n_punct,
-             CAST(len(list_filter(string_split(norm, ' '),
-                                  x -> x IN ('the', 'and', 'is', 'of')))
-                  AS BIGINT) AS n_stopwords
-      FROM n
-    ),
+    WITH {_SQL_QF_CTES},
     f AS (
       SELECT doc_id, n_tokens,
              CAST(floor(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)

@@ -120,6 +120,40 @@ def test_scd2_collapses_runs_and_chains_ranges(spark):
     ]
 
 
+def test_merge_rejects_base_column_named_op_or_seq(spark):
+    base = spark.createDataFrame([(1, "x", 1)], "k long, op string, seq long")
+    changes = spark.createDataFrame(
+        [(1, "U", 1, "y", 2)], "k long, op string, seq long, name string, v long"
+    )
+    with pytest.raises(ValueError, match="collide with CDC marker"):
+        cdc.merge_changes(base, changes, ["k"])
+
+
+def test_scd2_null_attribute_is_a_real_version(spark):
+    # A -> NULL -> A must yield three versions, incl. a NULL one; a
+    # NULL-attr FIRST observation must not vanish either
+    log = spark.createDataFrame(
+        [
+            (1, "A", _ts(1), 10),
+            (1, None, _ts(2), 11),
+            (1, "A", _ts(3), 12),
+            (2, None, _ts(1), 20),
+        ],
+        "k long, attr string, ts timestamp, tb long",
+    )
+    rows = sorted(
+        cdc.scd2_history(log, "k", "attr", "ts", "tb").collect(),
+        key=lambda r: (r.k, r.version),
+    )
+    assert [(r.k, r.attr, r.version) for r in rows] == [
+        (1, "A", 1),
+        (1, None, 2),
+        (1, "A", 3),
+        (2, None, 1),
+    ]
+    assert rows[1].eff_from == _ts(2) and rows[1].eff_to == _ts(3)
+
+
 def test_scd2_tiebreak_orders_same_timestamp_changes(spark):
     # two changes at the same ts: tiebreak column decides run order
     log = spark.createDataFrame(

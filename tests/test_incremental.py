@@ -54,6 +54,14 @@ def test_partial_aggs_rejects_unknown_fn(spark):
         inc.partial_aggs(df, ["g"], {"x": ("avg", F.col("v"))})
 
 
+def test_partial_aggs_rejects_reserved_output_names(spark):
+    df = spark.createDataFrame([(1, 1.0)], "g long, v double")
+    with pytest.raises(ValueError, match="collide"):
+        inc.partial_aggs(df, ["g"], {"n_rows": ("sum", F.col("v"))})
+    with pytest.raises(ValueError, match="collide"):
+        inc.partial_aggs(df, ["g"], {"g": ("max", F.col("v"))})
+
+
 def test_merge_requires_input(spark):
     with pytest.raises(ValueError, match="no partial frames"):
         inc.merge_partials([], ["g"], _specs())

@@ -37,6 +37,14 @@ def test_grid_cell_bounds_and_monotonicity(spark):
     assert all(cells[v] <= cells[v + 1] for v in range(999))
 
 
+def test_grid_cell_degenerate_span_maps_to_cell_zero(spark):
+    df = spark.createDataFrame([(5,), (5,)], "v long")
+    out = df.select(
+        layout.grid_cell(F.col("v"), F.lit(5), F.lit(5), 64).alias("c")
+    ).collect()
+    assert [r.c for r in out] == [0, 0]
+
+
 def test_zorder_skips_more_than_single_dim_sort_on_2d_predicates(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_custkey", "o_totalprice"
