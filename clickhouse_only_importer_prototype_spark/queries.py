@@ -3472,6 +3472,73 @@ def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dim_join",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_cust FROM customer)
+    SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS VARCHAR)
+                AS DOUBLE) AS value_sum
+    FROM events e, n
+    JOIN customer c ON c.c_custkey = e.user_id % n.n_cust
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join driven end-to-end like the other
+    streaming batch twins: the events fixture streams through an
+    availableNow file source and joins the broadcast customer
+    dimension row-by-row — the stateless enrichment every streaming
+    ingest pipeline performs (no watermark, no state store; at scale
+    the dim is a broadcast that refreshes per micro-batch). The memory
+    sink's enriched rows are then rolled up batch-side and must equal
+    the oracle's static join+rollup. Events map onto the dimension by
+    user_id mod |customer| (keys are 0-based contiguous)."""
+    import os
+    import tempfile
+    import uuid
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as streaming_events,
+    )
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n_cust = cust.count()
+    work = tempfile.mkdtemp(prefix="stream_dim_join_")
+    src = os.path.join(work, "src")
+    os.mkdir(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    stream = streaming_events.read_events_stream(spark, src).select(
+        (F.col("user_id") % F.lit(n_cust)).alias("__ck"),
+        "event_type",
+        _dec("value", 14, 2).alias("value"),
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream["__ck"] == cust["c_custkey"]
+    )
+    name = "stream_dim_join_" + uuid.uuid4().hex[:8]
+    handle = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    handle.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("double").alias("value_sum"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Lakehouse maintenance: CDC merge, SCD2 history, layout planning/audit
 # --------------------------------------------------------------------------

@@ -154,6 +154,19 @@ def test_skew_audit_balanced_not_flagged(spark):
     assert r.skewed == 0 and r.max_rows == 10
 
 
+def test_zorder_file_assignment_plan_has_no_sort_or_window(spark, sf_dir):
+    """The quad-tree tiling claim: file ids come from top z-bits — a
+    pure projection — never from a global sort or ntile window."""
+    from clickhouse_only_importer_prototype_spark.queries import _REGISTRY
+
+    plan = (
+        _REGISTRY["zorder_skipping_audit"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_skipping_audit_plan_broadcasts_predicates(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
         "f", F.col("o_orderkey") % 8
