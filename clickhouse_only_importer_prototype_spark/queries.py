@@ -596,10 +596,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_lines",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -1158,7 +1158,7 @@ def sql_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_profile",
     """
     SELECT col AS column, (SELECT COUNT(*) FROM orders) AS n_rows,
-           n_null, n_distinct
+           CAST(n_null AS BIGINT) AS n_null, n_distinct
     FROM (
       SELECT 'o_custkey' AS col,
              SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
@@ -2257,10 +2257,10 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "domain_mixture",
     """
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
                          - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', ''))
-                         + 1 END) AS n_tokens
+                         + 1 END) AS BIGINT) AS n_tokens
     FROM documents
     GROUP BY source, lang
     """,
@@ -2948,11 +2948,11 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN c.doc_id * 1000000 + c.idx = k.first_packed
-                    THEN 1 ELSE 0 END) AS kept_chunks,
-           SUM(CASE WHEN c.doc_id * 1000000 + c.idx = k.first_packed
+           CAST(SUM(CASE WHEN c.doc_id * 1000000 + c.idx = k.first_packed
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN c.doc_id * 1000000 + c.idx = k.first_packed
                     THEN len(string_split(c.chunk, ' ')) ELSE 0 END)
-             AS kept_tokens
+             AS BIGINT) AS kept_tokens
     FROM ch c JOIN keep k ON md5(c.chunk) = k.h
     GROUP BY c.doc_id
     """,
