@@ -61,6 +61,30 @@ def test_write_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert got == exp
 
 
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout: an equality predicate on the
+    partition column must resolve at PLANNING time (PartitionFilters
+    on the scan, non-partition predicates absent from it) — at 100 TB
+    this is the difference between listing one directory and scanning
+    the table."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.sinks.parquet import (
+        write_parquet,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "(lang" in plan.split("PartitionFilters", 1)[1][:200]
+    # values survive the layout round-trip
+    expect = docs.where(F.col("lang") == "en").count()
+    assert back.count() == expect and expect > 0
+
+
 def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key sort-merge join with NO
     shuffle on either side — the write-time shuffle is the whole point
