@@ -96,9 +96,12 @@ def merge_changes(
     c = latest.alias("__c")
     bc = lambda col: F.col(f"__b.{col}")  # noqa: E731
     cc = lambda col: F.col(f"__c.{col}")  # noqa: E731
-    cond = reduce(
-        lambda x, y: x & y, [bc(k).eqNullSafe(cc(k)) for k in key_cols]
-    )
+    # plain equality, matching SQL MERGE: NULL keys never match (they
+    # ride through the full outer as unmatched rows). Also one shuffle
+    # cheaper than a null-safe join — hashpartitioning(key) from the
+    # latest-change groupBy is reused by the join, where eqNullSafe
+    # would repartition on (coalesce(key), isnull(key)).
+    cond = reduce(lambda x, y: x & y, [bc(k) == cc(k) for k in key_cols])
     joined = b.join(c, cond, "full_outer")
     has_change = cc(op_col).isNotNull()
     keys = [F.coalesce(cc(k), bc(k)).alias(k) for k in key_cols]
