@@ -274,3 +274,62 @@ def test_hash_split_cuts_partition_the_bucket_space(weights):
         assert lo1 <= hi1 and lo2 <= hi2
     if total <= 1.0:
         assert cuts[-1][1] <= BUCKETS + 1
+
+
+# ---- CDC merge vs a pure-Python MERGE reference ----------------------
+
+CHANGE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),        # key
+        st.sampled_from(["I", "U", "D"]),              # op
+        st.integers(min_value=0, max_value=50),        # raw seq (deduped below)
+        st.integers(min_value=-100, max_value=100),    # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+BASE_ROWS = st.dictionaries(
+    st.integers(min_value=0, max_value=15),
+    st.integers(min_value=-100, max_value=100),
+    max_size=12,
+)
+
+
+def _merge_py(base: dict, changes: list) -> dict:
+    latest: dict = {}
+    for k, op, seq, v in changes:
+        if k not in latest or seq > latest[k][0]:
+            latest[k] = (seq, op, v)
+    out = dict(base)
+    for k, (_, op, v) in latest.items():
+        if op == "D":
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(BASE_ROWS, CHANGE_ROWS)
+def test_merge_changes_matches_python_merge(spark, base_map, change_rows):
+    from clickhouse_only_importer_prototype_spark.operators import cdc
+
+    # make seq unique per key (the operator's documented contract)
+    seen: dict = {}
+    changes = []
+    for k, op, _, v in change_rows:
+        seen[k] = seen.get(k, -1) + 1
+        changes.append((k, op, seen[k], v))
+    base = spark.createDataFrame(
+        list(base_map.items()) or [(None, None)], "k long, v long"
+    )
+    if not base_map:
+        base = base.where("k is not null")
+    ch = spark.createDataFrame(
+        changes or [(None, None, None, None)],
+        "k long, op string, seq long, v long",
+    )
+    if not changes:
+        ch = ch.where("k is not null")
+    got = {r.k: r.v for r in cdc.merge_changes(base, ch, ["k"]).collect()}
+    assert got == _merge_py(base_map, changes)
