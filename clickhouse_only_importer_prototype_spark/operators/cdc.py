@@ -116,6 +116,48 @@ def merge_changes(
     )
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Reconcile two snapshots of the same table: (status, n_rows)
+    with status in added / removed / changed / unchanged. 'changed'
+    is any non-key column differing null-safely. One co-partitioned
+    full-outer join — the audit that certifies a MERGE did exactly
+    what the change set said (its output should equal the change
+    set's I/U/D counts). NULL keys never match (MERGE semantics), so
+    a null-keyed row in both snapshots counts as removed + added.
+    """
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshots differ in columns: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}"
+        )
+    data_cols = [c for c in old.columns if c not in key_cols]
+    o = old.withColumn("__p_old", F.lit(1)).alias("__o")
+    n = new.withColumn("__p_new", F.lit(1)).alias("__n")
+    oc = lambda col: F.col(f"__o.{col}")  # noqa: E731
+    nc = lambda col: F.col(f"__n.{col}")  # noqa: E731
+    cond = reduce(lambda x, y: x & y, [oc(k) == nc(k) for k in key_cols])
+    joined = o.join(n, cond, "full_outer")
+    changed = (
+        reduce(
+            lambda x, y: x | y,
+            [~oc(c).eqNullSafe(nc(c)) for c in data_cols],
+        )
+        if data_cols
+        else F.lit(False)
+    )
+    status = (
+        F.when(oc("__p_old").isNull(), F.lit("added"))
+        .when(nc("__p_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
 def scd2_history(
     log: DataFrame,
     key_col: str,

@@ -16,7 +16,30 @@ accuracy contract in the hard gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def violation_counts(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Data-quality constraint audit: every row-local check in ONE
+    scan (conditional sums, map-side partial agg), unpivoted to
+    (check, n_violations) rows. Cross-row constraints (FK orphans,
+    key uniqueness) don't fit a row-local pass — compute those
+    separately and union. At 100 TB this is the nightly expectations
+    job: one pass over the fact table however many checks are
+    registered."""
+    if not checks:
+        raise ValueError("no checks given")
+    aggs = [
+        F.sum(cond.cast("long")).alias(f"__c{i}")
+        for i, cond in enumerate(checks.values())
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', __c{i}" for i, name in enumerate(checks)
+    )
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack}) as (check, n_violations)"
+    ).select("check", F.col("n_violations").cast("long").alias("n_violations"))
 
 
 def profile_table(

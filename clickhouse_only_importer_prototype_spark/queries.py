@@ -3633,10 +3633,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "cdc_merge_orders",
-    """
-    WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+# Shared CDC fixture: a derived change set over orders — inserts
+# (keys = 0 mod 7, held out of the base snapshot), two competing
+# updates per key (= 1 mod 7; higher seq must win), deletes
+# (= 2 mod 7). Stated once for the merge query, the snapshot-diff
+# audit, and their oracles.
+_SQL_CDC_CTES = """o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
     base AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
     changes AS (
       SELECT o_orderkey, 'I' AS op, 1 AS seq, o_custkey, o_totalprice
@@ -3657,23 +3659,21 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            ORDER BY seq DESC) AS rn
             FROM changes c)
       WHERE rn = 1
-    )
-    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
-           CASE WHEN c.op IS NOT NULL THEN c.o_custkey
-                ELSE b.o_custkey END AS o_custkey,
-           CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
-                ELSE b.o_totalprice END AS o_totalprice
-    FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
-    WHERE c.op IS NULL OR c.op <> 'D'
-    """,
-)
-def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch MERGE (operators/cdc.merge_changes): apply a derived CDC
-    change set — inserts (keys = 0 mod 7, held out of the base
-    snapshot), two competing updates per key (= 1 mod 7; the higher
-    seq must win), deletes (= 2 mod 7) — to the base in one
-    co-partitioned full-outer join. The oracle replays the same MERGE
-    with a ROW_NUMBER latest-change collapse and CASE projection."""
+    ),
+    merged AS (
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN c.op IS NOT NULL THEN c.o_custkey
+                  ELSE b.o_custkey END AS o_custkey,
+             CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )"""
+
+
+def _cdc_base_and_changes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -3696,7 +3696,117 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(change(1, "U", 2, tp + 100))
         .unionByName(change(2, "D", 1, tp))
     )
+    return base, changes
+
+
+@register(
+    "cdc_merge_orders",
+    f"""
+    WITH {_SQL_CDC_CTES}
+    SELECT * FROM merged
+    """,
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (operators/cdc.merge_changes): apply the shared CDC
+    change-set fixture to the base snapshot in one co-partitioned
+    full-outer join. The oracle replays the same MERGE with a
+    ROW_NUMBER latest-change collapse and CASE projection."""
+    base, changes = _cdc_base_and_changes(spark, sf_dir)
     return cdc_ops.merge_changes(base, changes, ["o_orderkey"])
+
+
+@register(
+    "snapshot_diff_orders",
+    f"""
+    WITH {_SQL_CDC_CTES},
+    d AS (
+      SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN m.o_orderkey IS NULL THEN 'removed'
+                  WHEN b.o_custkey IS DISTINCT FROM m.o_custkey
+                    OR b.o_totalprice IS DISTINCT FROM m.o_totalprice
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM base b FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
+    )
+    SELECT status, COUNT(*) AS n_rows FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/cdc.snapshot_diff): diff the
+    pre-merge base against the merged result — the audit that
+    certifies a MERGE did exactly what the change set said (added =
+    insert keys, removed = delete keys, changed = update keys,
+    unchanged = the rest). One co-partitioned full-outer join."""
+    base, changes = _cdc_base_and_changes(spark, sf_dir)
+    merged = cdc_ops.merge_changes(base, changes, ["o_orderkey"])
+    return cdc_ops.snapshot_diff(base, merged, ["o_orderkey"])
+
+
+@register(
+    "dq_audit",
+    """
+    SELECT 'negative_price' AS check, CAST(COUNT(*) FILTER (
+             WHERE l_extendedprice < 0) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_over_10pct', CAST(COUNT(*) FILTER (
+             WHERE l_discount > 0.1) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'qty_over_45', CAST(COUNT(*) FILTER (
+             WHERE l_quantity > 45) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'tax_out_of_range', CAST(COUNT(*) FILTER (
+             WHERE l_tax < 0 OR l_tax > 0.2) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'orphan_lineitem', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'dup_orderkey', CAST(COALESCE(SUM(n), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders
+          GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations job (operators/profile.
+    violation_counts): every row-local constraint rides ONE lineitem
+    scan as conditional sums; the cross-row constraints — FK orphans
+    (left-anti against broadcast order keys) and key uniqueness —
+    union in as their own small aggregates. The true-violation checks
+    audit clean (0) on the synthetic data; the distribution checks
+    prove the counting path with nonzero results."""
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        violation_counts,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    row_local = violation_counts(
+        li,
+        {
+            "negative_price": F.col("l_extendedprice") < 0,
+            "discount_over_10pct": F.col("l_discount") > 0.1,
+            "qty_over_45": F.col("l_quantity") > 45,
+            "tax_out_of_range": (F.col("l_tax") < 0) | (F.col("l_tax") > 0.2),
+        },
+    )
+    orphans = (
+        li.join(
+            F.broadcast(o.select("o_orderkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orphan_lineitem").alias("check"), "n_violations")
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_violations"))
+        .select(F.lit("dup_orderkey").alias("check"), "n_violations")
+    )
+    return row_local.unionByName(orphans).unionByName(dups)
 
 
 @register(

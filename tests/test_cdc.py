@@ -87,6 +87,47 @@ def test_merge_plan_single_join_no_cartesian(spark):
     assert "Cartesian" not in plan
 
 
+def test_snapshot_diff_classifies_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, "e")], "k long, v string"
+    )
+    out = {r.status: r.n_rows for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_values_compare_null_safely(spark):
+    old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    out = {r.status: r.n_rows for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {"unchanged": 1, "changed": 1}
+
+
+def test_snapshot_diff_rejects_schema_mismatch(spark):
+    old = spark.createDataFrame([(1, "a")], "k long, v string")
+    new = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="differ in columns"):
+        cdc.snapshot_diff(old, new, ["k"])
+
+
+def test_snapshot_diff_agrees_with_merge_change_set(spark):
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [(11, "I", 1, 11.0), (3, "U", 1, 33.0), (7, "D", 1, None)],
+        "k long, op string, seq long, v double",
+    )
+    merged = cdc.merge_changes(base, changes, ["k"])
+    out = {
+        r.status: r.n_rows
+        for r in cdc.snapshot_diff(base, merged, ["k"]).collect()
+    }
+    assert out == {"unchanged": 8, "changed": 1, "removed": 1, "added": 1}
+
+
 def _ts(day: int):
     return dt.datetime(2024, 1, day)
 

@@ -243,3 +243,37 @@ def test_aligned_counts_refuses_unsorted_and_single_group(tmp_path):
         )
 
         rank_gapless(None, ["k"], bounds=None, bucket_counts=[1])
+
+
+def test_violation_counts_one_pass_and_exact(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        violation_counts,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    out = {
+        r.check: r.n_violations
+        for r in violation_counts(
+            df,
+            {"over_90": F.col("v") > 90, "even": F.col("v") % 2 == 0},
+        ).collect()
+    }
+    assert out == {"over_90": 9, "even": 50}
+    plan = (
+        violation_counts(df, {"x": F.col("v") > 0})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # one scan-agg, no joins
+
+
+def test_violation_counts_requires_checks(spark):
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        violation_counts,
+    )
+
+    with pytest.raises(ValueError, match="no checks"):
+        violation_counts(spark.range(1), {})
