@@ -119,13 +119,17 @@ def merge_changes(
 def snapshot_diff(
     old: DataFrame, new: DataFrame, key_cols: list[str]
 ) -> DataFrame:
-    """Reconcile two snapshots of the same table: (status, n_rows)
-    with status in added / removed / changed / unchanged. 'changed'
-    is any non-key column differing null-safely. One co-partitioned
-    full-outer join — the audit that certifies a MERGE did exactly
-    what the change set said (its output should equal the change
-    set's I/U/D counts). NULL keys never match (MERGE semantics), so
-    a null-keyed row in both snapshots counts as removed + added.
+    """Reconcile two snapshots of the same table: (status, n_keys)
+    with status in added / removed / changed / unchanged / dup_key.
+    'changed' is any non-key column differing null-safely. Each side
+    folds to one row per key BEFORE the co-partitioned full-outer
+    join, so a key appearing multiple times on either side — the
+    classic row-duplicating MERGE regression — surfaces as 'dup_key'
+    instead of silently multiplying join rows and auditing clean.
+    The audit certifies a MERGE did exactly what the change set said
+    (its output should equal the change set's I/U/D counts). NULL
+    keys never match (MERGE semantics), so a null-keyed row in both
+    snapshots counts as removed + added.
     """
     if set(old.columns) != set(new.columns):
         raise ValueError(
@@ -133,8 +137,14 @@ def snapshot_diff(
             f"{sorted(new.columns)}"
         )
     data_cols = [c for c in old.columns if c not in key_cols]
-    o = old.withColumn("__p_old", F.lit(1)).alias("__o")
-    n = new.withColumn("__p_new", F.lit(1)).alias("__n")
+
+    def fold(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("__cnt")]
+        aggs.extend(F.max(c).alias(c) for c in data_cols)
+        return df.groupBy(*key_cols).agg(*aggs)
+
+    o = fold(old).alias("__o")
+    n = fold(new).alias("__n")
     oc = lambda col: F.col(f"__o.{col}")  # noqa: E731
     nc = lambda col: F.col(f"__n.{col}")  # noqa: E731
     cond = reduce(lambda x, y: x & y, [oc(k) == nc(k) for k in key_cols])
@@ -148,13 +158,18 @@ def snapshot_diff(
         else F.lit(False)
     )
     status = (
-        F.when(oc("__p_old").isNull(), F.lit("added"))
-        .when(nc("__p_new").isNull(), F.lit("removed"))
+        F.when(
+            (F.coalesce(oc("__cnt"), F.lit(1)) > 1)
+            | (F.coalesce(nc("__cnt"), F.lit(1)) > 1),
+            F.lit("dup_key"),
+        )
+        .when(oc("__cnt").isNull(), F.lit("added"))
+        .when(nc("__cnt").isNull(), F.lit("removed"))
         .when(changed, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return joined.groupBy(status.alias("status")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+        F.count(F.lit(1)).alias("n_keys")
     )
 
 

@@ -29,17 +29,28 @@ def violation_counts(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     registered."""
     if not checks:
         raise ValueError("no checks given")
-    aggs = [
-        F.sum(cond.cast("long")).alias(f"__c{i}")
-        for i, cond in enumerate(checks.values())
-    ]
-    wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{name}', __c{i}" for i, name in enumerate(checks)
+    # count_if (not sum-of-casts): an EMPTY input yields 0 per check,
+    # not NULL — the expectations job must report clean, not unknown.
+    wide = df.agg(
+        *[
+            F.count_if(cond).alias(f"__c{i}")
+            for i, cond in enumerate(checks.values())
+        ]
     )
-    return wide.selectExpr(
-        f"stack({len(checks)}, {stack}) as (check, n_violations)"
-    ).select("check", F.col("n_violations").cast("long").alias("n_violations"))
+    # unpivot via explode of literal-name structs — check names are
+    # free-form labels, never interpolated into SQL text
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"__c{i}").cast("long").alias("n_violations"),
+            )
+            for i, name in enumerate(checks)
+        ]
+    )
+    return wide.select(F.explode(entries).alias("__e")).select(
+        "__e.check", "__e.n_violations"
+    )
 
 
 def profile_table(

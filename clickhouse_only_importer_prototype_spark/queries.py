@@ -2823,6 +2823,45 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_twin(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    prefix: str,
+    build,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Shared scaffold for the streaming batch twins: symlink the
+    fixture parquet into a fresh source dir, run ``build(src_dir)``'s
+    streaming DataFrame through an availableNow trigger into a
+    uniquely-named memory sink, and return the sink table for the
+    batch-side rollup. One place owns the tempdir/checkpoint/sink
+    contract for every twin."""
+    import os
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(work, "src")
+    os.mkdir(src)
+    os.symlink(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        os.path.join(src, f"{table}.parquet"),
+    )
+    name = prefix + uuid.uuid4().hex[:8]
+    handle = (
+        build(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    handle.awaitTermination()
+    return spark.table(name)
+
+
 @register(
     "ingest_dedup",
     f"SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM documents",
@@ -2841,39 +2880,21 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SELECT DISTINCT md5(normalized text)). The memory sink is a
     test/gate convenience; production ingest writes the same stream to
     parquet (sinks/parquet.py) with identical dedup semantics."""
-    import os
-    import tempfile
-    import uuid
-
     from clickhouse_only_importer_prototype_spark.streaming import (
         dedup as streaming_dedup,
     )
 
     schema = load(spark, sf_dir, "documents").select("doc_id", "text").schema
-    work = tempfile.mkdtemp(prefix="ingest_dedup_")
-    src = os.path.join(work, "src")
-    os.mkdir(src)
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(src, "documents.parquet"),
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "documents",
+        "ingest_dedup_",
+        lambda src: streaming_dedup.dedup_stream(
+            spark.readStream.schema(schema).parquet(src).select("doc_id", "text")
+        ),
     )
-    name = "ingest_dedup_" + uuid.uuid4().hex[:8]
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(src)
-        .select("doc_id", "text")
-    )
-    handle = (
-        streaming_dedup.dedup_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .start()
-    )
-    handle.awaitTermination()
-    return spark.table(name).select(
+    return sink.select(
         F.md5(
             F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
         ).alias("fp")
@@ -2989,36 +3010,23 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming operator computes the same aggregation the batch engine
     does. value is cast to DECIMAL before the stream so the sum is
     exact cross-engine; hour buckets derive from the window start."""
-    import os
-    import tempfile
-    import uuid
-
     from clickhouse_only_importer_prototype_spark.streaming import (
         events as streaming_events,
     )
 
-    work = tempfile.mkdtemp(prefix="stream_hourly_")
-    src = os.path.join(work, "src")
-    os.mkdir(src)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src, "events.parquet"),
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "events",
+        "stream_hourly_",
+        lambda src: streaming_events.tumbling_counts(
+            streaming_events.read_events_stream(spark, src).withColumn(
+                "value", _dec("value", 14, 2)
+            )
+        ),
+        output_mode="update",
     )
-    stream = streaming_events.read_events_stream(spark, src).withColumn(
-        "value", _dec("value", 14, 2)
-    )
-    name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    handle = (
-        streaming_events.tumbling_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .start()
-    )
-    handle.awaitTermination()
-    return spark.table(name).select(
+    return sink.select(
         (F.col("window_start").cast("long") / 3600)
         .cast("long")
         .alias("hour_bucket"),
@@ -3071,36 +3079,22 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-truncated on the Spark side because DuckDB reads
     TIMESTAMP(NANOS) parquet at microsecond precision (the
     events_sessionize convention)."""
-    import os
-    import tempfile
-    import uuid
-
     from clickhouse_only_importer_prototype_spark.streaming import (
         events as streaming_events,
     )
 
-    work = tempfile.mkdtemp(prefix="stream_sessionize_")
-    src = os.path.join(work, "src")
-    os.mkdir(src)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src, "events.parquet"),
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "events",
+        "stream_sessionize_",
+        lambda src: streaming_events.sessionize_stateful(
+            streaming_events.read_events_stream(spark, src).withColumn(
+                "ts", F.expr("ts div 1000") * 1000
+            )
+        ),
     )
-    stream = streaming_events.read_events_stream(spark, src).withColumn(
-        "ts", F.expr("ts div 1000") * 1000
-    )
-    name = "stream_sessionize_" + uuid.uuid4().hex[:8]
-    handle = (
-        streaming_events.sessionize_stateful(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .start()
-    )
-    handle.awaitTermination()
-    return spark.table(name).select(
+    return sink.select(
         "user_id", "session_start", "session_end", "n_events"
     )
 
@@ -3494,44 +3488,26 @@ def stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink's enriched rows are then rolled up batch-side and must equal
     the oracle's static join+rollup. Events map onto the dimension by
     user_id mod |customer| (keys are 0-based contiguous)."""
-    import os
-    import tempfile
-    import uuid
-
     from clickhouse_only_importer_prototype_spark.streaming import (
         events as streaming_events,
     )
 
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     n_cust = cust.count()
-    work = tempfile.mkdtemp(prefix="stream_dim_join_")
-    src = os.path.join(work, "src")
-    os.mkdir(src)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src, "events.parquet"),
-    )
-    stream = streaming_events.read_events_stream(spark, src).select(
-        (F.col("user_id") % F.lit(n_cust)).alias("__ck"),
-        "event_type",
-        _dec("value", 14, 2).alias("value"),
-    )
-    enriched = stream.join(
-        F.broadcast(cust), stream["__ck"] == cust["c_custkey"]
-    )
-    name = "stream_dim_join_" + uuid.uuid4().hex[:8]
-    handle = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .start()
-    )
-    handle.awaitTermination()
+
+    def build(src: str) -> DataFrame:
+        stream = streaming_events.read_events_stream(spark, src).select(
+            (F.col("user_id") % F.lit(n_cust)).alias("__ck"),
+            "event_type",
+            _dec("value", 14, 2).alias("value"),
+        )
+        return stream.join(
+            F.broadcast(cust), stream["__ck"] == cust["c_custkey"]
+        )
+
+    sink = _stream_twin(spark, sf_dir, "events", "stream_dim_join_", build)
     return (
-        spark.table(name)
-        .groupBy("c_mktsegment", "event_type")
+        sink.groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").cast("double").alias("value_sum"),
@@ -3564,62 +3540,50 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + range — THE mechanism that keeps a 100 TB/day
     attribution join's state finite), and the append-mode sink's pairs
     roll up batch-side to hash-match the oracle's static self-join.
-    Raw long-nanos timestamps ride through the join so the lag math is
-    exact; the join condition itself runs on the event-time columns,
+    Timestamps are micro-truncated before the join AND the lag math
+    (the events_sessionize convention: DuckDB reads TIMESTAMP(NANOS)
+    parquet at microsecond precision, so sub-microsecond residue would
+    otherwise flip boundary pairs between engines on that testdata
+    shape); the join condition itself runs on the event-time columns,
     as stream-stream state cleanup requires."""
-    import os
-    import tempfile
-    import uuid
-
     from clickhouse_only_importer_prototype_spark.streaming import (
         events as streaming_events,
     )
 
-    work = tempfile.mkdtemp(prefix="stream_stream_join_")
-    src = os.path.join(work, "src")
-    os.mkdir(src)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src, "events.parquet"),
-    )
-    stream = streaming_events.read_events_stream(spark, src)
-    v = (
-        stream.where(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("v_ns"),
-            F.col("event_time").alias("v_time"),
+    def build(src: str) -> DataFrame:
+        stream = streaming_events.read_events_stream(spark, src).withColumn(
+            "ts", F.expr("ts div 1000") * 1000
         )
-        .withWatermark("v_time", "12 hours")
-    )
-    c = (
-        stream.where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ns"),
-            F.col("event_time").alias("c_time"),
+        v = (
+            stream.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ns"),
+                F.col("event_time").alias("v_time"),
+            )
+            .withWatermark("v_time", "12 hours")
         )
-        .withWatermark("c_time", "12 hours")
+        c = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ns"),
+                F.col("event_time").alias("c_time"),
+            )
+            .withWatermark("c_time", "12 hours")
+        )
+        return v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_time") > F.col("v_time"))
+            & (F.col("c_time") <= F.col("v_time") + F.expr("INTERVAL 6 HOURS")),
+        )
+
+    sink = _stream_twin(
+        spark, sf_dir, "events", "stream_stream_join_", build
     )
-    joined = v.join(
-        c,
-        (F.col("v_user") == F.col("c_user"))
-        & (F.col("c_time") > F.col("v_time"))
-        & (F.col("c_time") <= F.col("v_time") + F.expr("INTERVAL 6 HOURS")),
-    )
-    name = "stream_stream_join_" + uuid.uuid4().hex[:8]
-    handle = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .start()
-    )
-    handle.awaitTermination()
     return (
-        spark.table(name)
-        .groupBy(F.col("v_user").alias("user_id"))
+        sink.groupBy(F.col("v_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_attributed"),
             F.min(F.col("c_ns") - F.col("v_ns")).alias("min_lag_ns"),
@@ -3728,7 +3692,7 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'unchanged' END AS status
       FROM base b FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
     )
-    SELECT status, COUNT(*) AS n_rows FROM d GROUP BY status
+    SELECT status, COUNT(*) AS n_keys FROM d GROUP BY status
     """,
 )
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3770,11 +3734,13 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations job (operators/profile.
     violation_counts): every row-local constraint rides ONE lineitem
-    scan as conditional sums; the cross-row constraints — FK orphans
-    (left-anti against broadcast order keys) and key uniqueness —
-    union in as their own small aggregates. The true-violation checks
-    audit clean (0) on the synthetic data; the distribution checks
-    prove the counting path with nonzero results."""
+    scan as conditional counts; the cross-row constraints — FK
+    orphans (left-anti join; orders is fact-sized, so no broadcast
+    hint — AQE picks broadcast at bench scale and a shuffled anti-join
+    at 100 TB) and key uniqueness — union in as their own small
+    aggregates. The true-violation checks audit clean (0) on the
+    synthetic data; the distribution checks prove the counting path
+    with nonzero results."""
     from clickhouse_only_importer_prototype_spark.operators.profile import (
         violation_counts,
     )
@@ -3792,7 +3758,7 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = (
         li.join(
-            F.broadcast(o.select("o_orderkey")),
+            o.select("o_orderkey"),
             li["l_orderkey"] == F.col("o_orderkey"),
             "left_anti",
         )

@@ -94,15 +94,25 @@ def test_snapshot_diff_classifies_all_statuses(spark):
     new = spark.createDataFrame(
         [(1, "a"), (2, "B"), (4, "d"), (5, "e")], "k long, v string"
     )
-    out = {r.status: r.n_rows for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    out = {r.status: r.n_keys for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
     assert out == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
 
 
 def test_snapshot_diff_null_values_compare_null_safely(spark):
     old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
     new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
-    out = {r.status: r.n_rows for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    out = {r.status: r.n_keys for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
     assert out == {"unchanged": 1, "changed": 1}
+
+
+def test_snapshot_diff_surfaces_duplicate_keys(spark):
+    # a MERGE that accidentally duplicates a row must NOT audit clean
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, v string"
+    )
+    out = {r.status: r.n_keys for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {"dup_key": 1, "unchanged": 1}
 
 
 def test_snapshot_diff_rejects_schema_mismatch(spark):
@@ -122,7 +132,7 @@ def test_snapshot_diff_agrees_with_merge_change_set(spark):
     )
     merged = cdc.merge_changes(base, changes, ["k"])
     out = {
-        r.status: r.n_rows
+        r.status: r.n_keys
         for r in cdc.snapshot_diff(base, merged, ["k"]).collect()
     }
     assert out == {"unchanged": 8, "changed": 1, "removed": 1, "added": 1}

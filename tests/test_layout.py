@@ -164,6 +164,8 @@ def test_zorder_file_assignment_plan_has_no_sort_or_window(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -277,3 +277,33 @@ def test_violation_counts_requires_checks(spark):
 
     with pytest.raises(ValueError, match="no checks"):
         violation_counts(spark.range(1), {})
+
+
+def test_violation_counts_empty_input_reports_zero(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        violation_counts,
+    )
+
+    df = spark.range(0, 10).select(F.col("id").alias("v")).where("v < 0")
+    out = {
+        r.check: r.n_violations
+        for r in violation_counts(df, {"neg": F.col("v") < 0}).collect()
+    }
+    assert out == {"neg": 0}  # empty scan -> clean audit, never NULL
+
+
+def test_violation_counts_quote_in_check_name_is_safe(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        violation_counts,
+    )
+
+    df = spark.range(0, 5).select(F.col("id").alias("v"))
+    out = {
+        r.check: r.n_violations
+        for r in violation_counts(df, {"bob's rule": F.col("v") > 2}).collect()
+    }
+    assert out == {"bob's rule": 2}
