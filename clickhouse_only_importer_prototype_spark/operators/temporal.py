@@ -135,3 +135,64 @@ def interval_join(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: int | None = None,
+) -> DataFrame:
+    """Ordered funnel progression per user: stage k is reached only by
+    an event of ``stages[k]`` STRICTLY AFTER the timestamp that
+    reached stage k-1 (the product-analytics funnel contract — a
+    purchase before the first view does not count), and, when
+    ``within`` is given, no more than ``within`` ts-units after it
+    (the time-bounded conversion window real funnels use).
+
+    Returns one row per user ever seen: (user_col, funnel_stage,
+    t_1..t_n) where funnel_stage in 0..len(stages) and t_k is the
+    earliest qualifying stage-k timestamp (NULL past the reached
+    stage).
+
+    Scale shape: stage k is one filtered groupBy(user) fold joined to
+    stage k-1's per-user row — every frame after the first fold is
+    one row per user, every join is on the same key the groupBys
+    already partitioned by, and nothing is windowed or sorted. The
+    event table is scanned once per stage with the stage's type
+    filter pushed to the scan.
+    """
+    if not stages:
+        raise ValueError("no funnel stages given")
+    users = events.select(user_col).distinct()
+    per_stage: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for k, stage in enumerate(stages, start=1):
+        cur = events.where(F.col(type_col) == stage)
+        if prev is not None:
+            cond = F.col(ts_col) > F.col(f"t_{k - 1}")
+            if within is not None:
+                cond = cond & (
+                    F.col(ts_col) <= F.col(f"t_{k - 1}") + F.lit(within)
+                )
+            cur = cur.join(
+                prev.select(user_col, f"t_{k - 1}"), user_col
+            ).where(cond)
+        cur = cur.groupBy(user_col).agg(F.min(ts_col).alias(f"t_{k}"))
+        per_stage.append(cur)
+        prev = cur
+    out = users
+    for k, s in enumerate(per_stage, start=1):
+        out = out.join(s.select(user_col, f"t_{k}"), user_col, "left")
+    stage_expr = F.lit(0)
+    for k in range(1, len(stages) + 1):
+        stage_expr = F.when(
+            F.col(f"t_{k}").isNotNull(), F.lit(k)
+        ).otherwise(stage_expr)
+    return out.select(
+        user_col,
+        stage_expr.cast("long").alias("funnel_stage"),
+        *[f"t_{k}" for k in range(1, len(stages) + 1)],
+    )

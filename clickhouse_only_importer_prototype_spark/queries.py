@@ -3592,6 +3592,56 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t1
+        AND epoch_ns(e.ts) <= s1.t1 + CAST(21600 AS BIGINT) * 1000000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t2
+        AND epoch_ns(e.ts) <= s2.t2 + CAST(21600 AS BIGINT) * 1000000000
+      GROUP BY e.user_id
+    )
+    SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage,
+           COUNT(*) AS n_users
+    FROM u LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    GROUP BY 1
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (operators/temporal.funnel_stages):
+    view -> click -> purchase, each stage reached only strictly after
+    the previous stage's earliest qualifying event and within a 6-hour
+    conversion window of it. Per-user stage
+    frames are one filtered groupBy fold each, joined on the key they
+    are already partitioned by — no windows, no sorts; the oracle
+    replays the stage chain as correlated min-after CTEs."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    staged = temporal_ops.funnel_stages(
+        ev, ["view", "click", "purchase"], within=21_600_000_000_000
+    )
+    return staged.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 # --------------------------------------------------------------------------
 # Lakehouse maintenance: CDC merge, SCD2 history, layout planning/audit
 # --------------------------------------------------------------------------

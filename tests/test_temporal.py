@@ -94,3 +94,75 @@ def test_asof_ignores_null_right_timestamps(spark):
     assert len(out) == 1
     # the NULL-ts row must not be carried forward as a phantom match
     assert out[0].r_ts is None and out[0].r_rval is None
+
+
+def test_funnel_stages_orders_strictly(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: purchase BEFORE view -> stage stops at click
+        (2, "purchase", 5), (2, "view", 10), (2, "click", 20),
+        # user 3: click at the same instant as view -> not strictly after
+        (3, "view", 10), (3, "click", 10),
+        # user 4: unrelated events only -> stage 0
+        (4, "error", 10),
+        # user 5: click before the first view never counts
+        (5, "click", 5), (5, "view", 10),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        r.user_id: r.funnel_stage
+        for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_funnel_stages_earliest_qualifying_timestamps(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    rows = [
+        (1, "view", 10), (1, "view", 5),        # earliest view wins
+        (1, "click", 7), (1, "click", 50),      # click@7 is after view@5
+        (1, "purchase", 6),                     # before click@7 -> ignored
+        (1, "purchase", 99),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    r = funnel_stages(ev, ["view", "click", "purchase"]).collect()[0]
+    assert (r.t_1, r.t_2, r.t_3, r.funnel_stage) == (5, 7, 99, 3)
+
+
+def test_funnel_stages_requires_stages(spark):
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    with pytest.raises(ValueError, match="no funnel stages"):
+        funnel_stages(spark.range(1), [])
+
+
+def test_funnel_stages_conversion_window_bounds_each_step(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    rows = [
+        (1, "view", 0), (1, "click", 100), (1, "purchase", 150),  # in window
+        (2, "view", 0), (2, "click", 300),                        # click too late
+        (3, "view", 0), (3, "click", 50), (3, "purchase", 400),   # purchase late
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        r.user_id: r.funnel_stage
+        for r in funnel_stages(
+            ev, ["view", "click", "purchase"], within=200
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 2}
