@@ -196,3 +196,34 @@ def funnel_stages(
         stage_expr.cast("long").alias("funnel_stage"),
         *[f"t_{k}" for k in range(1, len(stages) + 1)],
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_ns: int = 86_400_000_000_000,
+    offset_buckets: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users cohort by their FIRST activity
+    bucket (default: day); each later activity bucket rolls up into
+    offset groups of ``offset_buckets`` (default: weekly offsets) —
+    (cohort_bucket, offset, n_active) with n_active = distinct users
+    of that cohort active in that offset window.
+
+    Scale shape: one groupBy(user) fold finds each user's cohort, one
+    distinct projects (user, bucket) activity, and the join between
+    them is on the user key both sides are already partitioned by.
+    Integer `div` arithmetic throughout — epoch-scale nanos exceed
+    2^53, so float division would corrupt bucket boundaries.
+    """
+    bucket = F.expr(f"{ts_col} div {bucket_ns}")
+    first = events.select(user_col, bucket.alias("__b")).groupBy(
+        user_col
+    ).agg(F.min("__b").alias("cohort_bucket"))
+    active = events.select(user_col, bucket.alias("__b")).distinct()
+    joined = active.join(first, user_col)
+    offset = F.expr(f"(__b - cohort_bucket) div {offset_buckets}")
+    return joined.groupBy(
+        "cohort_bucket", offset.alias("offset")
+    ).agg(F.count_distinct(F.col(user_col)).alias("n_active"))

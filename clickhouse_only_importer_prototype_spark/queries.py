@@ -3642,6 +3642,33 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS cohort_bucket
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      FROM events
+    )
+    SELECT f.cohort_bucket, (a.day - f.cohort_bucket) // 7 AS offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/temporal.cohort_retention):
+    users cohort by first-activity day, activity rolls up to weekly
+    offsets — the table behind every retention curve. Two folds and
+    one user-key join, integer div throughout (epoch nanos exceed
+    2^53; float division would corrupt bucket boundaries)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return temporal_ops.cohort_retention(ev)
+
+
 # --------------------------------------------------------------------------
 # Lakehouse maintenance: CDC merge, SCD2 history, layout planning/audit
 # --------------------------------------------------------------------------

@@ -166,3 +166,25 @@ def test_funnel_stages_conversion_window_bounds_each_step(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 1, 3: 2}
+
+
+def test_cohort_retention_matrix(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    d = 86_400_000_000_000  # one day of nanos
+    rows = [
+        # user 1: cohort day 0, active days 0, 1, 8 (weeks 0, 0, 1)
+        (1, 0), (1, d), (1, 8 * d),
+        # user 2: cohort day 1, active days 1 and 15 (weeks 0 and 2)
+        (2, d), (2, 15 * d),
+        # user 3: cohort day 0, active day 0 only
+        (3, 0), (3, 1),  # same-day second event must not double count
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {
+        (r.cohort_bucket, r.offset): r.n_active
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
