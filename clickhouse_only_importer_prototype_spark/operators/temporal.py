@@ -118,19 +118,27 @@ def interval_join(
     output dedup is needed), and the residual range predicate filters
     within the bucket. Returns all interval columns + all point
     columns (names must not collide apart from the join keys).
+
+    Bucketing is integer ``div`` — epoch-scale nanos exceed 2^53, so
+    float division has a ~256ns ulp that can round a boundary-adjacent
+    timestamp into the wrong bucket and silently drop its join row.
+    Timestamps must be non-negative (epoch instants).
     """
     on = list(on)
-    bw = F.lit(bucket_width)
+
+    def bucket_of(col: str, minus_one: bool = False) -> Column:
+        expr = f"`{col}` - 1" if minus_one else f"`{col}`"
+        return F.expr(f"({expr}) div {bucket_width}")
+
     ivals = intervals.where(F.col(start_col) < F.col(end_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col) / bw),
-                F.floor((F.col(end_col) - 1) / bw),
+                bucket_of(start_col), bucket_of(end_col, minus_one=True)
             )
         ),
     )
-    pts = points.withColumn("__bucket", F.floor(F.col(point_ts) / bw))
+    pts = points.withColumn("__bucket", bucket_of(point_ts))
     joined = ivals.join(pts, on + ["__bucket"]).where(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     )
@@ -147,10 +155,18 @@ def funnel_stages(
 ) -> DataFrame:
     """Ordered funnel progression per user: stage k is reached only by
     an event of ``stages[k]`` STRICTLY AFTER the timestamp that
-    reached stage k-1 (the product-analytics funnel contract — a
-    purchase before the first view does not count), and, when
-    ``within`` is given, no more than ``within`` ts-units after it
-    (the time-bounded conversion window real funnels use).
+    reached stage k-1 (a purchase before the first view does not
+    count), and, when ``within`` is given, no more than ``within``
+    ts-units after it.
+
+    This is the EARLIEST-ANCHOR (greedy) funnel: stage k always
+    anchors on the earliest qualifying stage-k event. With a
+    conversion window that is the strictest common definition — a
+    user whose first attempt times out is NOT re-anchored onto a
+    later attempt, so bounded-funnel counts are a lower bound.
+    Re-anchoring ("any attempt converts") semantics need a per-user
+    ordered scan (sessionize-style stateful pass), not these groupBy
+    folds; the oracle encodes the same greedy chain.
 
     Returns one row per user ever seen: (user_col, funnel_stage,
     t_1..t_n) where funnel_stage in 0..len(stages) and t_k is the
@@ -166,6 +182,12 @@ def funnel_stages(
     """
     if not stages:
         raise ValueError("no funnel stages given")
+    reserved = {"funnel_stage", *(f"t_{k}" for k in range(1, len(stages) + 1))}
+    clash = sorted(reserved & set(events.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with funnel output columns"
+        )
     users = events.select(user_col).distinct()
     per_stage: list[DataFrame] = []
     prev: DataFrame | None = None
@@ -217,7 +239,7 @@ def cohort_retention(
     Integer `div` arithmetic throughout — epoch-scale nanos exceed
     2^53, so float division would corrupt bucket boundaries.
     """
-    bucket = F.expr(f"{ts_col} div {bucket_ns}")
+    bucket = F.expr(f"`{ts_col}` div {bucket_ns}")
     first = events.select(user_col, bucket.alias("__b")).groupBy(
         user_col
     ).agg(F.min("__b").alias("cohort_bucket"))
