@@ -179,7 +179,7 @@ def scd2_history(
     attr_col: str,
     ts_col: str,
     tiebreak_col: str,
-    high_ts: str = "2261-12-31 00:00:00",
+    high_ts: str | int = "2261-12-31 00:00:00",
 ) -> DataFrame:
     """Build an SCD type-2 history from an attribute change log:
     one row per (key, attribute run) with [eff_from, eff_to) validity.
@@ -198,7 +198,37 @@ def scd2_history(
     engine's range.
 
     Output: (key, attr, eff_from, eff_to, version, is_current).
+
+    ``ts_col`` may be a timestamp/date column (string ``high_ts``
+    sentinel) or an integral column — the engine's own raw-nanos
+    events contract — in which case ``high_ts`` MUST be passed as an
+    int (e.g. epoch nanos of 2261-12-31): a string sentinel cast to
+    long would silently yield NULL and mislabel every current row.
     """
+    from pyspark.sql.types import (
+        DateType,
+        IntegralType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    ts_type = log.schema[ts_col].dataType
+    if isinstance(ts_type, IntegralType):
+        if not isinstance(high_ts, int):
+            raise TypeError(
+                f"ts column {ts_col!r} is {ts_type.simpleString()}: pass an "
+                "integer high_ts sentinel (a string would cast to NULL)"
+            )
+    elif isinstance(ts_type, (TimestampType, TimestampNTZType, DateType)):
+        if isinstance(high_ts, int):
+            raise TypeError(
+                f"ts column {ts_col!r} is {ts_type.simpleString()}: pass a "
+                "string high_ts sentinel"
+            )
+    else:
+        raise TypeError(
+            f"unsupported ts column type for SCD2: {ts_type.simpleString()}"
+        )
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     marked = log.select(
         key_col,

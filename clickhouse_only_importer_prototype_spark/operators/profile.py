@@ -72,21 +72,31 @@ def profile_table(
         else (lambda c: F.count_distinct(F.col(c)))
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
+    # positional aliases: column NAMES never enter generated SQL text
+    # (a quote-bearing name would break a string-built stack()) — the
+    # same literal-name struct-explode pattern as violation_counts
+    for i, c in enumerate(cols):
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}")
         )
-        aggs.append(distinct(c).alias(f"__dist_{c}"))
+        aggs.append(distinct(c).alias(f"__dist_{i}"))
     wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __null_{c}, __dist_{c}" for c in cols
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__null_{i}").cast("long").alias("n_null"),
+                F.col(f"__dist_{i}").cast("long").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack}) as (column, n_null, n_distinct)",
-        "n_rows",
-    ).select(
-        "column",
+    return wide.select(
+        F.explode(entries).alias("__e"),
         F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_null").cast("long").alias("n_null"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
+    ).select(
+        "__e.column",
+        "n_rows",
+        "__e.n_null",
+        "__e.n_distinct",
     )

@@ -32,6 +32,18 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _floordiv_sql(expr: str, width: int) -> str:
+    """Exact int64 floor-division as a SQL fragment: ``div`` truncates
+    toward zero, so shift the quotient down by one when the remainder
+    is negative (Spark's ``%`` follows the dividend's sign). Matches
+    DuckDB's ``//`` (floor) on negative pre-epoch instants, where bare
+    ``div`` would bucket one slot too high."""
+    return (
+        f"(({expr}) div {width}) - "
+        f"(CASE WHEN ({expr}) % {width} < 0 THEN 1 ELSE 0 END)"
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -119,16 +131,18 @@ def interval_join(
     within the bucket. Returns all interval columns + all point
     columns (names must not collide apart from the join keys).
 
-    Bucketing is integer ``div`` — epoch-scale nanos exceed 2^53, so
-    float division has a ~256ns ulp that can round a boundary-adjacent
-    timestamp into the wrong bucket and silently drop its join row.
-    Timestamps must be non-negative (epoch instants).
+    Bucketing is integer floor-division — epoch-scale nanos exceed
+    2^53, so float division has a ~256ns ulp that can round a
+    boundary-adjacent timestamp into the wrong bucket and silently
+    drop its join row; and plain ``div`` truncates toward zero, which
+    would mis-bucket negative (pre-epoch) instants, so the ``div`` is
+    corrected by the remainder's sign (exact floor for any int64).
     """
     on = list(on)
 
     def bucket_of(col: str, minus_one: bool = False) -> Column:
-        expr = f"`{col}` - 1" if minus_one else f"`{col}`"
-        return F.expr(f"({expr}) div {bucket_width}")
+        expr = f"(`{col}` - 1)" if minus_one else f"`{col}`"
+        return F.expr(_floordiv_sql(expr, bucket_width))
 
     ivals = intervals.where(F.col(start_col) < F.col(end_col)).withColumn(
         "__bucket",
@@ -236,10 +250,12 @@ def cohort_retention(
     Scale shape: one groupBy(user) fold finds each user's cohort, one
     distinct projects (user, bucket) activity, and the join between
     them is on the user key both sides are already partitioned by.
-    Integer `div` arithmetic throughout — epoch-scale nanos exceed
-    2^53, so float division would corrupt bucket boundaries.
+    Integer floor-div arithmetic throughout — epoch-scale nanos exceed
+    2^53, so float division would corrupt bucket boundaries, and
+    truncating ``div`` would mis-bucket pre-epoch instants (the offset
+    div needs no sign fix: __b >= cohort_bucket by construction).
     """
-    bucket = F.expr(f"`{ts_col}` div {bucket_ns}")
+    bucket = F.expr(_floordiv_sql(f"`{ts_col}`", bucket_ns))
     first = events.select(user_col, bucket.alias("__b")).groupBy(
         user_col
     ).agg(F.min("__b").alias("cohort_bucket"))

@@ -2834,10 +2834,19 @@ def _stream_twin(
     """Shared scaffold for the streaming batch twins: symlink the
     fixture parquet into a fresh source dir, run ``build(src_dir)``'s
     streaming DataFrame through an availableNow trigger into a
-    uniquely-named memory sink, and return the sink table for the
+    uniquely-named memory sink, and return the sink rows for the
     batch-side rollup. One place owns the tempdir/checkpoint/sink
-    contract for every twin."""
+    contract for every twin.
+
+    The sink's rows are materialized into a fresh local DataFrame and
+    the streaming query/memory sink/checkpoint tempdir are torn down
+    before returning — a memory sink is driver-resident anyway, so the
+    collect adds nothing, and repeated bench/gate runs (five twins x
+    many rounds) no longer accumulate sink tables in the session or
+    checkpoint dirs in /tmp. Test/gate scaffold only: production
+    streams write parquet (sinks/parquet.py) and never pass here."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -2859,7 +2868,13 @@ def _stream_twin(
         .start()
     )
     handle.awaitTermination()
-    return spark.table(name)
+    sink = spark.table(name)
+    schema = sink.schema
+    rows = sink.collect()
+    handle.stop()
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(

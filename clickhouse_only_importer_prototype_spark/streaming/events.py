@@ -77,6 +77,11 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     # TIMESTAMP(NANOS) parquet -> long requires this (runtime-settable);
     # external sessions won't have it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalize_ts folds NTZ timestamps through timestamp_ltz, which
+    # reads the session timezone — an externally built non-UTC session
+    # would shift ts away from DuckDB's epoch_ns of the same naive
+    # instants. Runtime-settable, so pin it here like nanosAsLong.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     return with_event_time(
         spark.readStream.schema(schema).parquet(path)

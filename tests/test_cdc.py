@@ -242,3 +242,31 @@ def test_scd2_versions_cover_log_span_gaplessly(spark, sf_dir):
         F.sum("is_current").alias("n")
     )
     assert cur.where(F.col("n") != 1).count() == 0
+
+
+def test_scd2_long_ts_requires_integer_sentinel(spark):
+    log = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "b", 20, 2)],
+        "k long, attr string, ts long, tb long",
+    )
+    # string sentinel over a long ts column would cast to NULL and
+    # mislabel every current row: refused loudly
+    with pytest.raises(TypeError, match="integer high_ts"):
+        cdc.scd2_history(log, "k", "attr", "ts", "tb")
+    hist = {
+        (r.version): (r.eff_from, r.eff_to, r.is_current)
+        for r in cdc.scd2_history(
+            log, "k", "attr", "ts", "tb", high_ts=9_000_000_000_000_000_000
+        ).collect()
+    }
+    assert hist[1] == (10, 20, 0)
+    assert hist[2] == (20, 9_000_000_000_000_000_000, 1)
+
+
+def test_scd2_timestamp_ts_rejects_integer_sentinel(spark):
+    log = spark.createDataFrame(
+        [(1, "a", dt.datetime(2020, 1, 1), 1)],
+        "k long, attr string, ts timestamp, tb long",
+    )
+    with pytest.raises(TypeError, match="string high_ts"):
+        cdc.scd2_history(log, "k", "attr", "ts", "tb", high_ts=5)

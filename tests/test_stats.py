@@ -307,3 +307,21 @@ def test_violation_counts_quote_in_check_name_is_safe(spark):
         for r in violation_counts(df, {"bob's rule": F.col("v") > 2}).collect()
     }
     assert out == {"bob's rule": 2}
+
+
+def test_profile_table_quote_in_column_name_is_safe(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.range(0, 6).select(
+        F.col("id").alias("it's a col"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("plain"),
+    )
+    out = {
+        r.column: (r.n_rows, r.n_null, r.n_distinct)
+        for r in profile_table(df).collect()
+    }
+    assert out == {"it's a col": (6, 0, 6), "plain": (6, 3, 3)}

@@ -188,3 +188,45 @@ def test_cohort_retention_matrix(spark):
         for r in cohort_retention(ev).collect()
     }
     assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_interval_join_pre_epoch_timestamps_floor_bucket(spark):
+    # points/intervals strictly before the epoch: truncating div would
+    # bucket -1 into 0 and miss the join row
+    intervals = spark.createDataFrame(
+        [(1, -30, -10)], "ival_id long, t0 long, t1 long"
+    )
+    points = spark.createDataFrame(
+        [(100, -30), (101, -11), (102, -10), (103, -31)],
+        "pt_id long, t long",
+    )
+    out = sorted(
+        r.pt_id
+        for r in interval_join(
+            points.withColumn("k", points.pt_id * 0),
+            intervals.withColumn("k", intervals.ival_id * 0),
+            on=["k"],
+            point_ts="t",
+            start_col="t0",
+            end_col="t1",
+            bucket_width=8,
+        ).collect()
+    )
+    assert out == [100, 101]
+
+
+def test_cohort_retention_pre_epoch_cohorts(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    d = 86_400_000_000_000
+    # user 1 first active half a day BEFORE the epoch: floor-div puts
+    # the cohort at day -1, and day+6.5 activity lands offset 1
+    rows = [(1, -d // 2), (1, 6 * d + d // 2)]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {
+        (r.cohort_bucket, r.offset): r.n_active
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {(-1, 0): 1, (-1, 1): 1}
