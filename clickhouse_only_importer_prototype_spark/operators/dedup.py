@@ -91,6 +91,27 @@ def _exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     return keyed.join(mins, "__fp").select("doc_id", "rep_id")
 
 
+def _has_exact_dups(df: DataFrame, text_col: str = "text") -> bool:
+    """ONE cheap aggregate probing whether the corpus carries ANY exact
+    duplication: count vs count-distinct of the normalized-text
+    fingerprint (map-side partial aggs, one row to the driver).
+
+    The runtime gate for the representative-collapse prefilter — the
+    same measured-statistics philosophy as AQE. On a dup-free corpus
+    the collapse groupBy/expand joins are pure overhead (every doc is
+    its own representative), and skipping them is EXACTLY lossless:
+    with zero duplicate fingerprints the group mapping is the identity,
+    within-group pairs are empty, and shingle document frequencies over
+    representatives equal those over raw docs. On dup-heavy corpora
+    (the premise of dedup) the probe costs one corpus scan and the
+    collapse pays it back quadratically."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.md5(_norm(F.col(text_col)))).alias("d"),
+    ).first()
+    return (r["n"] or 0) != (r["d"] or 0)
+
+
 def _rep_docs(df: DataFrame, groups: DataFrame) -> DataFrame:
     """The representative subset of df (one doc per distinct text)."""
     reps = groups.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
@@ -204,6 +225,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word n-gram Jaccard similarity — EXACT result
     via prefix filtering + candidate verification.
@@ -215,7 +237,11 @@ def ngram_jaccard_pairs(
 
     Three stacked prunings, all lossless:
       1. representative collapse — exact duplicates share one rep, so
-         identical texts never enter the quadratic stages;
+         identical texts never enter the quadratic stages. Gated on a
+         measured dup probe by default (``collapse=None``): a dup-free
+         corpus skips the collapse groupBy and expansion joins
+         entirely (identical output — see ``_has_exact_dups``); pass
+         True/False to force either path and skip the probe;
       2. prefix filtering — order shingles globally by (document
          frequency asc, shingle); a doc of set size s only indexes its
          first ``s - ceil(t*s) + 1`` shingles in that order (any pair
@@ -228,8 +254,14 @@ def ngram_jaccard_pairs(
     jaccard_per_1000), doc_a < doc_b, jaccard int-scaled (x1000,
     floor) for cross-engine hashing.
     """
-    groups = _exact_groups(df, text_col)
-    sh = shingles(_rep_docs(df, groups), text_col, n)
+    if collapse is None:
+        collapse = _has_exact_dups(df, text_col)
+    if collapse:
+        groups = _exact_groups(df, text_col)
+        sh = shingles(_rep_docs(df, groups), text_col, n)
+    else:
+        groups = None
+        sh = shingles(df, text_col, n)
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -291,6 +323,8 @@ def ngram_jaccard_pairs(
     )
     stat_cols = ["inter_size", "size_a", "size_b", "jaccard_per_1000"]
     rep_pairs = _verify_pairs(cands, packed, threshold)
+    if not collapse:
+        return rep_pairs.select("doc_a", "doc_b", *stat_cols)
     cross = _expand_cross(
         rep_pairs, groups, stat_cols, swap_pairs=[("size_a", "size_b")]
     )
@@ -392,6 +426,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -401,8 +436,17 @@ def minhash_lsh_candidates(
     a group (always a collision) and every cross-member of a colliding
     rep pair is a candidate — the expansion IS the uncollapsed result,
     computed without quadratic work on duplicate-heavy corpora.
-    Output distinct (doc_a, doc_b), doc_a < doc_b.
+    ``collapse=None`` (default) gates the rep collapse on a measured
+    dup probe (see ``_has_exact_dups`` — skipping is exactly lossless
+    on a dup-free corpus). Output distinct (doc_a, doc_b),
+    doc_a < doc_b.
     """
+    if collapse is None:
+        collapse = _has_exact_dups(df, text_col)
+    if not collapse:
+        return _band_candidates(
+            minhash_signatures(df, text_col, n, num_hashes), num_hashes, bands
+        )
     groups = _exact_groups(df, text_col)
     # one signature frame serves banding AND the zero-shingle membership
     # check (a doc with no shingles has no signature row); recompute of
@@ -429,13 +473,20 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: LSH candidates verified with
     exact Jaccard — only candidate pairs pay the verification join,
     and only distinct texts (representatives) pay anything quadratic;
-    exact-dup members expand afterwards with jaccard=1000."""
-    groups = _exact_groups(df, text_col)
-    rep_df = _rep_docs(df, groups)
+    exact-dup members expand afterwards with jaccard=1000. The rep
+    collapse is gated on a measured dup probe by default
+    (``collapse=None`` — see ``_has_exact_dups``)."""
+    if collapse is None:
+        collapse = _has_exact_dups(df, text_col)
+    rep_df = df
+    if collapse:
+        groups = _exact_groups(df, text_col)
+        rep_df = _rep_docs(df, groups)
     # one shared shingle subplan feeds signature build, verification
     # sets, and the membership check (recompute > cache boundary at
     # bench scale; persist on a cluster)
@@ -447,6 +498,8 @@ def minhash_dedup_pairs(
     rep_pairs = _verify_pairs(cands, sets, threshold).select(
         "doc_a", "doc_b", "jaccard_per_1000"
     )
+    if not collapse:
+        return rep_pairs
     cross = _expand_cross(rep_pairs, groups, ["jaccard_per_1000"])
     within = (
         _within_group_pairs(groups)
@@ -554,7 +607,7 @@ def _portable_sigs(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_portable(
-    df: DataFrame, text_col: str = "text", collapse: bool = True
+    df: DataFrame, text_col: str = "text", collapse: bool | None = None
 ) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash, JVM-only and cross-engine
     reproducible.
@@ -568,15 +621,16 @@ def simhash_portable(
     Empty/whitespace-only text → no tokens → all-zero signature,
     matching ``_simhash64``'s convention.
 
-    With ``collapse=True`` (default) the 60·n-op signature build runs
-    once per DISTINCT normalized text (keyed by md5 fingerprint) and
-    joins back to doc ids — exactly equivalent output, since the
-    signature is a pure function of the text. On dedup-shaped corpora
-    (the premise of running SimHash at all) the dup ratio pays for the
-    extra narrow shuffle many times over: 3.2x at the 10x stress scale
-    (18.0s -> 5.6s, dup ratio 10). Pass ``collapse=False`` for
-    known-unique corpora where the two extra exchanges of slim
-    (id, fp) rows would be pure overhead.
+    With ``collapse=True`` the 60·n-op signature build runs once per
+    DISTINCT normalized text (keyed by md5 fingerprint) and joins back
+    to doc ids — exactly equivalent output, since the signature is a
+    pure function of the text. On dedup-shaped corpora (the premise of
+    running SimHash at all) the dup ratio pays for the extra narrow
+    shuffle many times over: 3.2x at the 10x stress scale (18.0s ->
+    5.6s, dup ratio 10). The default ``collapse=None`` decides from a
+    measured dup probe (one cheap agg — ``_has_exact_dups``), so
+    dup-free corpora skip the two extra exchanges automatically; pass
+    True/False to force a path and skip the probe.
 
     Scale: the signature build itself is a pure projection — md5 per
     token plus 60·n integer ops per doc inside whole-stage codegen, no
@@ -585,6 +639,8 @@ def simhash_portable(
     parity or zero-Python matters; the blake2b pandas UDF wins when
     batches are huge and its per-batch token cache amortizes.
     """
+    if collapse is None:
+        collapse = _has_exact_dups(df, text_col)
     if not collapse:
         return _portable_sigs(df, "doc_id", text_col)
     keyed = df.select(
@@ -628,21 +684,40 @@ def simhash_neardup_pairs(
     # the signature build dominates cost and feeds both the group agg
     # and the member join — persist so the corpus is scanned once
     all_sigs = sig_src.persist()
-    # groupBy+join, not min().over(partitionBy): map-side combine means
-    # the shuffle carries per-signature minima, not every row (see
-    # _exact_groups for the full argument). (simhash, rep_id) is ALSO
-    # the rep signature frame — one row per distinct signature — so
-    # banding reads it directly; no rep filter-join needed. It and the
-    # member map are referenced by banding plus both expansion joins
-    # plus the within-group self-join: persist both (columnar-compact
-    # id/signature pairs, metadata-scale next to the corpus).
-    sig_mins = (
-        all_sigs.groupBy("simhash").agg(F.min("doc_id").alias("rep_id")).persist()
-    )
-    groups = (
-        all_sigs.join(sig_mins, "simhash").select("doc_id", "rep_id").persist()
-    )
-    sig = sig_mins.select(F.col("rep_id").alias("doc_id"), "simhash")
+    # measured gate for the signature-level collapse (the AQE
+    # philosophy, same as _has_exact_dups): one agg over the persisted
+    # slim (id, sig) frame — which also materializes the cache the
+    # banding stage reuses. With zero duplicate signatures the group
+    # mapping is the identity and within-group pairs are empty, so
+    # banding the signatures directly is exactly lossless and skips a
+    # groupBy, three joins, and two persists of pure overhead.
+    sstats = all_sigs.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("simhash").alias("d")
+    ).first()
+    collapse = (sstats["n"] or 0) != (sstats["d"] or 0)
+    if collapse:
+        # groupBy+join, not min().over(partitionBy): map-side combine
+        # means the shuffle carries per-signature minima, not every row
+        # (see _exact_groups for the full argument). (simhash, rep_id)
+        # is ALSO the rep signature frame — one row per distinct
+        # signature — so banding reads it directly; no rep filter-join
+        # needed. It and the member map are referenced by banding plus
+        # both expansion joins plus the within-group self-join: persist
+        # both (columnar-compact id/signature pairs, metadata-scale
+        # next to the corpus).
+        sig_mins = (
+            all_sigs.groupBy("simhash")
+            .agg(F.min("doc_id").alias("rep_id"))
+            .persist()
+        )
+        groups = (
+            all_sigs.join(sig_mins, "simhash")
+            .select("doc_id", "rep_id")
+            .persist()
+        )
+        sig = sig_mins.select(F.col("rep_id").alias("doc_id"), "simhash")
+    else:
+        sig = all_sigs
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -685,6 +760,8 @@ def simhash_neardup_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+    if not collapse:
+        return rep_pairs
     cross = _expand_cross(rep_pairs, groups, ["hamming"])
     within = _within_group_pairs(groups).select(
         "doc_a", "doc_b", F.lit(0).cast("long").alias("hamming")
@@ -837,6 +914,7 @@ def minhash_dedup_clusters(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) components over MinHash-verified near-dup
     pairs, computed on the representative graph.
@@ -847,15 +925,24 @@ def minhash_dedup_clusters(
     component holds because each rep is already its group's min.
     Output matches neardup_clusters(minhash_dedup_pairs(df)) exactly:
     docs in no pair (singleton text, no near-dup edge) are absent.
+    The collapse is gated on a measured dup probe by default
+    (``collapse=None`` — see ``_has_exact_dups``): on a dup-free
+    corpus the output is simply the components of the pair graph.
     """
-    groups = _exact_groups(df, text_col)
-    rep_df = _rep_docs(df, groups)
+    if collapse is None:
+        collapse = _has_exact_dups(df, text_col)
+    rep_df = df
+    if collapse:
+        groups = _exact_groups(df, text_col)
+        rep_df = _rep_docs(df, groups)
     sh = shingles(rep_df, text_col, n)
     cands = _band_candidates(
         _signatures_from_shingles(sh, num_hashes), num_hashes, bands
     )
     sets = _shingle_sets(sh)
     rep_pairs = _verify_pairs(cands, sets, threshold).select("doc_a", "doc_b")
+    if not collapse:
+        return neardup_clusters(rep_pairs)
     rep_labels = neardup_clusters(rep_pairs).withColumnRenamed(
         "doc_id", "rep_id"
     )

@@ -383,3 +383,46 @@ def test_chunk_dedup_tail_chunk_and_empty(spark):
     r = out[0]
     # 5 tokens -> one full chunk + one 1-token tail, all kept
     assert r.n_chunks == 2 and r.kept_chunks == 2 and r.kept_tokens == 5
+
+
+def _pairset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_collapse_gate_paths_identical_on_dup_corpus(spark, dup_docs):
+    """collapse=None probes, finds dups, and must equal the forced
+    collapsed path — and the forced UNcollapsed path (the gate's
+    losslessness claim) — on a corpus WITH exact dups."""
+    for fn, kw in [
+        (dedup.ngram_jaccard_pairs, dict(threshold=0.5)),
+        (dedup.minhash_dedup_pairs, dict(threshold=0.5)),
+        (dedup.minhash_lsh_candidates, dict()),
+        (dedup.minhash_dedup_clusters, dict(threshold=0.5)),
+    ]:
+        auto = _pairset(fn(dup_docs, **kw))
+        forced = _pairset(fn(dup_docs, collapse=True, **kw))
+        plain = _pairset(fn(dup_docs, collapse=False, **kw))
+        assert auto == forced == plain, fn.__name__
+
+
+def test_collapse_gate_skips_on_dup_free_corpus(spark, dup_docs):
+    """On a dup-free corpus the probe must pick the uncollapsed path
+    and produce the same pairs as the forced collapsed one."""
+    uniq = dedup.exact_dedup(dup_docs)  # 4 distinct texts
+    assert not dedup._has_exact_dups(uniq)
+    auto = _pairset(dedup.ngram_jaccard_pairs(uniq, threshold=0.5))
+    forced = _pairset(
+        dedup.ngram_jaccard_pairs(uniq, threshold=0.5, collapse=True)
+    )
+    assert auto == forced
+    # simhash pair path gates on signature dups internally
+    auto_sh = _pairset(dedup.simhash_neardup_pairs(uniq, hash_fn="md5"))
+    full_sh = _pairset(dedup.simhash_neardup_pairs(dup_docs, hash_fn="md5"))
+    # the dup corpus's extra pairs are exactly the exact-dup expansions
+    assert auto_sh <= full_sh
+
+
+def test_simhash_portable_gate_matches_forced_paths(spark, dup_docs):
+    auto = _pairset(dedup.simhash_portable(dup_docs))
+    assert auto == _pairset(dedup.simhash_portable(dup_docs, collapse=True))
+    assert auto == _pairset(dedup.simhash_portable(dup_docs, collapse=False))
