@@ -234,6 +234,102 @@ def funnel_stages(
     )
 
 
+def funnel_stages_anymatch(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: int | None = None,
+) -> DataFrame:
+    """Re-anchoring ("any attempt converts") funnel: a user reaches
+    stage k if ANY chain e_1 < e_2 < ... < e_k exists with
+    type(e_i) = stages[i-1] and, when ``within`` is given, each hop
+    no more than ``within`` ts-units after the previous one. This is
+    the definition most product-analytics tools default to — a user
+    whose first attempt times out still converts via a later attempt —
+    and an upper bound on ``funnel_stages``' greedy first-attempt
+    count.
+
+    Returns (user_col, funnel_stage) for every user ever seen,
+    funnel_stage in 0..len(stages).
+
+    Implementation: one groupBy(user) packs the user's funnel-typed
+    events into a sorted (ts, type) array, then a single JVM-side
+    ``aggregate`` fold walks it once. Per stage the state carries the
+    two latest distinct reachable-attempt timestamps (L, P with
+    P < L): events arrive in ts order, so the best anchor for a
+    stage-k event at time t is the latest reachable stage-(k-1)
+    attempt STRICTLY before t — L when L < t, else P (ties on ts can
+    never anchor each other). Linear in events-per-user, no window,
+    no self-join; the event scan filters to funnel types before the
+    fold. Re-anchoring is inherently an ordered scan, which is why
+    this is a fold rather than ``funnel_stages``' per-stage groupBy
+    chain.
+    """
+    if not stages:
+        raise ValueError("no funnel stages given")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel stages must be distinct event types")
+    n = len(stages)
+    users = events.select(user_col).distinct()
+    packed = (
+        events.where(F.col(type_col).isin(list(stages)))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).cast("long").alias("t"),
+                        F.col(type_col).alias("et"),
+                    )
+                )
+            ).alias("__evs")
+        )
+    )
+    null_t = F.lit(None).cast("long")
+    init = F.struct(
+        *[
+            c.alias(nm)
+            for k in range(1, n + 1)
+            for c, nm in [(null_t, f"l{k}"), (null_t, f"p{k}")]
+        ]
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        t, et = e["t"], e["et"]
+        fields = []
+        for k in range(1, n + 1):
+            lk, pk = acc[f"l{k}"], acc[f"p{k}"]
+            if k == 1:
+                ok = et == F.lit(stages[0])
+            else:
+                lp, pp = acc[f"l{k - 1}"], acc[f"p{k - 1}"]
+                # latest reachable stage-(k-1) attempt strictly before t
+                anchor = F.when(lp.isNotNull() & (lp < t), lp).otherwise(pp)
+                ok = (et == F.lit(stages[k - 1])) & anchor.isNotNull()
+                if within is not None:
+                    ok = ok & (t <= anchor + F.lit(within))
+            adv = ok & (lk.isNull() | (t > lk))
+            fields.append(F.when(adv, t).otherwise(lk).alias(f"l{k}"))
+            fields.append(
+                F.when(adv & lk.isNotNull(), lk).otherwise(pk).alias(f"p{k}")
+            )
+        return F.struct(*fields)
+
+    folded = packed.select(
+        user_col, F.aggregate(F.col("__evs"), init, step).alias("__st")
+    )
+    stage_expr = F.lit(0)
+    for k in range(1, n + 1):
+        stage_expr = F.when(
+            F.col(f"__st.l{k}").isNotNull(), F.lit(k)
+        ).otherwise(stage_expr)
+    return users.join(folded, user_col, "left").select(
+        user_col, stage_expr.cast("long").alias("funnel_stage")
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

@@ -3658,6 +3658,58 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_anymatch",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) AS t FROM events
+      WHERE event_type = 'view'
+    ),
+    s2 AS (
+      SELECT DISTINCT e.user_id, epoch_ns(e.ts) AS t
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t
+        AND epoch_ns(e.ts) <= s1.t + CAST(21600 AS BIGINT) * 1000000000
+    ),
+    s3 AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t
+        AND epoch_ns(e.ts) <= s2.t + CAST(21600 AS BIGINT) * 1000000000
+    )
+    SELECT CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2u.user_id IS NOT NULL THEN 2
+                     WHEN s1u.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage,
+           COUNT(*) AS n_users
+    FROM u LEFT JOIN (SELECT DISTINCT user_id FROM s1) s1u USING (user_id)
+           LEFT JOIN (SELECT DISTINCT user_id FROM s2) s2u USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    GROUP BY 1
+    """,
+)
+def events_funnel_anymatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-anchoring funnel (operators/temporal.funnel_stages_anymatch):
+    view -> click -> purchase where ANY qualifying attempt chain
+    converts — the product-analytics default that events_funnel's
+    greedy first-attempt chain lower-bounds. One groupBy packs each
+    user's funnel events into a sorted array; a single JVM-side
+    aggregate fold walks it carrying the two latest reachable attempt
+    timestamps per stage (ties on ts can never anchor each other, so
+    the strictly-earlier anchor survives). The oracle materializes
+    the reachable-attempt sets stage by stage as EXISTS-chain CTEs —
+    quadratic per user, oracle-only; the engine path is the linear
+    fold."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    staged = temporal_ops.funnel_stages_anymatch(
+        ev, ["view", "click", "purchase"], within=21_600_000_000_000
+    )
+    return staged.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     WITH f AS (

@@ -230,3 +230,54 @@ def test_cohort_retention_pre_epoch_cohorts(spark):
         for r in cohort_retention(ev).collect()
     }
     assert out == {(-1, 0): 1, (-1, 1): 1}
+
+
+def test_funnel_anymatch_reanchors_and_bounds_greedy(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        funnel_stages,
+        funnel_stages_anymatch,
+    )
+
+    rows = [
+        # user 1: straight conversion, but purchase misses the window
+        (1, "view", 0), (1, "click", 5), (1, "purchase", 100),
+        # user 2: first attempt times out; a later attempt converts —
+        # greedy says 2, anymatch says 3
+        (2, "view", 0), (2, "click", 5),
+        (2, "view", 50), (2, "click", 55), (2, "purchase", 60),
+        # user 3: purchase ties with the latest click; the EARLIER
+        # reachable click must anchor it (strictly-before rule)
+        (3, "view", 0), (3, "click", 10), (3, "click", 12),
+        (3, "purchase", 12),
+        # user 4: click with no view never starts the funnel
+        (4, "click", 5),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    any_out = {
+        r.user_id: r.funnel_stage
+        for r in funnel_stages_anymatch(
+            ev, ["view", "click", "purchase"], within=10
+        ).collect()
+    }
+    assert any_out == {1: 2, 2: 3, 3: 3, 4: 0}
+    greedy = {
+        r.user_id: r.funnel_stage
+        for r in funnel_stages(
+            ev, ["view", "click", "purchase"], within=10
+        ).collect()
+    }
+    assert greedy == {1: 2, 2: 2, 3: 3, 4: 0}
+    # anymatch dominates greedy pointwise (upper bound)
+    assert all(any_out[u] >= greedy[u] for u in greedy)
+
+
+def test_funnel_anymatch_rejects_duplicate_stages(spark):
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        funnel_stages_anymatch,
+    )
+
+    ev = spark.createDataFrame([(1, "a", 0)], "user_id long, event_type string, ts long")
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_stages_anymatch(ev, ["a", "a"])
