@@ -3955,6 +3955,91 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_asof_lookup",
+    """
+    WITH log AS (
+      SELECT o_custkey AS k, o_orderpriority AS attr, o_orderdate AS ts,
+             o_orderkey AS tb
+      FROM orders
+    ),
+    marked AS (
+      SELECT k, attr, ts, tb,
+             LAG(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev
+      FROM log
+    ),
+    starts AS (
+      SELECT k, attr, ts,
+             CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, tb)
+                  AS BIGINT) AS version
+      FROM marked WHERE prev IS NULL OR attr <> prev
+    ),
+    vlookup AS (
+      SELECT k, ts, arg_max(attr, version) AS attr,
+             MAX(version) AS version
+      FROM starts GROUP BY k, ts
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+           v.attr AS priority_at_order, v.version
+    FROM orders f ASOF JOIN vlookup v
+      ON f.o_custkey = v.k AND f.o_orderdate >= v.ts
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 x as-of integration — the standard dimension-lookup
+    pattern: build the customer-priority SCD2 history
+    (operators/cdc.scd2_history), then as-of-join each order fact to
+    the version effective at its date (operators/temporal.asof_join).
+    Two versions of one key can share an eff_from (two same-day orders
+    flipping the attribute); their validity ranges are half-open, so
+    the earlier one is empty and the LAST version at that instant
+    wins — enforced by collapsing the lookup side to max-version per
+    (key, eff_from) before the as-of join (asof_join requires unique
+    (key, ts) on the right). Every order is itself a log entry, so
+    every fact finds a version (no NULL matches) and the lookup is
+    self-consistent. The oracle replays the history build with window
+    functions and DuckDB's native ASOF JOIN over the same deduped
+    version set. Scale: both windows and the as-of union partition by
+    the customer key; no range cross-product anywhere."""
+    o = load(spark, sf_dir, "orders")
+    log = o.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    hist = cdc_ops.scd2_history(
+        log, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    lookup = (
+        hist.groupBy("o_custkey", "eff_from")
+        .agg(
+            F.max_by(
+                F.struct("o_orderpriority", "version"), F.col("version")
+            ).alias("__w")
+        )
+        .select(
+            "o_custkey",
+            F.col("eff_from").alias("vts"),
+            F.col("__w.o_orderpriority").alias("priority_at_order"),
+            F.col("__w.version").alias("version"),
+        )
+    )
+    facts = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    joined = temporal_ops.asof_join(
+        facts,
+        lookup,
+        on=["o_custkey"],
+        left_ts="o_orderdate",
+        right_ts="vts",
+        right_prefix="",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "priority_at_order",
+        "version",
+    )
+
+
 _ZORDER_PREDS = [
     (1, 0.0, 0.10, 0.0, 1.0),
     (2, 0.45, 0.55, 0.40, 0.60),
