@@ -72,6 +72,36 @@ def merge_partials(
     return unioned.groupBy(*group_cols).agg(*aggs)
 
 
+def negate_partials(
+    partials: DataFrame,
+    specs: dict[str, tuple[str, Column]],
+) -> DataFrame:
+    """Retraction slice: flip the sign of ``n_rows`` and every sum
+    partial, so folding it through ``merge_partials`` SUBTRACTS the
+    slice — the algebra that lets a materialized view absorb CDC
+    updates and deletes (retract old rows' contribution, add new
+    rows') without rescanning history.
+
+    Only counts and sums form a group (invertible); min/max are
+    semilattice-only and CANNOT be retracted — a deleted row that held
+    the minimum would need the second-smallest, which the partial
+    state no longer knows. Specs containing min/max raise; maintain
+    those by re-aggregating the affected groups or flag the view
+    non-retractable.
+    """
+    bad = [out for out, (fn, _) in specs.items() if fn in ("min", "max")]
+    if bad:
+        raise ValueError(
+            f"min/max partials are not retractable: {bad} — recompute the "
+            "affected groups instead"
+        )
+    cols = [c for c in partials.columns]
+    flip = {_ROWS, *specs}
+    return partials.select(
+        *[(-F.col(c)).alias(c) if c in flip else F.col(c) for c in cols]
+    )
+
+
 def distinct_partials(
     df: DataFrame, group_cols: list[str], col: str
 ) -> DataFrame:

@@ -4277,6 +4277,57 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_agg_cdc",
+    f"""
+    WITH {_SQL_CDC_CTES}
+    SELECT o_custkey % 10 AS cust_bucket, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) / COUNT(*) AS avg_price
+    FROM merged GROUP BY 1
+    """,
+)
+def incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under CDC updates and deletes
+    (operators/incremental.negate_partials + operators/cdc): the
+    materialized per-bucket aggregate absorbs the shared I/U/D change
+    set WITHOUT rescanning history — partials(base) ⊕ partials(new
+    rows) ⊖ partials(prior rows of touched keys), where the prior
+    rows come from one semi-join of base against the (small) changed
+    key set. Counts and decimal sums retract exactly (a group, not
+    just a monoid); min/max are non-retractable by construction and
+    negate_partials refuses them. Zero-row groups drop to match a
+    recompute. The oracle IS the full recompute: replay the MERGE,
+    then one-pass aggregate the merged snapshot."""
+    base, changes = _cdc_base_and_changes(spark, sf_dir)
+    g = ["cust_bucket"]
+    specs = {"sum_price": ("sum", _dec("o_totalprice"))}
+    bucket = (F.col("o_custkey") % 10).alias("cust_bucket")
+    latest = cdc_ops.latest_changes(changes, ["o_orderkey"])
+    # prior rows of touched keys: ONE semi-join keyed on the merge key
+    # (broadcast at bench scale; the change set is the small side)
+    old = base.join(latest.select("o_orderkey"), "o_orderkey", "left_semi")
+    new = latest.where(F.col("op") != "D").select(*base.columns)
+    part = lambda df: inc_ops.partial_aggs(  # noqa: E731
+        df.select(bucket, "o_totalprice"), g, specs
+    )
+    merged = inc_ops.merge_partials(
+        [part(base), part(new), inc_ops.negate_partials(part(old), specs)],
+        g,
+        specs,
+    ).where(F.col("n_rows") > 0)
+    return merged.select(
+        "cust_bucket",
+        "n_rows",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        (F.col("sum_price").cast("double") / F.col("n_rows")).alias(
+            "avg_price"
+        ),
+    )
+
+
+@register(
     "quality_score",
     f"""
     WITH {_SQL_QF_CTES},

@@ -106,3 +106,46 @@ def test_merge_is_one_reaggregation_no_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan  # fold is union + agg, never a join
+
+
+def test_negate_partials_retracts_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators import (
+        incremental as inc,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double"
+    )
+    specs = {"s": ("sum", F.col("v").cast("decimal(12,2)"))}
+    p = inc.partial_aggs(df, ["g"], specs)
+    # p ⊕ (-p) folds every group to zero rows
+    merged = inc.merge_partials(
+        [p, inc.negate_partials(p, specs)], ["g"], specs
+    )
+    assert merged.where("n_rows != 0").count() == 0
+    # retract only one slice: remaining state equals the other slice
+    a_only = df.where("g = 'a'")
+    rem = inc.merge_partials(
+        [p, inc.negate_partials(inc.partial_aggs(a_only, ["g"], specs), specs)],
+        ["g"],
+        specs,
+    ).where("n_rows > 0")
+    rows = {r.g: (r.n_rows, float(r.s)) for r in rem.collect()}
+    assert rows == {"b": (1, 5.0)}
+
+
+def test_negate_partials_refuses_min_max(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators import (
+        incremental as inc,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    specs = {"m": ("min", F.col("v"))}
+    p = inc.partial_aggs(df, ["g"], specs)
+    with pytest.raises(ValueError, match="not retractable"):
+        inc.negate_partials(p, specs)
