@@ -189,3 +189,61 @@ def skew_audit(df: DataFrame, key_col: str, label: str | None = None) -> DataFra
         .cast("long")
         .alias("skewed"),
     )
+
+
+def route_join_strategy(audit_row) -> str:
+    """Close the audit->action loop: pick the join execution strategy
+    from a ``skew_audit`` verdict row.
+
+    * ``plain``    — distribution is balanced; a vanilla shuffle (or
+      AQE broadcast, if one side is small) is optimal.
+    * ``aqe_skew`` — the hottest key is oversized (>= 4x mean) but no
+      single key dominates the table: AQE's runtime skew-split
+      handles it by splitting oversized sort-merge partitions, no
+      plan surgery needed.
+    * ``salted``   — one key holds an outright share of ALL rows
+      (>= 20%, per-mille 200): even a split partition is one key's
+      rows on one joined stream; explicit salting
+      (functions.salted_join) is the only shape that spreads a
+      single key across reducers for shuffle-hash paths too.
+
+    Thresholds are deliberately coarse — the audit's job is to spot
+    the two regimes that need intervention, not to fine-tune.
+    """
+    if not audit_row["skewed"]:
+        return "plain"
+    if audit_row["top1_share_per_mille"] >= 200:
+        return "salted"
+    return "aqe_skew"
+
+
+def routed_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+    audit_row=None,
+) -> DataFrame:
+    """Skew-aware equi-join: measure the left side's key distribution
+    (``skew_audit`` — one small aggregate job, the AQE philosophy of
+    spending a metadata-scale measurement to pick the plan), then
+    dispatch to a plain join, an AQE-handled join, or
+    ``functions.salted_join``. All three produce identical rows for
+    the supported join types, so callers get skew insurance with no
+    semantic risk. Pass ``audit_row`` to reuse an existing audit
+    (e.g. the nightly ``join_skew_audit`` output) and skip the
+    measurement job.
+    """
+    from clickhouse_only_importer_prototype_spark.functions import (
+        salted_join,
+    )
+
+    if audit_row is None:
+        audit_row = skew_audit(left, on).first()
+    strategy = route_join_strategy(audit_row)
+    if strategy == "salted":
+        return salted_join(left, right, on, salt=salt, how=how)
+    # aqe_skew: AQE's skewJoin handles oversized partitions at
+    # runtime; the logical plan is the plain join either way
+    return left.join(right, on, how)

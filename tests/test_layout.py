@@ -182,3 +182,64 @@ def test_skipping_audit_plan_broadcasts_predicates(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+
+def test_route_join_strategy_regimes(spark):
+    from clickhouse_only_importer_prototype_spark.operators.layout import (
+        route_join_strategy,
+        skew_audit,
+    )
+    from pyspark.sql import functions as F
+
+    # balanced: uniform keys
+    bal = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+    assert route_join_strategy(skew_audit(bal, "k").first()) == "plain"
+    # adversarial: one key holds 90% of rows
+    adv = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    assert route_join_strategy(skew_audit(adv, "k").first()) == "salted"
+    # moderate: hottest key 4x mean but a tiny share of the table
+    mod = spark.range(0, 10000).select(
+        F.when(F.col("id") < 200, F.lit(0))
+        .otherwise(F.col("id") % 4000)
+        .alias("k")
+    )
+    row = skew_audit(mod, "k").first()
+    assert row["skewed"] == 1 and row["top1_share_per_mille"] < 200
+    assert route_join_strategy(row) == "aqe_skew"
+
+
+def test_routed_join_salts_adversarial_and_matches_plain(spark):
+    from clickhouse_only_importer_prototype_spark.operators.layout import (
+        routed_join,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(0)).otherwise(F.col("id") % 10).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("lbl")
+    )
+    out = routed_join(fact, dim, "k")
+    # the salted path must actually be in the plan for this fixture
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+    assert got == want
+
+
+def test_routed_join_plain_for_balanced(spark):
+    from clickhouse_only_importer_prototype_spark.operators.layout import (
+        routed_join,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 1000).select((F.col("id") % 50).alias("k"))
+    dim = spark.range(0, 50).select(F.col("id").alias("k"))
+    out = routed_join(fact, dim, "k")
+    assert "__salt" not in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 1000
