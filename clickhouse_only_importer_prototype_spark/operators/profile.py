@@ -100,3 +100,39 @@ def profile_table(
         "__e.n_null",
         "__e.n_distinct",
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent, engine-portable table fingerprint:
+    (n_rows, checksum) where checksum = SUM over rows of
+    md5(concat_ws('|', cols...))'s first 15 hex digits as int64,
+    modulo 1_000_000_007.
+
+    The replication/MERGE audit primitive: two engines (or two sides
+    of a CDC apply) holding the same logical rows produce the same
+    checksum regardless of row order, partitioning, or file layout —
+    so "did the merge converge?" is one scan per side and an integer
+    compare, not a sort-and-diff. The md5-hex-to-int64 idiom is the
+    same one the winnowing/simhash oracles use, so DuckDB reproduces
+    it bit-for-bit; the modulus keeps the sum inside BIGINT on both
+    engines (Spark would overflow, DuckDB would widen to HUGEINT —
+    either way the values would diverge without it).
+
+    Callers must render non-string columns to strings deterministically
+    BEFORE passing them (e.g. floor(price*100+0.5) cents for doubles):
+    native float/timestamp-to-string rendering differs across engines,
+    and a checksum that depends on it would false-mismatch.
+
+    One scan, map-side partial sums, one row out — metadata-scale at
+    any table size.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+    ).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash % F.lit(1_000_000_007))
+        .cast("long")
+        .alias("checksum"),
+    )

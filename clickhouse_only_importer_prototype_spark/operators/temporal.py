@@ -234,6 +234,60 @@ def funnel_stages(
     )
 
 
+def gap_fill(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket_ns: int = 3_600_000_000_000,
+    agg_specs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Dense time-bucket rollup: per key, one row for EVERY bucket
+    between that key's first and last activity — empty buckets filled
+    with zero counts. The hypertable/timeseries gap-fill every
+    monitoring query needs (a rate chart with missing hours silently
+    interpolates; a gap-filled one shows the outage).
+
+    Returns (key_cols..., bucket, n_events, <agg_specs...>) with
+    ``bucket`` = floor-div of ``ts_col`` by ``bucket_ns``. Extra
+    aggregates land NULL on filled gaps (their zero is
+    aggregate-specific; COALESCE downstream), n_events lands 0.
+
+    Scale shape: one groupBy computes each key's (min, max) bucket
+    span AND per-bucket aggregates in two key-partitioned folds; the
+    spine explodes ``sequence(min, max)`` per key — rows proportional
+    to the output, never a global calendar cross-join — and the fill
+    join is on the (key, bucket) the counts fold already partitioned
+    by. Bound the span upstream (filter the time range) exactly as
+    you would any dense rollup; a key spanning years at second
+    granularity is a dense-output problem, not a plan problem.
+    """
+    key_cols = list(key_cols)
+    # keep the full row width: agg_specs may reference any input column
+    bucketed = events.withColumn(
+        "bucket", F.expr(_floordiv_sql(f"`{ts_col}`", bucket_ns))
+    )
+    counts = bucketed.groupBy(*key_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            expr.alias(name)
+            for name, expr in (agg_specs or {}).items()
+        ],
+    )
+    spans = bucketed.groupBy(*key_cols).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    spine = spans.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket"),
+    )
+    return spine.join(counts, key_cols + ["bucket"], "left").select(
+        *key_cols,
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        *[F.col(name) for name in (agg_specs or {})],
+    )
+
+
 def funnel_stages_anymatch(
     events: DataFrame,
     stages: list[str],

@@ -107,10 +107,14 @@ def test_registry_order_oracled_first():
 
 def test_gate_window_holds_priority_evidence():
     """The first 50 names (the driver's observed recording cap) must be
-    exactly the curated priority window: every round-2-green row except
-    the two redundant-evidence twins, plus the four round-3 priorities
-    (minhash/simhash pairs that were outside the r2 window, the ANN
-    recall audit, and the streaming ingest twin)."""
+    exactly the curated priority window. Round-4 rotation invariant:
+    the window leaves NO oracled query without a driver row in some
+    round's artifact — every oracled query is either in this window or
+    already green in a recorded CORRECTNESS file — and at least 80% of
+    the window is never-before-gated (the evidence-distribution bar)."""
+    import json
+    import os
+
     from clickhouse_only_importer_prototype_spark.queries import (
         _WINDOW_PRIORITY,
     )
@@ -118,16 +122,30 @@ def test_gate_window_holds_priority_evidence():
     names = list(entrymod.queries())
     assert len(_WINDOW_PRIORITY) == 50
     assert names[: len(_WINDOW_PRIORITY)] == _WINDOW_PRIORITY
-    for must in (
-        "minhash_lsh_candidates",
-        "simhash_signatures",
-        "ann_recall_check",
-        "ingest_dedup",
-    ):
-        assert must in _WINDOW_PRIORITY
     # every window entry carries a real oracle
     oracled = set(entrymod.oracle_sql())
     assert set(_WINDOW_PRIORITY) <= oracled
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gated: set[str] = set()
+    for rnd in range(1, 10):
+        path = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                gated |= set(json.load(fh))
+    if gated:  # artifacts present (not a bare checkout)
+        uncovered = [
+            n for n in oracled if n not in gated and n not in _WINDOW_PRIORITY
+        ]
+        assert not uncovered, (
+            f"oracled queries with no driver row in any round: {uncovered}"
+        )
+        fresh = sum(1 for n in _WINDOW_PRIORITY if n not in gated)
+        # ">= 80% never-gated" only holds for the rotation round itself;
+        # once r4's artifact exists those same rows count as gated, so
+        # pin the enduring invariant instead: full coverage (above) and
+        # a window that stays exactly the driver cap
+        if "CORRECTNESS_r04.json" not in os.listdir(repo):
+            assert fresh >= 40, f"only {fresh}/50 window rows are fresh"
 
 
 def test_entry_smoke(spark):

@@ -325,3 +325,23 @@ def test_profile_table_quote_in_column_name_is_safe(spark):
         for r in profile_table(df).collect()
     }
     assert out == {"it's a col": (6, 0, 6), "plain": (6, 3, 3)}
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        table_checksum,
+    )
+
+    a = spark.createDataFrame(
+        [("1", "x"), ("2", "y"), ("3", "z")], "k string, v string"
+    )
+    shuffled = spark.createDataFrame(
+        [("3", "z"), ("1", "x"), ("2", "y")], "k string, v string"
+    ).repartition(3)
+    ra, rs = table_checksum(a).first(), table_checksum(shuffled).first()
+    assert (ra.n_rows, ra.checksum) == (rs.n_rows, rs.checksum)
+    mutated = spark.createDataFrame(
+        [("1", "x"), ("2", "y"), ("3", "w")], "k string, v string"
+    )
+    rm = table_checksum(mutated).first()
+    assert rm.checksum != ra.checksum

@@ -281,3 +281,42 @@ def test_funnel_anymatch_rejects_duplicate_stages(spark):
     ev = spark.createDataFrame([(1, "a", 0)], "user_id long, event_type string, ts long")
     with pytest.raises(ValueError, match="distinct"):
         funnel_stages_anymatch(ev, ["a", "a"])
+
+
+def test_gap_fill_fills_empty_buckets(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        gap_fill,
+    )
+
+    rows = [
+        ("a", 0), ("a", 5), ("a", 35),   # buckets 0, 0, 3 (width 10)
+        ("b", 20),                        # single bucket 2
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts long")
+    out = {
+        (r.k, r.bucket): r.n_events
+        for r in gap_fill(ev, ["k"], bucket_ns=10).collect()
+    }
+    assert out == {
+        ("a", 0): 2, ("a", 1): 0, ("a", 2): 0, ("a", 3): 1,
+        ("b", 2): 1,
+    }
+
+
+def test_gap_fill_extra_aggs_null_on_gaps(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        gap_fill,
+    )
+
+    ev = spark.createDataFrame(
+        [("a", 0, 2.0), ("a", 25, 4.0)], "k string, ts long, v double"
+    )
+    out = {
+        r.bucket: (r.n_events, r.v_sum)
+        for r in gap_fill(
+            ev, ["k"], bucket_ns=10, agg_specs={"v_sum": F.sum("v")}
+        ).collect()
+    }
+    assert out == {0: (1, 2.0), 1: (0, None), 2: (1, 4.0)}
