@@ -91,25 +91,46 @@ def _exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     return keyed.join(mins, "__fp").select("doc_id", "rep_id")
 
 
+#: Minimum duplicate fraction at which the representative-collapse
+#: prefilter pays for its groupBy + expansion joins. Below this the
+#: collapse machinery costs more than the (few) quadratic dup pairs it
+#: avoids — banding finds identical-text pairs at jaccard 1.0 anyway,
+#: so skipping is output-equivalent at ANY dup ratio, not just zero.
+_COLLAPSE_MIN_DUP_FRAC = 0.05
+
+
 def _has_exact_dups(df: DataFrame, text_col: str = "text") -> bool:
-    """ONE cheap aggregate probing whether the corpus carries ANY exact
-    duplication: count vs count-distinct of the normalized-text
-    fingerprint (map-side partial aggs, one row to the driver).
+    """ONE cheap aggregate probing whether the corpus carries ENOUGH
+    exact duplication for the representative collapse to pay off:
+    count vs approx-count-distinct of the normalized-text fingerprint
+    (map-side HLL partials, one row to the driver — no distinct-value
+    shuffle at all, unlike exact count_distinct).
 
     The runtime gate for the representative-collapse prefilter — the
-    same measured-statistics philosophy as AQE. On a dup-free corpus
-    the collapse groupBy/expand joins are pure overhead (every doc is
-    its own representative), and skipping them is EXACTLY lossless:
-    with zero duplicate fingerprints the group mapping is the identity,
-    within-group pairs are empty, and shingle document frequencies over
-    representatives equal those over raw docs. On dup-heavy corpora
-    (the premise of dedup) the probe costs one corpus scan and the
-    collapse pays it back quadratically."""
+    same measured-statistics philosophy as AQE. Skipping the collapse
+    is EXACTLY lossless at any dup ratio (identical texts have
+    identical shingles/signatures, so banding still pairs them and no
+    operator prunes by shingle document frequency); the collapse is a
+    pure cost trade: a 10-copy group is 45 verified pairs uncollapsed
+    vs 1 rep + a slim expansion join collapsed. The break-even is a
+    RATIO, not existence — a 5000-doc corpus with 8 dups would pay
+    the groupBy + three expansion joins to save 8 trivial verifies —
+    so the gate fires only when the measured dup fraction exceeds
+    ``_COLLAPSE_MIN_DUP_FRAC``. HLL rsd=0.02 keeps probe noise well
+    under the 5% threshold; near-threshold corpora are fine either
+    way (both paths are correct, costs are within noise of equal).
+
+    At 100 TB the probe is one full scan; pipelines that already know
+    their dup profile (e.g. from ``dedup_stats`` on a prior slice)
+    should pass ``collapse=`` explicitly and skip the probe."""
     r = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.md5(_norm(F.col(text_col)))).alias("d"),
+        F.approx_count_distinct(
+            F.md5(_norm(F.col(text_col))), rsd=0.02
+        ).alias("d"),
     ).first()
-    return (r["n"] or 0) != (r["d"] or 0)
+    n, d = (r["n"] or 0), (r["d"] or 0)
+    return n > 0 and (n - d) >= _COLLAPSE_MIN_DUP_FRAC * n
 
 
 def _rep_docs(df: DataFrame, groups: DataFrame) -> DataFrame:
@@ -694,7 +715,8 @@ def simhash_neardup_pairs(
     sstats = all_sigs.agg(
         F.count(F.lit(1)).alias("n"), F.count_distinct("simhash").alias("d")
     ).first()
-    collapse = (sstats["n"] or 0) != (sstats["d"] or 0)
+    _n, _d = (sstats["n"] or 0), (sstats["d"] or 0)
+    collapse = _n > 0 and (_n - _d) >= _COLLAPSE_MIN_DUP_FRAC * _n
     if collapse:
         # groupBy+join, not min().over(partitionBy): map-side combine
         # means the shuffle carries per-signature minima, not every row
@@ -979,7 +1001,7 @@ def contamination_pairs(
     n: int = 8,
     min_overlap: int = 1,
     broadcast_bench: bool = True,
-    collapse: bool = True,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: (doc_id, bench_id, overlap_ngrams)
     for every corpus document sharing >= min_overlap word n-grams with
@@ -993,7 +1015,8 @@ def contamination_pairs(
     corpus is never self-joined; cost is one scan + one narrow
     aggregation regardless of corpus size.
 
-    With ``collapse=True`` (default) the shingle explode — and the
+    With ``collapse=True`` (default: gated on the measured dup probe,
+    see ``_has_exact_dups``) the shingle explode — and the
     per-doc shingle distinct inside it, the only corpus-sized shuffle
     here — runs once per DISTINCT normalized text; overlap counts are
     a pure function of the text, so expanding rep results back to
@@ -1008,6 +1031,8 @@ def contamination_pairs(
     rows — is a misuse; pass ``broadcast_bench=False`` to fall back to
     a plain shuffle join and let AQE pick the strategy.
     """
+    if collapse is None:
+        collapse = _has_exact_dups(corpus, text_col)
     if collapse:
         keyed = corpus.select(
             "doc_id", F.md5(_norm(F.col(text_col))).alias("__fp"), F.col(text_col)

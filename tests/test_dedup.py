@@ -422,6 +422,25 @@ def test_collapse_gate_skips_on_dup_free_corpus(spark, dup_docs):
     assert auto_sh <= full_sh
 
 
+def test_collapse_gate_is_ratio_not_existence(spark):
+    """The dup probe is a break-even RATIO (>=5% dup fraction), not an
+    any-dup test: one duplicate in a 100-doc corpus must NOT trigger
+    the collapse machinery (its groupBy + expansion joins cost more
+    than the single trivial pair they avoid), while a 50%-dup corpus
+    must."""
+    uniq = [(i, f"unique document number {i} with filler words {i * 7}")
+            for i in range(99)]
+    almost = spark.createDataFrame(
+        uniq + [(99, uniq[0][1])], "doc_id long, text string"
+    )
+    assert not dedup._has_exact_dups(almost)  # 1% dups: skip collapse
+    heavy = spark.createDataFrame(
+        [(i, f"repeated text block {i % 5}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    assert dedup._has_exact_dups(heavy)  # 95% dups: collapse pays
+
+
 def test_simhash_portable_gate_matches_forced_paths(spark, dup_docs):
     auto = _pairset(dedup.simhash_portable(dup_docs))
     assert auto == _pairset(dedup.simhash_portable(dup_docs, collapse=True))
