@@ -136,3 +136,47 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         .cast("long")
         .alias("checksum"),
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    col: str,
+    width: float,
+    lo: float = 0.0,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bucket, lo_edge,
+    n, total) with bucket = floor((col - lo) / width), clamped into
+    [0, n_buckets-1] when n_buckets is given (overflow rows land in
+    the last bucket, width_bucket-style).
+
+    Fixed edges, not data-dependent ones: a quantile-based histogram
+    needs a pre-pass over the data; fixed edges make the whole thing
+    ONE map-side-combinable groupBy — the shuffle carries at most
+    n_buckets rows per mapper whatever the table size, the same
+    footprint as the reference's count/summary stats (pipeline.go
+    summary counters) but bucketed. NULLs drop (no bucket).
+
+    Money columns: `total` aggregates in exact DECIMAL and is emitted
+    as DOUBLE per the engine's cross-engine money rules.
+    """
+    c = F.col(col)
+    bucket = F.floor((c - F.lit(lo)) / F.lit(width)).cast("long")
+    if n_buckets is not None:
+        bucket = F.least(
+            F.greatest(bucket, F.lit(0)), F.lit(int(n_buckets) - 1)
+        )
+    return (
+        df.where(c.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(c.cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
+            "n",
+            "total",
+        )
+    )

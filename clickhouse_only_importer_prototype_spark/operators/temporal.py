@@ -415,3 +415,34 @@ def cohort_retention(
     return joined.groupBy(
         "cohort_bucket", offset.alias("offset")
     ).agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+
+
+def event_ngrams(
+    events: DataFrame,
+    n: int = 2,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Consecutive n-step event-type sequences per user: one row per
+    position where the user has ``n`` more events, with columns
+    ``e0..e{n-1}`` (plus ``user_col``). The building block for Markov
+    transition matrices (n=2) and top-k path mining (n=3+) — the
+    reference's surface has nothing sequential (SURVEY §2.5 empty);
+    this is the product-analytics companion to funnel_stages.
+
+    Scale shape: ONE window partitioned by user ordered by
+    (ts, tiebreak) — n-1 lead() columns ride the same sort, so the
+    cost is a single key-partitioned shuffle regardless of n. No
+    self-joins (the naive n-gram formulation is n-1 self-joins on
+    consecutive ranks). Deterministic under ts ties via the tiebreak
+    column.
+    """
+    if n < 2:
+        raise ValueError(f"event_ngrams needs n >= 2, got {n}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    cols = [F.col(type_col).alias("e0")]
+    cols += [F.lead(type_col, i).over(w).alias(f"e{i}") for i in range(1, n)]
+    out = events.select(F.col(user_col), *cols)
+    return out.where(F.col(f"e{n - 1}").isNotNull())

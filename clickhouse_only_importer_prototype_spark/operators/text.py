@@ -16,7 +16,7 @@ could diverge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Per-language marker words for the n-gram/stopword heuristic. Counting
 # uses non-regex replace => identical in Spark and DuckDB.
@@ -396,3 +396,45 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
         .where(F.col("shingle") != "")
         .distinct()
     )
+
+
+def rarity_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-k distinguishing terms by a TF-IDF-shaped
+    rarity score: (doc_id, term, tf, doc_freq, score_1e6, rank).
+
+    score_1e6 = (tf * 1_000_000) div doc_freq — term frequency weighted
+    by inverse document frequency. Deliberately LOG-FREE: the classic
+    tf·ln(N/df) shares the same ranking monotonicity per (tf, df), but
+    ln() is not guaranteed correctly-rounded in either engine, and a
+    1-ulp difference at a floor() boundary would break cross-engine
+    hash equality. Pure int64 arithmetic is exactly reproducible
+    everywhere (and at 100 TB, determinism under recompute/retry is a
+    correctness property). Rank ties break lexicographically by term.
+
+    Scale shape: tokenize+explode is row-local; tf is ONE groupBy on
+    (doc, term); doc_freq is a second groupBy on term over the
+    already-reduced tf frame (not the raw token stream); the join back
+    is on the term key the df side just aggregated by (AQE broadcasts
+    the term dictionary when it is small). The final top-k window
+    partitions by doc — no global sort anywhere.
+    """
+    toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    tf = (
+        df.select(F.col("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "doc_freq",
+        F.expr("div(tf * 1000000, doc_freq)").alias("score_1e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_1e6").desc(), F.col("term")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)

@@ -224,3 +224,73 @@ def test_contamination_collapse_no_corpus_self_join(spark, sf_dir):
     # bench shingles broadcast onto the rep shingle stream
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injected_for_selective_star_join(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.functions import (
+        runtime_bloom_filters,
+    )
+
+    li = q.load(spark, sf_dir, "lineitem")
+    orders = q.load(spark, sf_dir, "orders").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).count()
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join shape the rule targets (at 100 TB the
+        # fact side never broadcasts; locally everything would)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with runtime_bloom_filters(
+            spark, application_side_scan_threshold="0"
+        ):
+            plan = joined._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+        # conf restored on exit: bloom must NOT inject any more
+        plan2 = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+
+
+def test_fuzzy_pairs_block_equi_join_no_cartesian(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    part = q.load(spark, sf_dir, "part")
+    plan = _plan(
+        blocked_fuzzy_pairs(part, "p_partkey", "p_name", ["p_size"], 3)
+    )
+    # the blocking key must make this an equi-join, never a cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_ngrams_single_window_no_self_join(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        event_ngrams,
+    )
+
+    ev = q.load(spark, sf_dir, "events")
+    plan = _plan(event_ngrams(ev, n=4))
+    # n-grams of any depth ride ONE user-partitioned sort: exactly one
+    # window exchange, no join of the events stream against itself
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_price_histogram_partial_agg(spark, sf_dir):
+    plan = _plan(q.price_histogram(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan

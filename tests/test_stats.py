@@ -345,3 +345,21 @@ def test_table_checksum_order_independent_and_sensitive(spark):
     )
     rm = table_checksum(mutated).first()
     assert rm.checksum != ra.checksum
+
+
+def test_fixed_width_histogram_clamps_and_drops_nulls(spark):
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        fixed_width_histogram,
+    )
+
+    rows = [(-5.0,), (0.0,), (9.99,), (10.0,), (35.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {
+        r.bucket: (r.lo_edge, r.n, r.total)
+        for r in fixed_width_histogram(df, "v", 10.0, 0.0, 3).collect()
+    }
+    # -5 clamps into bucket 0; 35 clamps into last bucket 2; NULL drops
+    assert out[0] == (0.0, 3, -5.0 + 0.0 + 9.99)
+    assert out[1] == (10.0, 1, 10.0)
+    assert out[2] == (20.0, 1, 35.0)
+    assert sum(n for _, n, _ in out.values()) == 5

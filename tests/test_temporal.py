@@ -320,3 +320,33 @@ def test_gap_fill_extra_aggs_null_on_gaps(spark):
         ).collect()
     }
     assert out == {0: (1, 2.0), 1: (0, None), 2: (1, 4.0)}
+
+
+def test_event_ngrams_orders_by_ts_with_tiebreak(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        event_ngrams,
+    )
+
+    rows = [
+        # user 1: b and c share ts=10 -> event_id breaks the tie
+        (1, 1, 5, "a"),
+        (2, 1, 10, "b"),
+        (3, 1, 10, "c"),
+        (4, 2, 7, "x"),  # single event: no bigram
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        (r.user_id, r.e0, r.e1)
+        for r in event_ngrams(ev, n=2).collect()
+    }
+    assert out == {(1, "a", "b"), (1, "b", "c")}
+    tri = [
+        (r.e0, r.e1, r.e2) for r in event_ngrams(ev, n=3).collect()
+    ]
+    assert tri == [("a", "b", "c")]
+    import pytest
+
+    with pytest.raises(ValueError):
+        event_ngrams(ev, n=1)

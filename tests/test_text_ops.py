@@ -184,3 +184,25 @@ def test_profile_table_exact_and_approx(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="columns not in"):
         profile_table(docs, ["nope"])
+
+
+def test_rarity_top_terms_rank_and_ties(spark):
+    from clickhouse_only_importer_prototype_spark.operators.text import (
+        rarity_top_terms,
+    )
+
+    rows = [
+        (1, "zebra zebra common"),
+        (2, "common common apple"),
+        (3, "common apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.doc_freq, r.score_1e6)
+        for r in rarity_top_terms(df, k=2).collect()
+    }
+    # doc 1: zebra tf=2 df=1 -> 2_000_000 beats common tf=1 df=3
+    assert out[(1, 1)] == ("zebra", 2, 1, 2_000_000)
+    assert out[(1, 2)] == ("common", 1, 3, 333_333)
+    # doc 3: apple (df=2) outscores common (df=3); both tf=1
+    assert out[(3, 1)][0] == "apple" and out[(3, 1)][3] == 500_000
