@@ -134,3 +134,32 @@ def merge_distinct_partials(
             F.hll_sketch_estimate("__merged").alias("n_distinct_approx"),
         )
     )
+
+
+def join_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """The NEW rows of (A ∪ dA) ⋈ (B ∪ dB) given the old result of
+    A ⋈ B: exactly A⋈dB ∪ dA⋈B ∪ dA⋈dB (disjoint for append-only
+    deltas, since every new pair involves at least one delta row).
+
+    Incremental view maintenance for joins — the companion to
+    merge_partials: a materialized join (or join+agg) absorbs a day's
+    appends by joining each base against the OTHER side's delta, never
+    re-joining base against base. At 100 TB the base⋈delta terms are
+    the whole win: with both sides partitioned/bucketed on the join
+    key, each delta partition probes only its matching base partition
+    (partition pruning on the delta's key range), so cost scales with
+    |delta| x selectivity, not |history|. Downstream aggregates fold
+    the delta-pairs through partial_aggs + merge_partials.
+    """
+    cols = [on] if isinstance(on, str) else list(on)
+    return (
+        base_left.join(delta_right, cols)
+        .unionByName(delta_left.join(base_right, cols))
+        .unionByName(delta_left.join(delta_right, cols))
+    )

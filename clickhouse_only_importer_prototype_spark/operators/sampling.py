@@ -143,3 +143,45 @@ def quota_per_group(
         .where(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def token_budget_per_group(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Cap each group at ``budget_tokens`` TOKENS (not rows): keep the
+    greedy prefix of the group's salted-hash order whose running token
+    total stays within budget. Adds ``cum_tokens`` (the running total
+    including the row itself).
+
+    Mixture weights for training corpora are token budgets, not
+    document counts — a source of 10-word tweets and a source of
+    100k-token books need capping in the unit the loss sees.
+    quota_per_group's hash order is kept (uniform stable draw, no
+    head-of-file bias); the only change is the stop rule, so a doc
+    larger than the remaining budget ends its group's intake (greedy
+    prefix, the deterministic contract — no knapsack backfill).
+
+    Shape: one shuffle on group_col; the running sum is a per-group
+    window in hash order (same cost as quota_per_group's row_number).
+    Same hot-group caveat: pre-thin a group far above budget with
+    hash_sample first.
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1: {budget_tokens}")
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(token_col).over(w).cast("long"))
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )

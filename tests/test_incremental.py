@@ -149,3 +149,29 @@ def test_negate_partials_refuses_min_max(spark):
     p = inc.partial_aggs(df, ["g"], specs)
     with pytest.raises(ValueError, match="not retractable"):
         inc.negate_partials(p, specs)
+
+
+def test_join_delta_decomposition_is_exact_and_disjoint(spark):
+    from clickhouse_only_importer_prototype_spark.operators.incremental import (
+        join_delta,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, lv string"
+    )
+    dleft = spark.createDataFrame([(2, "B2"), (4, "d")], "k long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10), (2, 20), (4, 40)], "k long, rv long"
+    )
+    dright = spark.createDataFrame([(2, 21), (3, 30)], "k long, rv long")
+
+    full = (
+        left.unionByName(dleft)
+        .join(right.unionByName(dright), "k")
+        .collect()
+    )
+    old = left.join(right, "k").collect()
+    delta = join_delta(left, dleft, right, dright, "k").collect()
+    key = lambda r: (r.k, r.lv, r.rv)
+    # old ∪ delta == full, with no overlap (append-only disjointness)
+    assert sorted(map(key, old + delta)) == sorted(map(key, full))

@@ -142,3 +142,33 @@ def test_quota_per_group_caps_exactly_and_stably(spark, sf_dir):
     assert again == {r.doc_id for r in out.collect()}
     with pytest.raises(ValueError, match="quota"):
         sampling.quota_per_group(docs, quota=0)
+
+
+def test_token_budget_greedy_prefix_per_group(spark):
+    from clickhouse_only_importer_prototype_spark.operators.sampling import (
+        token_budget_per_group,
+    )
+    import pytest
+
+    rows = [(i, "s1" if i < 6 else "s2", 40) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_per_group(
+        df, budget_tokens=100, token_col="n_tokens"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # 40-token docs, budget 100 -> exactly 2 kept per group (80 <= 100,
+    # a third would hit 120), regardless of group size
+    assert {s: len(v) for s, v in by_src.items()} == {"s1": 2, "s2": 2}
+    assert all(r.cum_tokens <= 100 for r in out)
+    # deterministic: same salt -> same kept set
+    again = {
+        r.doc_id
+        for r in token_budget_per_group(
+            df, budget_tokens=100, token_col="n_tokens"
+        ).collect()
+    }
+    assert again == {r.doc_id for r in out}
+    with pytest.raises(ValueError):
+        token_budget_per_group(df, budget_tokens=0, token_col="n_tokens")
