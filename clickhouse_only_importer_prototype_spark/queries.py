@@ -5022,17 +5022,18 @@ _WINDOW_PRIORITY = [
     # hold green rows in past artifacts, these hold none) ---
     "event_transitions", "event_paths_top10", "cube_pricing",
     "fuzzy_part_pairs", "tfidf_top_terms", "price_histogram",
-    # --- thrice-green flagship anchors (continuity check) ---
-    "q1_pricing_summary", "training_manifest", "minhash_lsh_candidates",
-    "stream_stream_join",
+    # --- late-round-4 additions, no driver row anywhere yet (these
+    # displaced the thrice-green flagship anchors: q1/training_manifest/
+    # minhash_lsh_candidates/stream_stream_join already proved 3-round
+    # continuity in r1-r3 artifacts, while first-time evidence is the
+    # scarcer signal under the 50-row cap) ---
+    "token_budget_sample", "split_leakage_audit",
+    "incremental_join_delta", "incremental_dedup_delta",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
 # them affects evidence coverage — they follow the window in
-# registration order. The four late-round-4 additions
-# (token_budget_sample, split_leakage_audit, incremental_join_delta,
-# incremental_dedup_delta) sit just behind the window; rotate them in
-# next round. The tail mechanism (pinning redundant-evidence
+# registration order. The tail mechanism (pinning redundant-evidence
 # twins last so the cap never displaces a family's only row) is
 # therefore empty this round; re-populate it if a future window again
 # leaves some family single-rowed.
