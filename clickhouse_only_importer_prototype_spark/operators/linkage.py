@@ -10,6 +10,14 @@ phonetic code, first-k chars...) are candidate pairs, turning the
 cross join into an equi-join whose fan-out is the block-size
 histogram, not n².
 
+Duplicate-heavy catalogs (the replicated-listing norm) get the same
+representative-collapse treatment as operators/dedup: distance is a
+pure function of the two texts, so levenshtein runs once per distinct
+(block, text) pair and results expand back through the group mapping
+— identical members pair at distance 0, cross-group members inherit
+their reps' distance. Gated on a measured dup-ratio probe, exactly
+the operators/dedup._has_exact_dups philosophy.
+
 All JVM-side: levenshtein() is a built-in codegen expression; no
 Python boundary anywhere.
 """
@@ -20,6 +28,34 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+#: same break-even as operators/dedup._COLLAPSE_MIN_DUP_FRAC: the
+#: collapse groupBy + expansion joins only pay off once a meaningful
+#: fraction of (block, text) rows are duplicates.
+_COLLAPSE_MIN_DUP_FRAC = 0.05
+
+
+def _plain_pairs(
+    keyed: DataFrame, block_cols: list[str], max_dist: int
+) -> DataFrame:
+    """(id_a, id_b, dist) within blocks, id_a < id_b — direct path."""
+    left = keyed.select(
+        F.col("__id").alias("id_a"),
+        F.col("__t").alias("__ta"),
+        *block_cols,
+    )
+    right = keyed.select(
+        F.col("__id").alias("id_b"),
+        F.col("__t").alias("__tb"),
+        *block_cols,
+    )
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    return (
+        left.join(right, block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+
 
 def blocked_fuzzy_pairs(
     df: DataFrame,
@@ -27,6 +63,7 @@ def blocked_fuzzy_pairs(
     text_col: str,
     block_cols: Sequence[str],
     max_dist: int,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Self-linkage: (id_a, id_b, dist) for every pair of rows sharing
     ALL ``block_cols`` values with levenshtein(text) <= max_dist,
@@ -37,9 +74,20 @@ def blocked_fuzzy_pairs(
     sum(block_size²)/2, controlled by block-key selectivity, with the
     id_a < id_b predicate halving it. AQE's skew-join splits an
     oversized block (a degenerate blocking key is data skew, not a
-    plan change). An optional pre-check for 100 TB runs: audit block
-    sizes first with join_skew_audit and tighten the key — blocking
-    quality is a data-quality property, measured not assumed.
+    plan change). Audit block sizes first with join_skew_audit and
+    tighten the key if needed — blocking quality is a data-quality
+    property, measured not assumed.
+
+    Duplicate texts: with ``collapse=None`` (default) a one-aggregate
+    probe measures the (block, text) dup ratio; past 5% the distance
+    join runs on DISTINCT (block, text) representatives only and pairs
+    expand back to members — within-group member pairs at distance 0,
+    cross-group pairs inheriting their reps' distance. Output is
+    IDENTICAL either way (distance is a pure text function; identical
+    texts are distance 0 <= max_dist); only the levenshtein count
+    changes: a catalog with 10 copies per listing does ~1% of the DP
+    work collapsed. The expansion join's output is the result set
+    itself — that part no trick can shrink.
 
     Levenshtein early-exit: Spark's levenshtein(l, r, threshold) form
     returns -1 past the threshold and abandons the DP early — the
@@ -47,24 +95,58 @@ def blocked_fuzzy_pairs(
     """
     if not block_cols:
         raise ValueError("blocked_fuzzy_pairs requires at least one block col")
-    left = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("__ta"),
+    block_cols = list(block_cols)
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
         *[F.col(c) for c in block_cols],
     )
-    right = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("__tb"),
-        *[F.col(c) for c in block_cols],
+    if collapse is None:
+        r = keyed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(
+                F.xxhash64(*block_cols, "__t"), rsd=0.02
+            ).alias("d"),
+        ).first()
+        n, d = (r["n"] or 0), (r["d"] or 0)
+        collapse = n > 0 and (n - d) >= _COLLAPSE_MIN_DUP_FRAC * n
+    if not collapse:
+        return _plain_pairs(keyed, block_cols, max_dist)
+
+    # (member id -> group rep id); rep = min id of the (block, text) group
+    mins = keyed.groupBy(*block_cols, "__t").agg(
+        F.min("__id").alias("__rep")
     )
-    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
-    return (
-        left.join(right, list(block_cols))
-        .where(F.col("id_a") < F.col("id_b"))
+    groups = keyed.join(mins, block_cols + ["__t"]).select(
+        "__id", "__rep"
+    )
+    reps = mins.select(
+        F.col("__rep").alias("__id"), F.col("__t"), *block_cols
+    )
+    rep_pairs = _plain_pairs(reps, block_cols, max_dist)
+
+    ga = groups.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__ma"))
+    gb = groups.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__mb"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            dist.alias("dist"),
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "dist",
         )
-        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+    within = (
+        groups.select(F.col("__rep"), F.col("__id").alias("__ma"))
+        .join(
+            groups.select(F.col("__rep"), F.col("__id").alias("__mb")),
+            "__rep",
+        )
+        .where(F.col("__ma") < F.col("__mb"))
+        .select(
+            F.col("__ma").alias("id_a"),
+            F.col("__mb").alias("id_b"),
+            F.lit(0).cast(cross.schema["dist"].dataType).alias("dist"),
+        )
+    )
+    return cross.unionByName(within)

@@ -34,3 +34,34 @@ def test_blocked_fuzzy_pairs_requires_block_cols(spark):
     df = spark.createDataFrame([(1, "x")], "id long, name string")
     with pytest.raises(ValueError):
         blocked_fuzzy_pairs(df, "id", "name", [], 2)
+
+
+def test_collapse_paths_identical_on_dup_catalog(spark):
+    rows = []
+    # 6 copies each of two near-miss names + 3 copies of a far one,
+    # all in one block -> dup ratio far past the probe threshold
+    for i in range(6):
+        rows.append((i, "red widget", "A"))
+        rows.append((10 + i, "red widgex", "A"))
+    for i in range(3):
+        rows.append((20 + i, "blue cable", "A"))
+    rows.append((30, "red widget", "B"))  # other block: isolated
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+
+    def pairset(d):
+        return {(r.id_a, r.id_b, r.dist) for r in d.collect()}
+
+    auto = pairset(blocked_fuzzy_pairs(df, "id", "name", ["blk"], 2))
+    forced = pairset(
+        blocked_fuzzy_pairs(df, "id", "name", ["blk"], 2, collapse=True)
+    )
+    plain = pairset(
+        blocked_fuzzy_pairs(df, "id", "name", ["blk"], 2, collapse=False)
+    )
+    assert auto == forced == plain
+    # the probe must have taken the collapsed path on this corpus
+    # (sanity numbers: 15 within "red widget", 15 within "red widgex",
+    # 36 cross at dist 1, 3 within "blue cable", none to B)
+    assert len(auto) == 15 + 15 + 36 + 3
+    assert all(a < b for a, b, _ in auto)
+    assert (0, 30, 0) not in auto  # cross-block identical: blocked out
