@@ -199,15 +199,18 @@ def scd2_history(
 
     Output: (key, attr, eff_from, eff_to, version, is_current).
 
-    ``ts_col`` may be a timestamp/date column (string ``high_ts``
-    sentinel) or an integral column — the engine's own raw-nanos
-    events contract — in which case ``high_ts`` MUST be passed as an
-    int (e.g. epoch nanos of 2261-12-31): a string sentinel cast to
-    long would silently yield NULL and mislabel every current row.
+    ``ts_col`` may be a timestamp/date column or an ISO-8601 string
+    column (string ``high_ts`` sentinel — for strings the cast is
+    identity and lexicographic order is chronological), or an integral
+    column — the engine's own raw-nanos events contract — in which
+    case ``high_ts`` MUST be passed as an int (e.g. epoch nanos of
+    2261-12-31): a string sentinel cast to long would silently yield
+    NULL and mislabel every current row.
     """
     from pyspark.sql.types import (
         DateType,
         IntegralType,
+        StringType,
         TimestampNTZType,
         TimestampType,
     )
@@ -219,7 +222,9 @@ def scd2_history(
                 f"ts column {ts_col!r} is {ts_type.simpleString()}: pass an "
                 "integer high_ts sentinel (a string would cast to NULL)"
             )
-    elif isinstance(ts_type, (TimestampType, TimestampNTZType, DateType)):
+    elif isinstance(
+        ts_type, (TimestampType, TimestampNTZType, DateType, StringType)
+    ):
         if isinstance(high_ts, int):
             raise TypeError(
                 f"ts column {ts_col!r} is {ts_type.simpleString()}: pass a "

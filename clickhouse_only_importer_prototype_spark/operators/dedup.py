@@ -253,8 +253,13 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` counts a shingle's frequency over DISTINCT
     texts (representatives), not raw documents — exact copies no
-    longer inflate a shingle toward the cut. ``threshold`` resolves to
-    per-mille precision (round(t*1000)).
+    longer inflate a shingle toward the cut. To honor that contract
+    the collapse is FORCED on whenever ``max_shingle_freq`` is set and
+    ``collapse`` is left None: the dup-ratio probe only decides
+    between paths that are output-identical, and frequency pruning
+    over raw docs vs representatives is not (a dup-inflated shingle
+    crosses the cut in one counting but not the other). ``threshold``
+    resolves to per-mille precision (round(t*1000)).
 
     Three stacked prunings, all lossless:
       1. representative collapse — exact duplicates share one rep, so
@@ -276,7 +281,12 @@ def ngram_jaccard_pairs(
     floor) for cross-engine hashing.
     """
     if collapse is None:
-        collapse = _has_exact_dups(df, text_col)
+        # frequency pruning is defined over DISTINCT texts: the probe
+        # must not pick the raw-doc counting path (see docstring)
+        collapse = (
+            True if max_shingle_freq is not None
+            else _has_exact_dups(df, text_col)
+        )
     if collapse:
         groups = _exact_groups(df, text_col)
         sh = shingles(_rep_docs(df, groups), text_col, n)

@@ -28,10 +28,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-#: same break-even as operators/dedup._COLLAPSE_MIN_DUP_FRAC: the
-#: collapse groupBy + expansion joins only pay off once a meaningful
-#: fraction of (block, text) rows are duplicates.
-_COLLAPSE_MIN_DUP_FRAC = 0.05
+# shared break-even: the collapse groupBy + expansion joins only pay
+# off once a meaningful fraction of (block, text) rows are duplicates
+# — one constant so retuning the dedup family retunes linkage with it
+from clickhouse_only_importer_prototype_spark.operators.dedup import (
+    _COLLAPSE_MIN_DUP_FRAC,
+)
 
 
 def _plain_pairs(

@@ -104,9 +104,9 @@ def profile_table(
 
 def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Order-independent, engine-portable table fingerprint:
-    (n_rows, checksum) where checksum = SUM over rows of
-    md5(concat_ws('|', cols...))'s first 15 hex digits as int64,
-    modulo 1_000_000_007.
+    (n_rows, checksum) where checksum = (SUM over rows of
+    md5(rendered row)'s first 15 hex digits as int64 mod 1_000_000_007)
+    mod 1_000_000_007.
 
     The replication/MERGE audit primitive: two engines (or two sides
     of a CDC apply) holding the same logical rows produce the same
@@ -114,9 +114,21 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     so "did the merge converge?" is one scan per side and an integer
     compare, not a sort-and-diff. The md5-hex-to-int64 idiom is the
     same one the winnowing/simhash oracles use, so DuckDB reproduces
-    it bit-for-bit; the modulus keeps the sum inside BIGINT on both
-    engines (Spark would overflow, DuckDB would widen to HUGEINT —
-    either way the values would diverge without it).
+    it bit-for-bit.
+
+    Row rendering is injective: each column becomes
+    ``len:value`` (or the bare token ``N`` for NULL — rendered values
+    always start with a digit, so the token cannot collide), joined
+    with '|'. The length prefix makes delimiter injection impossible
+    ('a|b','c' vs 'a','b|c') and the NULL token makes NULL position
+    significant (('a',NULL,'b') vs ('a','b',NULL)) — without these, a
+    convergence audit could certify non-identical tables as equal.
+
+    Overflow: the per-row mod keeps terms under 2^30, but a plain
+    int64 SUM of ~1e9-sized terms still wraps past ~9.2e9 rows —
+    exactly nightly-audit table scale — so the sum runs in
+    decimal(38,0) (DuckDB: HUGEINT) and the TOTAL is folded mod
+    1_000_000_007 at the end. Both engines stay exact the whole way.
 
     Callers must render non-string columns to strings deterministically
     BEFORE passing them (e.g. floor(price*100+0.5) cents for doubles):
@@ -127,14 +139,23 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     any table size.
     """
     cols = list(cols) if cols is not None else list(df.columns)
+    rendered = [
+        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(
+                F.length(F.col(c)).cast("string"), F.lit(":"), F.col(c)
+            )
+        )
+        for c in cols
+    ]
     row_hash = F.conv(
-        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        F.substring(F.md5(F.concat_ws("|", *rendered)), 1, 15), 16, 10
     ).cast("long")
+    total = F.sum(
+        (row_hash % F.lit(1_000_000_007)).cast("decimal(38,0)")
+    )
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_hash % F.lit(1_000_000_007))
-        .cast("long")
-        .alias("checksum"),
+        (total % F.lit(1_000_000_007)).cast("long").alias("checksum"),
     )
 
 

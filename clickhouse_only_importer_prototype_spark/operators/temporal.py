@@ -252,28 +252,40 @@ def gap_fill(
     aggregates land NULL on filled gaps (their zero is
     aggregate-specific; COALESCE downstream), n_events lands 0.
 
-    Scale shape: one groupBy computes each key's (min, max) bucket
-    span AND per-bucket aggregates in two key-partitioned folds; the
-    spine explodes ``sequence(min, max)`` per key — rows proportional
-    to the output, never a global calendar cross-join — and the fill
-    join is on the (key, bucket) the counts fold already partitioned
-    by. Bound the span upstream (filter the time range) exactly as
-    you would any dense rollup; a key spanning years at second
-    granularity is a dense-output problem, not a plan problem.
+    Scale shape: ONE scan of the input — the per-bucket fold reads
+    events once, and each key's (min, max) bucket span re-aggregates
+    the already-reduced counts frame (|keys x active buckets| rows,
+    output-scale not input-scale); the spine explodes
+    ``sequence(min, max)`` per key — rows proportional to the output,
+    never a global calendar cross-join — and the fill join is on the
+    (key, bucket) the counts fold already partitioned by. Bound the
+    span upstream (filter the time range) exactly as you would any
+    dense rollup; a key spanning years at second granularity is a
+    dense-output problem, not a plan problem.
     """
     key_cols = list(key_cols)
+    reserved = set(key_cols) | {"bucket", "n_events"}
+    bad = [n for n in (agg_specs or {}) if n in reserved]
+    if bad:
+        raise ValueError(
+            f"agg_specs names collide with reserved columns {sorted(reserved)}: {bad}"
+        )
     # keep the full row width: agg_specs may reference any input column
     bucketed = events.withColumn(
         "bucket", F.expr(_floordiv_sql(f"`{ts_col}`", bucket_ns))
     )
+    # persisted: both the spine (span re-aggregate) and the fill join
+    # read this frame — without the persist each branch re-scans the
+    # raw input (Catalyst does not share common subplans), with it the
+    # input is read ONCE and the reread is output-scale
     counts = bucketed.groupBy(*key_cols, "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
         *[
             expr.alias(name)
             for name, expr in (agg_specs or {}).items()
         ],
-    )
-    spans = bucketed.groupBy(*key_cols).agg(
+    ).persist()
+    spans = counts.groupBy(*key_cols).agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )
     spine = spans.select(

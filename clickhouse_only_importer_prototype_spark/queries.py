@@ -3919,14 +3919,26 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_merge_checksum",
     f"""
-    WITH {_SQL_CDC_CTES}
+    WITH {_SQL_CDC_CTES},
+    rendered AS (
+      -- mirror of table_checksum's injective rendering: len:value per
+      -- column (the fixture columns are non-null, so no 'N' tokens)
+      SELECT CONCAT_WS('|',
+               CAST(length(k) AS VARCHAR) || ':' || k,
+               CAST(length(c) AS VARCHAR) || ':' || c,
+               CAST(length(p) AS VARCHAR) || ':' || p) AS row_str
+      FROM (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k,
+               CAST(o_custkey AS VARCHAR) AS c,
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR) AS p
+        FROM merged
+      )
+    )
     SELECT COUNT(*) AS n_rows,
-           CAST(SUM(CAST(('0x' || substr(md5(CONCAT_WS('|',
-                  CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                       AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000007)
-                AS BIGINT) AS checksum
-    FROM merged
+           CAST(SUM(CAST(('0x' || substr(md5(row_str), 1, 15)) AS BIGINT)
+                    % 1000000007) % 1000000007 AS BIGINT) AS checksum
+    FROM rendered
     """,
 )
 def cdc_merge_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4985,15 +4997,19 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROUND-4 ROTATION: rounds 1-3 kept a near-static window, so 33
 # oracled queries (including every round-3 component family's only
 # oracle) had NEVER appeared in any round's CORRECTNESS artifact.
-# This window flips the policy: all 37 never-gated queries first —
-# the 10 previously evidence-starved component families (funnel,
-# cohort, SCD2, snapshot diff, DQ audit, incremental agg, compaction,
-# skew audit, quality classifier, stream-dim join), the 4 new round-4
-# integrations, the adapted TPC-H tail, and the family siblings —
-# then 9 stale rows (green in r1/r2 but displaced in r3) refreshed,
-# then 4 thrice-green flagship anchors as the cross-round continuity
-# check. After this round every oracled query has a green driver row
-# in SOME round's artifact. Rotated-out queries keep their r1-r3
+# This window flips the policy: it is 100% never-gated — the 10
+# previously evidence-starved component families (funnel, cohort,
+# SCD2, snapshot diff, DQ audit, incremental agg, compaction, skew
+# audit, quality classifier, stream-dim join), the adapted TPC-H
+# tail, the family siblings, and ALL 17 round-4 additions. The
+# r1/r2-green "stale" refreshes (q6/q10/q17/q18/rollup/
+# long_to_values) and the thrice-green flagship anchors
+# (q1/training_manifest/minhash_lsh_candidates/stream_stream_join)
+# were both displaced by round-4 additions: they already hold green
+# rows in recorded artifacts, and first-time evidence is the scarcer
+# signal under the 50-row cap. After this round every oracled query
+# has a green driver row in SOME round's artifact. Rotated-out
+# queries keep their r1-r3
 # green rows and stay fully oracle-tested in pytest
 # (tests/test_oracle.py runs the identical side-by-side comparison
 # over ALL oracles every run).

@@ -270,3 +270,36 @@ def test_scd2_timestamp_ts_rejects_integer_sentinel(spark):
     )
     with pytest.raises(TypeError, match="string high_ts"):
         cdc.scd2_history(log, "k", "attr", "ts", "tb", high_ts=5)
+
+
+def test_scd2_accepts_iso_string_ts(spark):
+    """ISO-8601 string ts columns order lexicographically-
+    chronologically and the string sentinel casts as identity — a
+    formerly working input class the integral-sentinel guard must not
+    reject."""
+    from clickhouse_only_importer_prototype_spark.operators.cdc import (
+        scd2_history,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, "a", "2020-01-01", 0),
+            (1, "b", "2020-01-03", 1),
+            (2, "x", "2020-01-02", 2),
+        ],
+        "k long, attr string, ts string, seq long",
+    )
+    out = {
+        (r.k, r.attr): (r.eff_from, r.eff_to, r.is_current)
+        for r in scd2_history(
+            log,
+            key_col="k",
+            attr_col="attr",
+            ts_col="ts",
+            tiebreak_col="seq",
+            high_ts="2261-12-31",
+        ).collect()
+    }
+    assert out[(1, "a")] == ("2020-01-01", "2020-01-03", 0)
+    assert out[(1, "b")] == ("2020-01-03", "2261-12-31", 1)
+    assert out[(2, "x")] == ("2020-01-02", "2261-12-31", 1)

@@ -445,3 +445,28 @@ def test_simhash_portable_gate_matches_forced_paths(spark, dup_docs):
     auto = _pairset(dedup.simhash_portable(dup_docs))
     assert auto == _pairset(dedup.simhash_portable(dup_docs, collapse=True))
     assert auto == _pairset(dedup.simhash_portable(dup_docs, collapse=False))
+
+
+def test_max_shingle_freq_forces_collapse_counting(spark):
+    """Shingle document frequency is defined over DISTINCT texts: with
+    max_shingle_freq set, collapse=None must take the collapsed path
+    (raw-doc counting would let duplicate copies push a shingle past
+    the cut and silently change the pair set)."""
+    rows = [
+        (1, "common words here alpha beta"),
+        (2, "common words here alpha beta"),  # exact dup of 1
+        (3, "common words here gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = _pairset(
+        dedup.ngram_jaccard_pairs(df, threshold=0.2, max_shingle_freq=2)
+    )
+    forced = _pairset(
+        dedup.ngram_jaccard_pairs(
+            df, threshold=0.2, max_shingle_freq=2, collapse=True
+        )
+    )
+    assert auto == forced
+    # and the rep-counted pruning keeps the (1,3) cross pair that
+    # raw-doc counting would have pruned away
+    assert (1, 3) in {(a, b) for (a, b, *_rest) in auto}

@@ -347,6 +347,33 @@ def test_table_checksum_order_independent_and_sensitive(spark):
     assert rm.checksum != ra.checksum
 
 
+def test_table_checksum_rendering_is_injective(spark):
+    """NULL position and embedded delimiters must change the checksum:
+    a convergence audit that renders ('a', NULL, 'b') and
+    ('a', 'b', NULL) — or ('a|b', 'c') and ('a', 'b|c') — identically
+    would certify non-identical tables as converged."""
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        table_checksum,
+    )
+
+    null_mid = spark.createDataFrame(
+        [("a", None, "b")], "x string, y string, z string"
+    )
+    null_end = spark.createDataFrame(
+        [("a", "b", None)], "x string, y string, z string"
+    )
+    assert (
+        table_checksum(null_mid).first().checksum
+        != table_checksum(null_end).first().checksum
+    )
+    pipe_left = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    pipe_right = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    assert (
+        table_checksum(pipe_left).first().checksum
+        != table_checksum(pipe_right).first().checksum
+    )
+
+
 def test_fixed_width_histogram_clamps_and_drops_nulls(spark):
     from clickhouse_only_importer_prototype_spark.operators.profile import (
         fixed_width_histogram,

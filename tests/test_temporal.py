@@ -350,3 +350,18 @@ def test_event_ngrams_orders_by_ts_with_tiebreak(spark):
 
     with pytest.raises(ValueError):
         event_ngrams(ev, n=1)
+
+
+def test_gap_fill_rejects_reserved_agg_names(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        gap_fill,
+    )
+    from pyspark.sql import functions as F
+    import pytest
+
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0)], "k long, ts long, v double"
+    )
+    for bad in ("n_events", "bucket", "k"):
+        with pytest.raises(ValueError):
+            gap_fill(ev, ["k"], bucket_ns=10, agg_specs={bad: F.sum("v")})
