@@ -458,3 +458,84 @@ def event_ngrams(
     cols += [F.lead(type_col, i).over(w).alias(f"e{i}") for i in range(1, n)]
     out = events.select(F.col(user_col), *cols)
     return out.where(F.col(f"e{n - 1}").isNotNull())
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    bucket_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Open/high/low/close bars per (key, time bucket) — the candle
+    rollup every timeseries store ships. Returns (key_cols..., bucket,
+    open, high, low, close, n_events).
+
+    ONE map-side-combinable aggregate: open/close are min_by/max_by on
+    the lexicographic (ts, tiebreak) struct — deterministic under ts
+    ties, no ROW_NUMBER window, no second shuffle. high/low/open/close
+    SELECT input values (never arithmetic on them), so doubles pass
+    through bit-identically cross-engine.
+    """
+    bucket = F.expr(_floordiv_sql(f"`{ts_col}`", bucket_ns))
+    pos = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return events.groupBy(*key_cols, bucket.alias("bucket")).agg(
+        F.min_by(value_col, pos).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, pos).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def twap(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    value_dec: Column,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    bucket_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Time-weighted average value per (key, bucket): each observation
+    holds until the next one in the same (key, bucket); the last one
+    holds to the bucket's end. Returns (key_cols..., bucket, twap,
+    dur_ns_total, n_events).
+
+    The plain AVG over-weights bursts (ten ticks in one second count
+    ten times a value held for an hour); TWAP weights by holding
+    time — the hypertable/financial rollup semantics.
+
+    Determinism contract: ``value_dec`` must be a DECIMAL expression
+    (the caller picks precision) — the weighted sum value*duration
+    then aggregates EXACTLY, and the final twap divides two exact
+    numbers as doubles (identical inputs -> identical bits on any
+    engine; a double sum would be partition-order-dependent).
+
+    Scale shape: one window over (key, bucket) ordered by
+    (ts, tiebreak) computes each observation's holding time — the
+    same single key-partitioned shuffle the gap-fill/rollup family
+    uses — then one map-side-combinable groupBy folds the weighted
+    sums. No self-joins, no global sort.
+    """
+    key_cols = list(key_cols)
+    bucketed = events.withColumn(
+        "bucket", F.expr(_floordiv_sql(f"`{ts_col}`", bucket_ns))
+    )
+    w = Window.partitionBy(*key_cols, "bucket").orderBy(ts_col, tiebreak_col)
+    bucket_end = (F.col("bucket") + 1) * F.lit(bucket_ns)
+    dur = F.coalesce(F.lead(ts_col).over(w), bucket_end) - F.col(ts_col)
+    weighted = bucketed.select(
+        *key_cols,
+        "bucket",
+        value_dec.alias("__v"),
+        dur.alias("__dur"),
+    )
+    return weighted.groupBy(*key_cols, "bucket").agg(
+        (
+            F.sum(F.col("__v") * F.col("__dur")).cast("double")
+            / F.sum("__dur").cast("double")
+        ).alias("twap"),
+        F.sum("__dur").cast("long").alias("dur_ns_total"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

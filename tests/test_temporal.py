@@ -365,3 +365,53 @@ def test_gap_fill_rejects_reserved_agg_names(spark):
     for bad in ("n_events", "bucket", "k"):
         with pytest.raises(ValueError):
             gap_fill(ev, ["k"], bucket_ns=10, agg_specs={bad: F.sum("v")})
+
+
+def test_ohlc_bars_tiebreak_and_prices(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    rows = [
+        # bucket 0 (width 100): ts ties at 10 broken by event_id
+        (1, 10, 5.0, "a"),
+        (2, 10, 7.0, "a"),   # same ts, higher event_id
+        (3, 50, 1.0, "a"),
+        (4, 99, 4.0, "a"),
+        (5, 120, 9.0, "a"),  # bucket 1
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, value double, event_type string"
+    )
+    out = {
+        r.bucket: (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(ev, ["event_type"], bucket_ns=100).collect()
+    }
+    # open = event_id 1 (ts tie -> lower id), close = ts 99
+    assert out[0] == (5.0, 7.0, 1.0, 4.0, 4)
+    assert out[1] == (9.0, 9.0, 9.0, 9.0, 1)
+
+
+def test_twap_holds_value_until_next_and_to_bucket_end(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        twap,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 0, 10.0, "a"),    # holds [0, 60)  -> 60 units at 10
+        (2, 60, 20.0, "a"),   # holds [60, 100) -> 40 units at 20
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, value double, event_type string"
+    )
+    out = twap(
+        ev,
+        ["event_type"],
+        F.col("value").cast("decimal(14,2)"),
+        bucket_ns=100,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # (10*60 + 20*40) / 100 = 14.0, weighted NOT the plain avg 15.0
+    assert r.twap == 14.0 and r.dur_ns_total == 100 and r.n_events == 2
