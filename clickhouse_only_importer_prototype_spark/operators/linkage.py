@@ -152,3 +152,67 @@ def blocked_fuzzy_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+def blocked_fuzzy_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_dist: int,
+    driver_cc_max_edges: int | None = None,
+) -> DataFrame:
+    """Entity resolution end game: (id, cluster_id) connected
+    components over the blocked fuzzy pair graph, computed on the
+    REPRESENTATIVE graph — the same architecture as
+    operators/dedup.minhash_dedup_clusters.
+
+    Components run over one edge per distinct-(block, text) pair, and
+    members inherit their rep's component afterwards — never over the
+    expanded member graph, which is quadratic in copies (a replicated
+    catalog with 10 copies per listing has 100x the member edges but
+    the SAME rep graph). cluster_id = min member id holds because each
+    rep is its group's min and the rep component label is the min rep.
+
+    Output equals neardup_clusters(blocked_fuzzy_pairs(df)) exactly:
+    ids in no pair (unique text, no fuzzy match in its block) are
+    absent; a multi-member exact-dup group clusters even without a
+    cross-text match (its members pair at distance 0).
+    """
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    if not block_cols:
+        raise ValueError("blocked_fuzzy_clusters requires a block col")
+    block_cols = list(block_cols)
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        *[F.col(c) for c in block_cols],
+    )
+    mins = keyed.groupBy(*block_cols, "__t").agg(F.min("__id").alias("__rep"))
+    groups = keyed.join(mins, block_cols + ["__t"]).select("__id", "__rep")
+    reps = mins.select(
+        F.col("__rep").alias("__id"), F.col("__t"), *block_cols
+    )
+    rep_pairs = _plain_pairs(reps, block_cols, max_dist).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cc_kwargs = (
+        {} if driver_cc_max_edges is None
+        else {"driver_cc_max_edges": driver_cc_max_edges}
+    )
+    rep_labels = neardup_clusters(rep_pairs, **cc_kwargs).withColumnRenamed(
+        "doc_id", "__rep"
+    )
+    sizes = groups.groupBy("__rep").agg(F.count("*").alias("__gsize"))
+    return (
+        groups.join(sizes, "__rep")
+        .join(rep_labels, "__rep", "left")
+        .where((F.col("__gsize") >= 2) | F.col("cluster_id").isNotNull())
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("__rep")).alias("cluster_id"),
+        )
+    )

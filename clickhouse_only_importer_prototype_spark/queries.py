@@ -5091,26 +5091,25 @@ def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_part_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution end game: connected components over the
-    blocked fuzzy pair graph (operators/linkage.blocked_fuzzy_pairs ->
-    operators/dedup.neardup_clusters) — each cluster is one resolved
-    catalog entity, cluster_id = min member key. The same adaptive CC
-    machinery the dedup family certifies (driver union-find small,
-    pointer-jumping label-prop large); the oracle is the transitive
-    closure of the identical pair graph."""
+    blocked fuzzy pair graph
+    (operators/linkage.blocked_fuzzy_clusters) — each cluster is one
+    resolved catalog entity, cluster_id = min member key. Components
+    run over the REPRESENTATIVE graph (one edge per distinct
+    (block, text) pair, members inherit) so a replicated catalog with
+    100x the member edges costs the same CC; the oracle is the
+    transitive closure of the full expanded pair graph, certifying
+    the rep-level shortcut exact."""
     from clickhouse_only_importer_prototype_spark.operators.linkage import (
-        blocked_fuzzy_pairs,
+        blocked_fuzzy_clusters,
     )
 
-    pairs = blocked_fuzzy_pairs(
+    return blocked_fuzzy_clusters(
         load(spark, sf_dir, "part"),
         id_col="p_partkey",
         text_col="p_name",
         block_cols=["p_size"],
         max_dist=3,
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    return dedup_ops.neardup_clusters(pairs).select(
-        F.col("doc_id").alias("p_partkey"), "cluster_id"
-    )
+    ).select(F.col("doc_id").alias("p_partkey"), "cluster_id")
 
 
 @register(

@@ -65,3 +65,36 @@ def test_collapse_paths_identical_on_dup_catalog(spark):
     assert len(auto) == 15 + 15 + 36 + 3
     assert all(a < b for a, b, _ in auto)
     assert (0, 30, 0) not in auto  # cross-block identical: blocked out
+
+
+def test_blocked_fuzzy_clusters_equals_expanded_graph(spark):
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        neardup_clusters,
+    )
+    from clickhouse_only_importer_prototype_spark.operators.linkage import (
+        blocked_fuzzy_clusters,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(4):
+        rows.append((i, "red widget", "A"))       # exact-dup group
+        rows.append((10 + i, "red widgex", "A"))  # dist 1 to the above
+    rows.append((20, "blue cable", "A"))   # unique, no match: absent
+    rows.append((21, "blue cable", "A"))   # dist swap: clusters with 20
+    rows.append((30, "red widget", "B"))   # other block: absent
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+
+    via_reps = {
+        (r.doc_id, r.cluster_id)
+        for r in blocked_fuzzy_clusters(df, "id", "name", ["blk"], 2).collect()
+    }
+    expanded = blocked_fuzzy_pairs(df, "id", "name", ["blk"], 2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    via_graph = {
+        (r.doc_id, r.cluster_id) for r in neardup_clusters(expanded).collect()
+    }
+    assert via_reps == via_graph
+    assert (30, 30) not in via_reps  # cross-block identical: no pair
+    assert (20, 20) in via_reps and (21, 20) in via_reps
