@@ -52,17 +52,25 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] | None = None,
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join: latest right row with ts <= left ts.
+    """As-of left join. ``direction="backward"`` (default): latest
+    right row with ts <= left ts — log enrichment, trades <-> quotes.
+    ``direction="forward"``: EARLIEST right row with ts >= left ts —
+    next-action attribution (each click's next purchase, each error's
+    next successful retry). Forward is the same carry-forward window
+    run in descending timestamp order; identical single-shuffle shape.
 
-    Ties on timestamp are inclusive (a right row AT the left timestamp
-    matches). If multiple right rows share (key, ts), callers must
-    pre-aggregate the right side — carry-forward order would otherwise
-    be nondeterministic.
+    Ties on timestamp are inclusive in both directions (a right row AT
+    the left timestamp matches). If multiple right rows share
+    (key, ts), callers must pre-aggregate the right side —
+    carry-forward order would otherwise be nondeterministic.
 
     Output: all left columns + right_ts and right_cols under
-    ``right_prefix`` (NULL where no right row precedes).
+    ``right_prefix`` (NULL where no right row qualifies).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     on = list(on)
     right_cols = [c for c in (right_cols or right.columns) if c not in on and c != right_ts]
     rpayload = F.struct(
@@ -93,9 +101,17 @@ def asof_join(
         F.lit(None).cast(l_struct_type).alias("__l"),
         rpayload.alias("__r"),
     )
+    # same-ts right rows must precede left rows in iteration order so
+    # inclusive ties match: ascending for backward, descending for
+    # forward (carry-forward in reverse time = earliest at-or-after)
+    order = (
+        [F.col("__t").asc(), F.col("__prio").asc()]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__prio").asc()]
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__prio")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

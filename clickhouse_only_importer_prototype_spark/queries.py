@@ -1704,6 +1704,46 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_forward",
+    """
+    WITH a AS (SELECT event_id, user_id, epoch_ns(ts) AS t
+               FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id, epoch_ns(ts) AS t, max(value) AS bval
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT a.event_id, a.user_id, a.t,
+           b.t AS r_t, b.bval AS r_bval
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.t <= b.t
+    """,
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click enriched with the user's NEXT
+    purchase at-or-after it — next-action attribution
+    (operators/temporal.asof_join, direction="forward": the same
+    carry-forward window run in descending time, one keyed shuffle).
+    Oracle: DuckDB ASOF with the inequality flipped (a.t <= b.t picks
+    the smallest qualifying right timestamp)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000") * 1000
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("t")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("t"))
+        .agg(F.max("value").alias("bval"))
+    )
+    return temporal_ops.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="t",
+        right_ts="t",
+        direction="forward",
+    )
+
+
+@register(
     "events_interval_join",
     """
     WITH s AS (SELECT event_id AS signup_id, user_id, epoch_ns(ts) AS t0
@@ -5208,6 +5248,7 @@ _WINDOW_PRIORITY = [
 _DEFERRED_TO_NEXT_WINDOW = [
     "events_ohlc_hourly", "events_twap_hourly",
     "fuzzy_part_clusters", "quantile_sketch_audit",
+    "events_asof_forward",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

@@ -172,6 +172,23 @@ def test_asof_join_matches_bisect(spark, left_rows, right_rows):
         )
         assert got[i] == expect, (i, k, t)
 
+    # forward direction against the mirrored bisect reference
+    fwd = {
+        r.lid: (r.r_ts, r.r_rval)
+        for r in asof_join(
+            left, right, on=["k"], direction="forward"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = by_key.get(k, [])
+        pos = bisect.bisect_left(cands, t)
+        expect = (
+            (cands[pos], rmap[(k, cands[pos])])
+            if pos < len(cands)
+            else (None, None)
+        )
+        assert fwd[i] == expect, ("forward", i, k, t)
+
 
 @settings(max_examples=5, deadline=None)
 @given(EVENTS, EVENTS)
@@ -333,3 +350,82 @@ def test_merge_changes_matches_python_merge(spark, base_map, change_rows):
         ch = ch.where("k is not null")
     got = {r.k: r.v for r in cdc.merge_changes(base, ch, ["k"]).collect()}
     assert got == _merge_py(base_map, changes)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)), max_size=12),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)), max_size=6),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)), max_size=12),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)), max_size=6),
+)
+def test_join_delta_identity_over_random_slices(spark, bl, dl, br, dr):
+    """old ∪ join_delta == full join, exactly and without overlap, for
+    arbitrary append slices on both sides (multiset semantics: dup
+    keys multiply)."""
+    from clickhouse_only_importer_prototype_spark.operators.incremental import (
+        join_delta,
+    )
+
+    mk = lambda rows, v: spark.createDataFrame(
+        [(k, k * 1000 + x) for k, x in rows] or [(-1, 0)],
+        f"k long, {v} long",
+    )
+    base_l, delta_l = mk(bl, "lv"), mk(dl, "lv")
+    base_r, delta_r = mk(br, "rv"), mk(dr, "rv")
+    full = sorted(
+        map(
+            tuple,
+            base_l.unionByName(delta_l)
+            .join(base_r.unionByName(delta_r), "k")
+            .collect(),
+        )
+    )
+    old = base_l.join(base_r, "k").collect()
+    delta = join_delta(base_l, delta_l, base_r, delta_r, "k").collect()
+    assert sorted(map(tuple, old + delta)) == full
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 120),
+)
+def test_token_budget_is_greedy_hash_prefix(spark, rows, budget):
+    """Kept docs per group are EXACTLY the maximal prefix of the
+    salted-hash order whose running token total fits the budget."""
+    from clickhouse_only_importer_prototype_spark.operators.sampling import (
+        token_budget_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{g}", n) for i, (g, n) in enumerate(rows)],
+        "doc_id long, source string, n_tokens long",
+    )
+    kept = {
+        r.doc_id
+        for r in token_budget_per_group(
+            df, budget_tokens=budget, token_col="n_tokens"
+        ).collect()
+    }
+    order_key = lambda i: (
+        hashlib.md5(f"budget-v1:{i}".encode()).hexdigest(),
+        i,
+    )
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for i, (g, n) in enumerate(rows):
+        by_group.setdefault(f"s{g}", []).append((i, n))
+    expect = set()
+    for members in by_group.values():
+        members.sort(key=lambda m: order_key(m[0]))
+        cum = 0
+        for i, n in members:
+            cum += n
+            if cum > budget:
+                break
+            expect.add(i)
+    assert kept == expect
