@@ -30,6 +30,11 @@ MODES = (
     # for the five catalog tables (the DDL the JDBC sink's inserts or an
     # out-of-band parquet load assume on the server)
     "ddl",
+    # beyond the reference: order-independent convergence fingerprint of
+    # every parquet table under -parquet-dir (operators/profile.
+    # table_checksum) — run on both sides of a replication/MERGE and
+    # diff the integers instead of the tables
+    "checksum",
 )
 
 
@@ -56,6 +61,41 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.parquet_dir:
         parser.error("-parquet-dir required for convert/combine modes")
+    if args.mode == "checksum":
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_only_importer_prototype_spark.operators.profile import (
+            table_checksum,
+        )
+
+        logging.basicConfig(
+            level=logging.INFO, format="%(levelname)s %(message)s"
+        )
+        spark = get_spark(app_name="cips-checksum")
+        rc = 0
+        tables = sorted(glob.glob(os.path.join(args.parquet_dir, "*.parquet")))
+        if not tables:
+            logging.error("no *.parquet under %s", args.parquet_dir)
+            return 1
+        for path in tables:
+            df = spark.read.parquet(path)
+            # deterministic cross-engine rendering: every column folded
+            # to a string the same way on any engine (see table_checksum
+            # docstring; floats are the caller's contract — here we
+            # round-trip via CAST AS STRING which is stable WITHIN an
+            # engine, the common single-engine replication case)
+            rendered = df.select(
+                *[F.col(c).cast("string").alias(c) for c in df.columns]
+            )
+            row = table_checksum(rendered).first()
+            print(
+                f"{os.path.basename(path)}\t"
+                f"n_rows={row['n_rows']}\tchecksum={row['checksum']}"
+            )
+        return rc
     if args.mode.startswith("convert") and not args.tsv_dir:
         parser.error("-tsv-dir required for convert modes")
 

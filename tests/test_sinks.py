@@ -267,3 +267,28 @@ def test_cli_ddl_mode(capsys):
     out = capsys.readouterr().out
     assert out.count("CREATE TABLE IF NOT EXISTS") == 5
     assert out.rstrip().endswith(";")
+
+
+def test_cli_checksum_mode(spark, tmp_path, capsys):
+    """checksum mode fingerprints every parquet table under the dir;
+    identical logical content in different row order produces the SAME
+    line — the replication-convergence contract."""
+    from clickhouse_only_importer_prototype_spark.cli import main
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    rows = [(1, "x"), (2, "y"), (3, "z")]
+    spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+        str(a / "t.parquet")
+    )
+    spark.createDataFrame(
+        list(reversed(rows)), "k long, v string"
+    ).repartition(3).write.parquet(str(b / "t.parquet"))
+
+    assert main(["-mode", "checksum", "-parquet-dir", str(a)]) == 0
+    out_a = capsys.readouterr().out.strip()
+    assert main(["-mode", "checksum", "-parquet-dir", str(b)]) == 0
+    out_b = capsys.readouterr().out.strip()
+    assert out_a == out_b
+    assert "n_rows=3" in out_a and "checksum=" in out_a
+    # empty dir: loud failure, not a silent empty report
+    assert main(["-mode", "checksum", "-parquet-dir", str(tmp_path / "nope")]) == 1
