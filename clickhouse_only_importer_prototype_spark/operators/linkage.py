@@ -36,6 +36,32 @@ from clickhouse_only_importer_prototype_spark.operators.dedup import (
 )
 
 
+def _keyed(
+    df: DataFrame, id_col: str, text_col: str, block_cols: list[str]
+) -> DataFrame:
+    """Normalized (__id, __t, blocks...) projection both entry points
+    share."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        *[F.col(c) for c in block_cols],
+    )
+
+
+def _rep_groups(
+    keyed: DataFrame, block_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """(groups, reps): the member->rep mapping and the one-row-per-
+    distinct-(block, text) representative frame, rep = group min id —
+    the collapse structure pairs and clusters both build on."""
+    mins = keyed.groupBy(*block_cols, "__t").agg(F.min("__id").alias("__rep"))
+    groups = keyed.join(mins, block_cols + ["__t"]).select("__id", "__rep")
+    reps = mins.select(
+        F.col("__rep").alias("__id"), F.col("__t"), *block_cols
+    )
+    return groups, reps
+
+
 def _plain_pairs(
     keyed: DataFrame, block_cols: list[str], max_dist: int
 ) -> DataFrame:
@@ -98,11 +124,7 @@ def blocked_fuzzy_pairs(
     if not block_cols:
         raise ValueError("blocked_fuzzy_pairs requires at least one block col")
     block_cols = list(block_cols)
-    keyed = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        *[F.col(c) for c in block_cols],
-    )
+    keyed = _keyed(df, id_col, text_col, block_cols)
     if collapse is None:
         r = keyed.agg(
             F.count(F.lit(1)).alias("n"),
@@ -115,16 +137,7 @@ def blocked_fuzzy_pairs(
     if not collapse:
         return _plain_pairs(keyed, block_cols, max_dist)
 
-    # (member id -> group rep id); rep = min id of the (block, text) group
-    mins = keyed.groupBy(*block_cols, "__t").agg(
-        F.min("__id").alias("__rep")
-    )
-    groups = keyed.join(mins, block_cols + ["__t"]).select(
-        "__id", "__rep"
-    )
-    reps = mins.select(
-        F.col("__rep").alias("__id"), F.col("__t"), *block_cols
-    )
+    groups, reps = _rep_groups(keyed, block_cols)
     rep_pairs = _plain_pairs(reps, block_cols, max_dist)
 
     ga = groups.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__ma"))
@@ -148,7 +161,9 @@ def blocked_fuzzy_pairs(
         .select(
             F.col("__ma").alias("id_a"),
             F.col("__mb").alias("id_b"),
-            F.lit(0).cast(cross.schema["dist"].dataType).alias("dist"),
+            # levenshtein() is IntegerType; matching it directly avoids
+            # an analysis pass just to read cross's schema
+            F.lit(0).cast("int").alias("dist"),
         )
     )
     return cross.unionByName(within)
@@ -186,15 +201,8 @@ def blocked_fuzzy_clusters(
     if not block_cols:
         raise ValueError("blocked_fuzzy_clusters requires a block col")
     block_cols = list(block_cols)
-    keyed = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        *[F.col(c) for c in block_cols],
-    )
-    mins = keyed.groupBy(*block_cols, "__t").agg(F.min("__id").alias("__rep"))
-    groups = keyed.join(mins, block_cols + ["__t"]).select("__id", "__rep")
-    reps = mins.select(
-        F.col("__rep").alias("__id"), F.col("__t"), *block_cols
+    groups, reps = _rep_groups(
+        _keyed(df, id_col, text_col, block_cols), block_cols
     )
     rep_pairs = _plain_pairs(reps, block_cols, max_dist).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

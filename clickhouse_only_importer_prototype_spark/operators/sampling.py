@@ -113,6 +113,15 @@ def stratified_sample(
     return df.where(_hash_bucket(F.col(id_col), salt) < cut)
 
 
+def _salted_order(id_col: str, salt: str) -> Column:
+    """md5(salt:id) — the uniform random-but-stable per-group draw
+    order quota_per_group and token_budget_per_group share (ties break
+    on the id itself at the window orderBy)."""
+    return F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+
+
 def quota_per_group(
     df: DataFrame,
     quota: int,
@@ -134,10 +143,9 @@ def quota_per_group(
     """
     if quota < 1:
         raise ValueError(f"quota must be >= 1: {quota}")
-    h = F.md5(
-        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(
+        _salted_order(id_col, salt), F.col(id_col)
     )
-    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= quota)
@@ -173,12 +181,9 @@ def token_budget_per_group(
     """
     if budget_tokens < 1:
         raise ValueError(f"budget_tokens must be >= 1: {budget_tokens}")
-    h = F.md5(
-        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
-    )
     w = (
         Window.partitionBy(group_col)
-        .orderBy(h, F.col(id_col))
+        .orderBy(_salted_order(id_col, salt), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
