@@ -201,3 +201,40 @@ def fixed_width_histogram(
             "total",
         )
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier screen: count values with
+    |x - median| > k * 1.4826 * MAD (median absolute deviation;
+    1.4826 is the normal-consistency constant). Returns
+    (group_col, median_price->median, mad, n_rows, n_outliers).
+
+    Unlike mean/stddev z-scores, the median/MAD screen is not dragged
+    by the very outliers it hunts — the standard robust DQ check.
+
+    Scale shape: two grouped exact percentiles (median, then MAD over
+    deviations) + one counting fold — three key-partitioned passes,
+    each map-side combinable, with the tiny per-group stats BROADCAST
+    back onto the scan both times (never a shuffle of the fact side
+    against stats)."""
+    vals = df.select(group_col, value_col)
+    med = vals.groupBy(group_col).agg(
+        F.percentile(value_col, 0.5).alias("median")
+    )
+    dev = vals.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("median"))
+    )
+    mad = dev.groupBy(group_col, "median").agg(
+        F.percentile("__adev", 0.5).alias("mad")
+    )
+    out = dev.join(F.broadcast(mad.select(group_col, "mad")), group_col)
+    is_out = F.col("__adev") > F.lit(k) * 1.4826 * F.col("mad")
+    return out.groupBy(group_col, "median", "mad").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+    )

@@ -390,3 +390,22 @@ def test_fixed_width_histogram_clamps_and_drops_nulls(spark):
     assert out[1] == (10.0, 1, 10.0)
     assert out[2] == (20.0, 1, 35.0)
     assert sum(n for _, n, _ in out.values()) == 5
+
+
+def test_mad_outlier_stats_counts_planted_outliers(spark):
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        mad_outlier_stats,
+    )
+
+    rows = [("g", float(v)) for v in (10, 11, 12, 13, 14)]
+    rows += [("g", 1000.0), ("g", -500.0)]  # planted gross outliers
+    rows += [("h", 5.0), ("h", 6.0), ("h", 7.0)]  # clean group
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {
+        r.grp: (r.median, r.mad, r.n_rows, r.n_outliers)
+        for r in mad_outlier_stats(df, "grp", "v").collect()
+    }
+    med, mad, n, n_out = out["g"]
+    assert med == 12.0 and n == 7
+    assert n_out == 2  # exactly the planted pair
+    assert out["h"][3] == 0  # clean group stays clean
