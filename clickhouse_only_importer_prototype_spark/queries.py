@@ -3092,6 +3092,66 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) // 3600000000000 AS bucket,
+             value, epoch_ns(ts) AS tns, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY tns, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY tns DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles (streaming/events.tumbling_ohlc) driven
+    end-to-end as a batch twin: min_by/max_by open/close state
+    maintained by the ordinary watermarked windowed aggregation — no
+    custom stateful operator — in update mode through an availableNow
+    source. Must equal the BATCH candle rollup (events_ohlc_hourly's
+    oracle, bucket derived from the window start)."""
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as streaming_events,
+    )
+
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "events",
+        "stream_ohlc_",
+        lambda src: streaming_events.tumbling_ohlc(
+            streaming_events.read_events_stream(spark, src)
+        ),
+        output_mode="update",
+    )
+    return sink.select(
+        "event_type",
+        (F.col("window_start").cast("long") / 3600)
+        .cast("long")
+        .alias("bucket"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
+
+
+@register(
     "stream_sessionize",
     """
     WITH x AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
@@ -5296,7 +5356,7 @@ _WINDOW_PRIORITY = [
 _DEFERRED_TO_NEXT_WINDOW = [
     "events_ohlc_hourly", "events_twap_hourly",
     "fuzzy_part_clusters", "quantile_sketch_audit",
-    "events_asof_forward", "price_outliers_mad",
+    "events_asof_forward", "price_outliers_mad", "stream_ohlc",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

@@ -236,3 +236,40 @@ def run_batch_backfill(
         .start(out_path)
         .awaitTermination()
     )
+
+
+def tumbling_ohlc(
+    df: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window OHLC candles per event type, watermarked — the
+    streaming twin of operators/temporal.ohlc_bars.
+
+    open/close are min_by/max_by on the lexicographic (ts, event_id)
+    struct, which Spark maintains as ordinary declarative aggregation
+    state (a pair per group cell) — no custom stateful operator, and
+    the watermark bounds state to open windows exactly as with counts.
+    Works identically for batch and streaming inputs.
+    """
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark("event_time", watermark)
+    pos = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        src.groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(
+            F.min_by("value", pos).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", pos).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
