@@ -294,3 +294,34 @@ def test_price_histogram_partial_agg(spark, sf_dir):
     plan = _plan(q.price_histogram(spark, sf_dir))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        ohlc_bars,
+    )
+
+    ev = q.load(spark, sf_dir, "events")
+    plan = _plan(ohlc_bars(ev, ["event_type"]))
+    # open/close via min_by/max_by state: ONE exchange, zero windows —
+    # the ROW_NUMBER formulation would cost a full per-key sort
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_twap_groupby_reuses_window_partitioning(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        twap,
+    )
+
+    ev = q.load(spark, sf_dir, "events")
+    plan = _plan(
+        twap(ev, ["event_type"], F.col("value").cast("decimal(14,2)"))
+    )
+    # the fold groups by exactly the window's partition keys, so the
+    # holding-time window and the weighted-sum aggregate share ONE
+    # exchange — a second one would re-shuffle output-identical keys
+    assert plan.count("Exchange") == 1
