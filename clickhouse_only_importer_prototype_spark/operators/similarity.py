@@ -537,3 +537,85 @@ def topk_recall(
             >= F.lit(floor_per_1000)
         ).alias("meets_floor"),
     )
+
+
+def kmeans_assign_int(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer Lloyd k-means: the oracle-checkable variant of
+    ``ivf_train_centroids`` (which is float spherical k-means, rows-only
+    by nature). Every quantity is int64, so an unrolled-K SQL twin is
+    bit-identical — the iterative-ML class gets a hard correctness gate,
+    not just a recall floor.
+
+    Contract (mirrored by the oracle):
+      * dims quantized ``floor(double(x) * scale)`` (float->double is
+        exact; double multiply identical both engines);
+      * init centroids = the k smallest ``id_col`` rows, cluster label
+        = that id;
+      * assignment = exact int squared-L2 argmin, ties to the LOWEST
+        cluster id;
+      * update = per-dim FLOOR(sum/count) (Python ``//``; the oracle
+        must sign-correct DuckDB's truncating ``//``);
+      * clusters that lose all members are dropped (both engines derive
+        the surviving set identically).
+
+    Scale: assignment is a broadcast-centroid arrow matmul (int64) —
+    the corpus never shuffles; the update is a posexplode +
+    map-side-combinable (cluster, dim) aggregation collecting only
+    k*dim cells to the driver per iteration. The canonical distributed
+    Lloyd shape: centroids live driver-side, data stays put.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("id"), qvec.alias("q")).persist()
+    init = base.orderBy("id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(init)}")
+    cents: dict[int, list[int]] = {int(r["id"]): list(r["q"]) for r in init}
+
+    def _assign_udf(cent_map: dict[int, list[int]]):
+        ids = np.array(sorted(cent_map), dtype=np.int64)
+        mat = np.array([cent_map[i] for i in ids], dtype=np.int64)
+
+        @pandas_udf(LongType())
+        def best(vecs: pd.Series) -> pd.Series:
+            q = np.stack(vecs.to_numpy()).astype(np.int64)
+            d = q[:, None, :] - mat[None, :, :]
+            costs = np.einsum("bkd,bkd->bk", d, d)
+            # argmin returns the FIRST minimum; ids sorted ascending =>
+            # ties break to the lowest cluster id, same as the oracle's
+            # row_number() ORDER BY cost, cluster
+            return pd.Series(ids[np.argmin(costs, axis=1)])
+
+        return best
+
+    for _ in range(iters):
+        best = _assign_udf(cents)
+        cells = (
+            base.select(best(F.col("q")).alias("cluster"), "q")
+            .select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt: dict[int, list[int]] = {}
+        for r in cells:
+            vec = nxt.setdefault(int(r["cluster"]), [0] * len(init[0]["q"]))
+            vec[int(r["pos"])] = int(r["s"]) // int(r["n"])  # Python //: floor
+        cents = nxt  # empty clusters drop out, same as the oracle
+    best = _assign_udf(cents)
+    # base stays persisted: the caller's action re-reads it for the
+    # final assignment pass (house pattern — small frames ride the LRU)
+    return base.select(
+        F.col("id").alias(id_col), best(F.col("q")).alias("cluster")
+    )

@@ -35,9 +35,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 def _floordiv_sql(expr: str, width: int) -> str:
     """Exact int64 floor-division as a SQL fragment: ``div`` truncates
     toward zero, so shift the quotient down by one when the remainder
-    is negative (Spark's ``%`` follows the dividend's sign). Matches
-    DuckDB's ``//`` (floor) on negative pre-epoch instants, where bare
-    ``div`` would bucket one slot too high."""
+    is negative (Spark's ``%`` follows the dividend's sign).
+
+    NOTE: DuckDB 1.0's integer ``//`` ALSO truncates toward zero
+    (``-7 // 2 = -3``), so oracles paired with this fragment must apply
+    the identical ``- CASE WHEN x % w < 0 THEN 1 ELSE 0 END`` correction
+    — both engines then bucket negative pre-epoch instants with exact
+    floor semantics (``ORACLE_FLOORDIV`` in queries.py emits it)."""
     return (
         f"(({expr}) div {width}) - "
         f"(CASE WHEN ({expr}) % {width} < 0 THEN 1 ELSE 0 END)"
@@ -554,4 +558,83 @@ def twap(
         ).alias("twap"),
         F.sum("__dur").cast("long").alias("dur_ns_total"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_cents: Column | None = None,
+    threshold_cents: int = 5_000,
+) -> DataFrame:
+    """Two-sided CUSUM drift screen per series, exact-integer.
+
+    The classic recurrence s_t = max(0, s_{t-1} + (x_t - target)) is
+    sequential, but it has a closed window form: with
+    c_t = cumsum(x - target),
+        pos_t = c_t - min(0, min_{k<=t} c_k)
+        neg_t = max(0, max_{k<=t} c_k) - c_t
+    so the whole detector is TWO prefix windows over one key-partitioned
+    sort — no applyInPandas, no per-row state. x is integer cents and
+    target the per-key integer-floor mean, so every engine agrees
+    bit-for-bit.
+
+    Output: one row per key — (key, n, target_cents, max_pos_drift,
+    max_neg_drift, n_pos_alerts, n_neg_alerts) with alerts counting
+    observations whose drift exceeds ``threshold_cents``.
+
+    Scale: the per-key mean is one map-side-combinable agg broadcast
+    back (keys are catalog-scale); the windows partition by the series
+    key — the inherently-per-series scan every sequential detector
+    needs. Millions of series parallelize across executors; a single
+    100-TB series would need bucket-chunked re-anchoring (documented
+    limit, same as any order-dependent scan).
+    """
+    if value_cents is None:
+        value_cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        value_cents.alias("cents"),
+    )
+    target = base.groupBy("key").agg(
+        F.expr("div(sum(cents), count(*))").alias("target_cents")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("__ts", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = base.join(F.broadcast(target), "key")
+    c = F.sum(F.col("cents") - F.col("target_cents")).over(w)
+    run = j.select(
+        "key",
+        "target_cents",
+        c.alias("__c"),
+        F.min(c).over(w).alias("__cmin"),
+        F.max(c).over(w).alias("__cmax"),
+    ).select(
+        "key",
+        "target_cents",
+        (F.col("__c") - F.least(F.lit(0).cast("long"), F.col("__cmin"))).alias(
+            "pos"
+        ),
+        (
+            F.greatest(F.lit(0).cast("long"), F.col("__cmax")) - F.col("__c")
+        ).alias("neg"),
+    )
+    thr = F.lit(threshold_cents).cast("long")
+    return run.groupBy("key", "target_cents").agg(
+        F.count("*").alias("n"),
+        F.max("pos").alias("max_pos_drift"),
+        F.max("neg").alias("max_neg_drift"),
+        F.sum(F.when(F.col("pos") > thr, 1).otherwise(0)).alias(
+            "n_pos_alerts"
+        ),
+        F.sum(F.when(F.col("neg") > thr, 1).otherwise(0)).alias(
+            "n_neg_alerts"
+        ),
     )

@@ -438,3 +438,50 @@ def rarity_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= k)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / context-window
+    prep step: every document becomes ceil(max(n,1)/stride) chunks of
+    up to ``chunk_size`` whitespace tokens starting every ``stride``
+    tokens (consecutive chunks overlap by chunk_size - stride).
+
+    Output: (id, chunk_idx, start, n_tokens, chunk_text). A document
+    always yields at least one chunk (possibly a single empty-string
+    token — whitespace-split of "" is [""], same both engines).
+
+    Scale: pure row-local JVM codegen (split / sequence / posexplode /
+    slice) — zero shuffles, zero Python; output size is input tokens
+    x (chunk_size/stride) duplication, the explicit overlap cost.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        df.select(
+            F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias("chunk_idx", "start")
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start"),
+            F.least(
+                F.lit(chunk_size).cast("long"),
+                (F.size("__toks") - F.col("start")).cast("long"),
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("start") + 1, F.lit(chunk_size))
+            ).alias("chunk_text"),
+        )
+    )

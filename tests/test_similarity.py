@@ -189,3 +189,54 @@ def test_topk_recall_floor_semantics(spark, embeddings):
     assert row.variant == "self" and row.meets_floor
     assert row.truth_pairs == truth.count()
     assert not topk_recall(truth, truth.limit(0), "none", 1).first().meets_floor
+
+
+def test_kmeans_int_separable_clusters(spark):
+    from clickhouse_only_importer_prototype_spark.operators.similarity import (
+        kmeans_assign_int,
+    )
+
+    # two tight blobs far apart; k=2 must split them exactly
+    blob_a = [(i, [0.9, 0.9 + i * 1e-4]) for i in range(4)]
+    blob_b = [(10 + i, [-0.9, -0.9 - i * 1e-4]) for i in range(4)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id: long, embedding: array<float>"
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign_int(df, k=2, iters=2).collect()
+    }
+    # init = two smallest ids (0, 1) — both in blob A; after the first
+    # update one centroid absorbs blob B, so the split is clean
+    a = {got[i] for i in range(4)}
+    b = {got[10 + i] for i in range(4)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_kmeans_int_tie_breaks_to_lowest_cluster(spark):
+    from clickhouse_only_importer_prototype_spark.operators.similarity import (
+        kmeans_assign_int,
+    )
+
+    # identical points: every cost ties -> everything joins cluster 0,
+    # cluster 1 empties out and is dropped; assignments stay cluster 0
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(5)],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {r["cluster"] for r in kmeans_assign_int(df, k=2, iters=1).collect()}
+    assert got == {0}
+
+
+def test_kmeans_int_validates(spark):
+    from clickhouse_only_importer_prototype_spark.operators.similarity import (
+        kmeans_assign_int,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.1])], "vec_id: long, embedding: array<float>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_assign_int(df, k=2, iters=1)
+    with pytest.raises(ValueError):
+        kmeans_assign_int(df, k=1, iters=-1)

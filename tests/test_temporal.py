@@ -415,3 +415,51 @@ def test_twap_holds_value_until_next_and_to_bucket_end(spark):
     r = out[0]
     # (10*60 + 20*40) / 100 = 14.0, weighted NOT the plain avg 15.0
     assert r.twap == 14.0 and r.dur_ns_total == 100 and r.n_events == 2
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The window linearization must replay the textbook recurrence
+    s_t = max(0, s_{t-1} + (x_t - target)) exactly (and its mirror)."""
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        cusum_drift,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [5.0, 9.0, 1.0, 9.0, 9.0, 1.0, 1.0, 9.0, 2.0, 3.0]
+    rows = [("a", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type: string, ts: long, event_id: long, value: double"
+    )
+    cents = [round(v * 100) for v in vals]
+    target = sum(cents) // len(cents)
+    s_pos = s_neg = 0
+    max_pos = max_neg = n_pos = n_neg = 0
+    thr = 300
+    for c in cents:
+        s_pos = max(0, s_pos + (c - target))
+        s_neg = max(0, s_neg - (c - target))
+        max_pos, max_neg = max(max_pos, s_pos), max(max_neg, s_neg)
+        n_pos += s_pos > thr
+        n_neg += s_neg > thr
+    row = cusum_drift(df, threshold_cents=thr).collect()[0]
+    assert row["target_cents"] == target
+    assert row["max_pos_drift"] == max_pos
+    assert row["max_neg_drift"] == max_neg
+    assert row["n_pos_alerts"] == n_pos
+    assert row["n_neg_alerts"] == n_neg
+    assert row["n"] == len(vals)
+
+
+def test_cusum_keys_independent(spark):
+    from clickhouse_only_importer_prototype_spark.operators.temporal import (
+        cusum_drift,
+    )
+
+    rows = [("a", 0, 0, 1.0), ("a", 1, 1, 3.0), ("b", 0, 2, 10.0)]
+    df = spark.createDataFrame(
+        rows, "event_type: string, ts: long, event_id: long, value: double"
+    )
+    got = {r["key"]: r for r in cusum_drift(df).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["b"]["max_pos_drift"] == 0  # single point: no drift
+    assert got["a"]["target_cents"] == (100 + 300) // 2

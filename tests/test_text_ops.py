@@ -206,3 +206,54 @@ def test_rarity_top_terms_rank_and_ties(spark):
     assert out[(1, 2)] == ("common", 1, 3, 333_333)
     # doc 3: apple (df=2) outscores common (df=3); both tf=1
     assert out[(3, 1)][0] == "apple" and out[(3, 1)][3] == 500_000
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from clickhouse_only_importer_prototype_spark.operators.text import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    rows = sorted(
+        chunk_documents(df, chunk_size=32, stride=24).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["start"] for r in rows] == [0, 24, 48]
+    assert [r["n_tokens"] for r in rows] == [32, 26, 2]
+    assert rows[0]["chunk_text"].split(" ")[:2] == ["t0", "t1"]
+    # overlap: chunk 1 starts 8 tokens before chunk 0 ends
+    assert rows[1]["chunk_text"].split(" ")[0] == "t24"
+    assert rows[2]["chunk_text"] == "t48 t49"
+
+
+def test_chunk_documents_short_and_empty(spark):
+    from clickhouse_only_importer_prototype_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "")], "doc_id: long, text: string"
+    )
+    rows = chunk_documents(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 3
+    # split("") -> [""]: one chunk of the single empty token
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 1
+    assert by_doc[2][0]["chunk_text"] == ""
+
+
+def test_chunk_documents_validates(spark):
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
