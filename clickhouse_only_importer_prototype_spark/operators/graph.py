@@ -60,28 +60,38 @@ def pagerank_int(
     node has outdeg >= 1 (symmetrize() guarantees it), otherwise
     dangling mass silently drains — same contract both engines.
 
-    Scale: arcs are hash-partitioned by src once and persisted; each
-    iteration shuffles only the rank vector (|V| rows) to the arc
-    partitioning, then a map-side-combinable groupBy(dst). Ranks are
-    localCheckpointed each iteration to truncate lineage.
+    Scale: the (possibly expensive) upstream edge build materializes
+    ONCE — arcs are persisted before the degree pass, so the deg agg
+    and the arcs+deg join both read cache, not the source plan. Each
+    iteration then broadcasts the |V|-row rank vector into the cached
+    arc list (zero arc shuffles) + one map-side-combinable
+    groupBy(dst); billion-node graphs flip ``bcast_ranks`` off and get
+    a src-co-partitioned shuffle join instead. Ranks are eagerly
+    localCheckpointed each iteration so lineage (and lost-executor
+    replay) stays O(1) in K.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    deg = arcs.groupBy("src").agg(F.count("*").alias("outdeg"))
-    arcs_deg = (
-        arcs.join(deg, "src")
-        .repartition("src")
-        .persist()
-    )
-    n_nodes = deg.count()  # tiny driver scalar; also materializes arcs_deg's parent
+    arcs_c = arcs.persist()
+    deg = arcs_c.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_nodes = deg.count()  # tiny driver scalar; materializes arcs_c
     base = ((100 - damping_pct) * PR_SCALE) // (100 * n_nodes)
+    # the rank vector is |V| rows vs |E| arcs: broadcast it while it
+    # fits (catalog-scale graphs; billions of nodes would flip this to
+    # a src-co-partitioned shuffle join)
+    bcast_ranks = n_nodes <= 5_000_000
+    arcs_deg = arcs_c.join(deg, "src")
+    if not bcast_ranks:
+        arcs_deg = arcs_deg.repartition("src")
+    arcs_deg = arcs_deg.persist()
     ranks = deg.select(
         F.col("src").alias("node"),
         F.lit(PR_SCALE // n_nodes).cast("long").alias("rank"),
     )
     for _ in range(iterations):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = arcs_deg.join(
-            ranks, arcs_deg["src"] == ranks["node"]
+            r, arcs_deg["src"] == r["node"]
         ).select(
             F.col("dst").alias("node"),
             F.expr("rank div outdeg").alias("contrib"),
@@ -97,6 +107,7 @@ def pagerank_int(
         # after the loop — the canonical iterative-algorithm shape
         ranks = ranks.localCheckpoint(eager=True)
     arcs_deg.unpersist()
+    arcs_c.unpersist()
     return ranks
 
 
@@ -112,15 +123,27 @@ def oriented_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(
+    edges: DataFrame, broadcast_adjacency: bool = True
+) -> DataFrame:
     """Triangle count + wedge count + global clustering coefficient
     (integer per-million) over oriented ``(a, b)`` edges (a < b,
     distinct — use ``oriented_edges``).
 
-    Triangles via the two-path join: (a,b),(b,c) with a<b<c closed by
-    (a,c). Orientation bounds each node's expansion by its forward
-    degree — the standard skew guard (a hub's |in|x|out| cross product
-    never materializes; only pairs of its HIGHER-id neighbors do).
+    Compact-adjacency intersection, not the two-path join: a naive
+    (a,b)x(b,c) join materializes sum(fwd_deg²) rows THROUGH A SHUFFLE
+    (~100M for a 1.2M-edge near-regular graph — measured 21s at sf0.1),
+    while per-edge |adj_fwd[a] ∩ adj_fwd[b]| does the same work
+    JVM-side inside one codegen stage. Forward adjacency (neighbors
+    with higher id) makes every common element c satisfy a<b<c, so
+    each triangle counts exactly once, and orientation still bounds
+    list length by forward degree (the hub/skew guard).
+
+    Scale: the adjacency table is |V| rows — broadcast it (default)
+    and the count is ONE pass over edges, zero shuffles beyond the
+    adjacency build. When |V| exceeds broadcast budget
+    (``broadcast_adjacency=False``), the two equi-joins shuffle E rows
+    each — still E-row shuffles, never the sum(fwd_deg²) path blowup.
 
     Wedges (paths of length 2) count from undirected degree:
     sum(d*(d-1))/2; global clustering = 3*triangles/wedges.
@@ -128,18 +151,22 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Returns one row: (n_edges, n_wedges, n_triangles, clustering_1e6).
     """
     e = edges.persist()
-    paths = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+    adj = e.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    adj_a = adj.select(F.col("a"), F.col("nbrs").alias("__nbrs_a"))
+    adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("__nbrs_b"))
+    if broadcast_adjacency:
+        adj_a, adj_b = F.broadcast(adj_a), F.broadcast(adj_b)
+    tri = (
+        e.join(adj_a, "a")
+        # inner join: an edge whose endpoint has no forward neighbors
+        # can't close a triangle — dropping it equals intersecting
+        # with an empty list
+        .join(adj_b, "b")
         .select(
-            F.col("e1.a").alias("a"),
-            F.col("e1.b").alias("b"),
-            F.col("e2.b").alias("c"),
+            F.size(F.array_intersect("__nbrs_a", "__nbrs_b")).alias("__t")
         )
-    )
-    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
-    tri = paths.join(closing, ["a", "c"]).agg(
-        F.count("*").alias("n_triangles")
+        .agg(F.sum("__t").cast("long").alias("n_triangles"))
+        .select(F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
     degrees = (
         e.select(F.col("a").alias("v"))
