@@ -85,3 +85,48 @@ def test_dedup_stream_matches_batch_fingerprints(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert spark.sql("select count(*) from dd_full").first()[0] == n_distinct
+
+
+def test_restart_from_checkpoint_exactly_once_with_state(spark, tmp_path):
+    """The recovery contract at 100 TB: stop a stateful query, restart
+    it from the SAME checkpoint, and (a) already-committed input is not
+    reprocessed into the sink (file-source offsets + file-sink
+    _spark_metadata = end-to-end exactly-once), (b) the dedup state
+    SURVIVES the restart — a post-restart duplicate of a pre-restart
+    text is still suppressed."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            sdd.dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write(spark, src / "b1", [(0, "alpha text"), (1, "beta text")])
+    run_once()  # run 1: commits b1, state = {alpha, beta}
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert first == {0, 1}
+
+    # between runs: a cross-restart duplicate + a genuinely new doc
+    _write(spark, src / "b2", [(2, "ALPHA   TEXT"), (3, "gamma text")])
+    run_once()  # run 2: restart from the same checkpoint
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r.doc_id for r in rows)
+    # no b1 reprocessing (0/1 appear exactly once), dup 2 suppressed by
+    # restored state, new doc 3 admitted
+    assert ids == [0, 1, 3]
