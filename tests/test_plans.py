@@ -325,3 +325,53 @@ def test_twap_groupby_reuses_window_partitioning(spark, sf_dir):
     # holding-time window and the weighted-sum aggregate share ONE
     # exchange — a second one would re-shuffle output-identical keys
     assert plan.count("Exchange") == 1
+
+
+def test_triangle_adjacency_is_broadcast_no_path_shuffle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators import graph as G
+
+    li = q.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_partkey").alias("r_partkey"),
+    )
+    pairs = (
+        li.join(l2, li["l_orderkey"] == l2["r_orderkey"])
+        .where(F.col("l_partkey") < F.col("r_partkey"))
+        .select(F.col("l_partkey").alias("a"), F.col("r_partkey").alias("b"))
+    )
+    plan = _plan(G.triangle_stats(G.oriented_edges(pairs)))
+    # the adjacency table joins as broadcast (the two-path shuffle of
+    # sum(fwd_deg^2) rows is exactly what this formulation avoids)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_broadcasts_rank_vector(spark):
+    from clickhouse_only_importer_prototype_spark.operators import graph as G
+
+    arcs = G.symmetrize(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 4)], "src: long, dst: long"
+        )
+    )
+    ranks = G.pagerank_int(arcs, iterations=1)
+    # the returned frame is a localCheckpoint of the last iteration;
+    # its lineage must be O(1) — scanning an RDD checkpoint, not the
+    # full join chain
+    plan = _plan(ranks)
+    assert "Scan ExistingRDD" in plan
+
+
+def test_bigram_lm_no_cartesian_partial_agg(spark, sf_dir):
+    plan = _plan(q.bigram_lm_scores(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_copurchase_recs_freqs_broadcast(spark, sf_dir):
+    plan = _plan(q.copurchase_recs(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # both freq sides + total
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
