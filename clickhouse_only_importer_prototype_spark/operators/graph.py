@@ -123,8 +123,13 @@ def oriented_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
+#: Broadcast the adjacency table while total entries (= edge count,
+#: ~8B each) stay under ~160MB; beyond that fall back to shuffle joins.
+_ADJ_BROADCAST_MAX_EDGES = 20_000_000
+
+
 def triangle_stats(
-    edges: DataFrame, broadcast_adjacency: bool = True
+    edges: DataFrame, broadcast_adjacency: bool | None = None
 ) -> DataFrame:
     """Triangle count + wedge count + global clustering coefficient
     (integer per-million) over oriented ``(a, b)`` edges (a < b,
@@ -139,11 +144,14 @@ def triangle_stats(
     each triangle counts exactly once, and orientation still bounds
     list length by forward degree (the hub/skew guard).
 
-    Scale: the adjacency table is |V| rows — broadcast it (default)
-    and the count is ONE pass over edges, zero shuffles beyond the
-    adjacency build. When |V| exceeds broadcast budget
-    (``broadcast_adjacency=False``), the two equi-joins shuffle E rows
-    each — still E-row shuffles, never the sum(fwd_deg²) path blowup.
+    Scale: the adjacency table totals |E| entries — broadcast it and
+    the count is ONE pass over edges, zero shuffles beyond the
+    adjacency build. ``broadcast_adjacency=None`` (default) decides
+    from the measured edge count (same measured-statistics philosophy
+    as the dedup collapse gate; the count rides the persist the plan
+    needs anyway); past ``_ADJ_BROADCAST_MAX_EDGES`` the two
+    equi-joins shuffle E rows each — still E-row shuffles, never the
+    sum(fwd_deg²) path blowup.
 
     Wedges (paths of length 2) count from undirected degree:
     sum(d*(d-1))/2; global clustering = 3*triangles/wedges.
@@ -151,6 +159,8 @@ def triangle_stats(
     Returns one row: (n_edges, n_wedges, n_triangles, clustering_1e6).
     """
     e = edges.persist()
+    if broadcast_adjacency is None:
+        broadcast_adjacency = e.count() <= _ADJ_BROADCAST_MAX_EDGES
     adj = e.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
     adj_a = adj.select(F.col("a"), F.col("nbrs").alias("__nbrs_a"))
     adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("__nbrs_b"))
