@@ -35,6 +35,10 @@ MODES = (
     # table_checksum) — run on both sides of a replication/MERGE and
     # diff the integers instead of the tables
     "checksum",
+    # beyond the reference: run any registered analytics query by name
+    # against a testdata-shaped parquet dir and print the result
+    # (-name list prints the registry)
+    "query",
 )
 
 
@@ -48,7 +52,42 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "-output", "--output", default=pipelines.DEFAULT_COMBINE_OUTPUT
     )
+    parser.add_argument(
+        "-name", "--name", default="list",
+        help="query mode: registry query name, or 'list'",
+    )
+    parser.add_argument(
+        "-limit", "--limit", type=int, default=20,
+        help="query mode: max rows printed",
+    )
     args = parser.parse_args(argv)
+
+    if args.mode == "query":
+        import __spark_entry__ as entry  # registry lives at repo root
+
+        registry = entry.queries()
+        if args.name == "list":
+            oracled = set(entry.oracle_sql())
+            for name in registry:
+                tag = "oracled" if name in oracled else "rows-only"
+                print(f"{name}\t{tag}")
+            return 0
+        if args.name not in registry:
+            parser.error(f"unknown query {args.name!r}; try -name list")
+        if not args.parquet_dir:
+            parser.error("-parquet-dir (the sf tables dir) required")
+        spark = get_spark(app_name=f"cips-query-{args.name}")
+        t0 = time.time()
+        df = registry[args.name](spark, args.parquet_dir)
+        df.show(args.limit, truncate=False)
+        logging.basicConfig(
+            level=logging.INFO, format="%(levelname)s %(message)s"
+        )
+        logging.info(
+            "query %s: %.2fs (printed up to %d rows)",
+            args.name, time.time() - t0, args.limit,
+        )
+        return 0
 
     if args.mode == "ddl":
         # no Spark session: schemas are static
