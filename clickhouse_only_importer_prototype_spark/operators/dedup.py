@@ -1154,3 +1154,174 @@ def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("dup_groups"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    collapse: bool | None = None,
+) -> DataFrame:
+    """Directed near-containment pairs — EXACT result via asymmetric
+    prefix filtering. C(A→B) = |S_A ∩ S_B| / |S_A| >= t means doc A's
+    shingle set is (near-)contained in doc B's: the crawl-dedup shape
+    Jaccard misses (a page quoting a whole smaller page, boilerplate
+    wrappers, truncated re-posts — |B| >> |A| drives Jaccard to ~|A|/|B|
+    while containment stays ~1).
+
+    Pruning (lossless): order shingles globally by (document-frequency
+    asc, shingle); if C(A→B) >= t then B must share at least one of
+    A's first ``|A| - ceil(t*|A|) + 1`` shingles in that order
+    (pigeonhole: missing the whole prefix caps the intersection at
+    ceil(t*|A|) - 1 < t*|A|). So only A-prefixes probe the full
+    inverted index — and a prefix is dominated by RARE shingles, so
+    each probe touches few postings. A size filter
+    (|B| >= ceil(t*|A|)) prunes before verification. Exact
+    ``array_intersect`` verification on survivors only — never O(n²).
+
+    Representative collapse (same measured-dup-ratio gate as
+    ``ngram_jaccard_pairs``): exact copies collapse to one rep;
+    surviving DIRECTED rep pairs expand to all cross-group member
+    pairs with direction preserved, and within-group ordered pairs
+    (identical texts ⊆ each other, both directions) emit containment
+    1000.
+
+    Output: (doc_a, doc_b, inter_size, size_a, size_b,
+    containment_per_1000) where doc_a is near-contained in doc_b,
+    doc_a != doc_b; containment int-scaled (x1000, floor) for
+    cross-engine hashing.
+    """
+    if collapse is None:
+        collapse = _has_exact_dups(df, text_col)
+    if collapse:
+        groups = _exact_groups(df, text_col)
+        sh = shingles(_rep_docs(df, groups), text_col, n)
+    else:
+        groups = None
+        sh = shingles(df, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    packed = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__arr")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("__arr"), lambda s: s["shingle"]).alias("sset"),
+            F.size(F.col("__arr")).cast("long").alias("set_size"),
+        )
+    )
+    t1000 = _t1000(threshold)
+    prefix_len = (
+        F.col("set_size") - _ceil_frac(t1000, F.col("set_size")) + 1
+    ).cast("int")
+    prefix = packed.select(
+        "doc_id",
+        "set_size",
+        F.explode(F.slice(F.col("sset"), F.lit(1), prefix_len)).alias(
+            "shingle"
+        ),
+    )
+    # the container side indexes ALL its shingles (containment has no
+    # upper size bound on B); the probe side is prefix-only, so join
+    # fan-out is bounded by the postings of RARE prefix shingles
+    full = packed.select(
+        "doc_id",
+        "set_size",
+        F.explode(F.col("sset")).alias("shingle"),
+    )
+    size_ok = F.col("b.set_size") >= _ceil_frac(t1000, F.col("a.set_size"))
+    cands = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & size_ok,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sset").alias("sa"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sset").alias("sb"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long")
+    rep_pairs = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_size", inter)
+        .withColumn(
+            "containment_per_1000",
+            F.floor(
+                F.lit(1000) * F.col("inter_size") / F.col("size_a")
+            ).cast("long"),
+        )
+        .where(F.col("containment_per_1000") >= t1000)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            "size_a",
+            "size_b",
+            "containment_per_1000",
+        )
+    )
+    if not collapse:
+        return rep_pairs
+    # directed expansion: every member of A's group is contained in
+    # every member of B's group — direction PRESERVED (no reorient;
+    # the reverse direction, if it clears t, has its own rep pair)
+    ga = groups.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ma")
+    )
+    gb = groups.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mb")
+    )
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.col("ma").alias("doc_a"),
+            F.col("mb").alias("doc_b"),
+            "inter_size",
+            "size_a",
+            "size_b",
+            "containment_per_1000",
+        )
+    )
+    # within-group ordered pairs (a != b, both directions): identical
+    # texts are mutually contained; stats from the rep's packed row
+    # (no-shingle groups emit nothing, matching the rep path)
+    wa = groups.select("rep_id", F.col("doc_id").alias("doc_a"))
+    wb = groups.select("rep_id", F.col("doc_id").alias("doc_b"))
+    within = (
+        wa.join(wb, "rep_id")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .join(
+            packed.select(F.col("doc_id").alias("rep_id"), "set_size"),
+            "rep_id",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("set_size").alias("inter_size"),
+            F.col("set_size").alias("size_a"),
+            F.col("set_size").alias("size_b"),
+            F.lit(1000).cast("long").alias("containment_per_1000"),
+        )
+    )
+    return cross.unionByName(within)

@@ -6691,6 +6691,45 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                         AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_size,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           (1000 * i.inter_size) // sa.set_size AS containment_per_1000
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE (1000 * i.inter_size) // sa.set_size >= 600
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs >= 0.6 on word 3-grams
+    (operators/dedup.containment_pairs): doc_a's shingles near-
+    contained in doc_b's — the quote/boilerplate/truncated-repost
+    dedup shape that symmetric Jaccard misses when |B| >> |A|. The
+    oracle is the naive all-pairs inverted index; the engine path is
+    asymmetric prefix filtering + size pruning + exact verification
+    (the same lossless-pruning contract as dedup_ngram_jaccard)."""
+    return dedup_ops.containment_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )
+
 
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
@@ -6760,6 +6799,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     # continuation-session additions (graph/iterative-ML/attribution/
     # chunking/IR/changepoint classes), all green in the pytest oracle
     # gate, queued behind the 50-row cap:
+    "dedup_containment",
     "pagerank_custsupp", "copurchase_triangles", "kmeans_embeddings",
     "events_cusum", "doc_chunks", "inverted_index",
     "attribution_last_touch", "bigram_lm_scores", "copurchase_recs",

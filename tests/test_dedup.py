@@ -470,3 +470,72 @@ def test_max_shingle_freq_forces_collapse_counting(spark):
     # and the rep-counted pruning keeps the (1,3) cross pair that
     # raw-doc counting would have pruned away
     assert (1, 3) in {(a, b) for (a, b, *_rest) in auto}
+
+
+def _cpairs(df):
+    return {
+        (r.doc_a, r.doc_b): r.containment_per_1000 for r in df.collect()
+    }
+
+
+def test_containment_directed_subset(spark):
+    # doc 1 is a strict prefix of doc 0: fully contained one way,
+    # only partially the other
+    big = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa"
+    )
+    small = "alpha bravo charlie delta echo foxtrot"
+    df = spark.createDataFrame(
+        [(0, big), (1, small), (2, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    got = _cpairs(dedup.containment_pairs(df, n=3, threshold=0.9))
+    assert got.get((1, 0)) == 1000  # small ⊆ big
+    assert (0, 1) not in got  # big ⊄ small at t=0.9
+    assert not any(2 in p for p in got)
+
+
+def test_containment_collapse_paths_identical(spark, dup_docs):
+    forced = _cpairs(
+        dedup.containment_pairs(dup_docs, threshold=0.5, collapse=True)
+    )
+    plain = _cpairs(
+        dedup.containment_pairs(dup_docs, threshold=0.5, collapse=False)
+    )
+    auto = _cpairs(dedup.containment_pairs(dup_docs, threshold=0.5))
+    assert forced == plain == auto
+    # exact dups (0,1,2 share normalized text) are mutually contained
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            if a != b:
+                assert forced[(a, b)] == 1000
+
+
+def test_containment_vs_naive_all_pairs(spark, dup_docs):
+    """Prefix-filtered result == brute-force inverted-index result."""
+    from clickhouse_only_importer_prototype_spark.operators.text import (
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    sh = shingles(dup_docs, "text", 3)
+    sizes = sh.groupBy("doc_id").count()
+    naive = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "c1000", F.floor(F.lit(1000) * F.col("inter") / F.col("count"))
+        )
+        .where(F.col("c1000") >= 300)
+    )
+    expect = {(r.doc_a, r.doc_b): r.c1000 for r in naive.collect()}
+    got = _cpairs(dedup.containment_pairs(dup_docs, threshold=0.3))
+    assert got == expect
