@@ -190,3 +190,66 @@ def token_budget_per_group(
         df.withColumn("cum_tokens", F.sum(token_col).over(w).cast("long"))
         .where(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def _hash_u60(id_col: Column, salt: str) -> Column:
+    """Raw 60-bit uniform hash (md5 first 15 hex digits as int64) —
+    the same idiom as _hash_bucket without the modulus."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement of ``k`` rows —
+    deterministic priority sampling (Duffield–Lund–Thorup, JACM '07).
+
+    Each row draws u_i = (2*h_i + 1) / 2^61 from the salted md5 hash
+    (uniform, retry-stable — same determinism contract as hash_split)
+    and gets priority w_i / u_i; the k highest priorities win, which
+    is the same ordering as u_i / w_i ASCENDING — computed as
+    ``CAST(2h+1 AS DOUBLE) / CAST(w AS DOUBLE)``. Heavy rows draw
+    small keys more often: inclusion probability ≈ min(1, w_i/τ).
+
+    CROSS-ENGINE EXACT: int→double casts and a single division are
+    IEEE correctly-rounded primitives, so the sort key is bit-identical
+    in any engine — unlike the classic A-ES exponential key, whose
+    ``ln`` differs in the last ulp across libm implementations and can
+    flip a boundary rank. Ties (impossible unless hash AND weight
+    collide) break on id.
+
+    Non-positive weights are excluded (a zero weight must never be
+    sampled; negative weights are undefined).
+
+    Scale shape: global top-k via orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heap of k, driver merges
+    n_partitions×k candidate rows, no global sort shuffle. For k in
+    the millions prefer a two-level variant (per-partition top-k, then
+    repartition(1) top-k); at manifest-building sizes (k ≤ ~100k)
+    this single-pass plan is the right one.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    key = (
+        (F.lit(2) * _hash_u60(F.col(id_col), salt) + F.lit(1)).cast("double")
+        / F.col(weight_col).cast("double")
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__key", key)
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key")
+    )

@@ -172,3 +172,47 @@ def test_token_budget_greedy_prefix_per_group(spark):
     assert again == {r.doc_id for r in out}
     with pytest.raises(ValueError):
         token_budget_per_group(df, budget_tokens=0, token_col="n_tokens")
+
+
+def test_priority_sample_matches_python_reference(spark):
+    """Engine top-k == brute-force priority sampling over all rows."""
+    import hashlib
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key(i, w):
+        h = int(
+            hashlib.md5(f"wsample-v1:{i}".encode()).hexdigest()[:15], 16
+        )
+        return (float(2 * h + 1) / float(w), i)
+
+    expect = sorted(rows, key=lambda r: key(*r))[:25]
+    got = sorted(
+        (r.doc_id, r.w)
+        for r in sampling.priority_sample(
+            df, k=25, weight_col="w", id_col="doc_id"
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
+def test_priority_sample_weight_proportional_and_stable(spark):
+    # one heavy doc among light ones is (almost) always included
+    rows = [(i, 1) for i in range(100)] + [(100, 100_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = {r.doc_id for r in sampling.priority_sample(df, 10, "w").collect()}
+    s2 = {r.doc_id for r in sampling.priority_sample(df, 10, "w").collect()}
+    assert s1 == s2  # deterministic across runs
+    assert 100 in s1
+    assert len(s1) == 10
+
+
+def test_priority_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 1)], "doc_id long, w long"
+    )
+    got = {r.doc_id for r in sampling.priority_sample(df, 4, "w").collect()}
+    assert got == {3, 4}
+    with pytest.raises(ValueError):
+        sampling.priority_sample(df, 0, "w")
