@@ -6761,6 +6761,214 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "attribution_linear",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_ns(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id, epoch_ns(ts) AS t, MAX(event_type) AS touch
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+      GROUP BY user_id, epoch_ns(ts)
+    ),
+    m AS (
+      SELECT p.pid, p.cents, tc.touch
+      FROM p JOIN tch tc
+        ON p.user_id = tc.user_id
+       AND tc.t >= p.t - 604800000000000 AND tc.t <= p.t
+    ),
+    cnt AS (SELECT pid, COUNT(*) AS n FROM m GROUP BY pid),
+    credits AS (
+      SELECT m.touch AS touch_type, (m.cents * 1000) // cnt.n AS credit
+      FROM m JOIN cnt USING (pid)
+      UNION ALL
+      SELECT 'direct' AS touch_type, p.cents * 1000 AS credit
+      FROM p ANTI JOIN m USING (pid)
+    )
+    SELECT touch_type, COUNT(*) AS n_credits,
+           CAST(SUM(credit) AS BIGINT) AS credit_cents_1e3
+    FROM credits GROUP BY touch_type
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its
+    revenue EQUALLY across all touches in the 7-day lookback (each
+    touch gets floor(cents*1000 / n) — integer credit milli-cents for
+    cross-engine hashing); untouched purchases credit 'direct' whole.
+    The sibling of attribution_last_touch re-expressed over the
+    bucketized interval join (operators/temporal.interval_join) —
+    one-to-MANY credit assignment instead of the as-of's one-to-one.
+    Scale: equi-join on (user, week-ish bucket) + two purchase-keyed
+    groupBys; no range cross-product, no window over all events."""
+    e = load(spark, sf_dir, "events")
+    lookback = 604_800_000_000_000
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        (F.col("ts") - F.lit(lookback)).alias("t0"),
+        (F.col("ts") + F.lit(1)).alias("t1"),
+    )
+    tch = (
+        e.where(F.col("event_type").isin("click", "view", "signup"))
+        .groupBy("user_id", F.col("ts").alias("tt"))
+        .agg(F.max("event_type").alias("touch"))
+    )
+    m = temporal_ops.interval_join(
+        tch, p, on=["user_id"], point_ts="tt", start_col="t0", end_col="t1"
+    ).select("pid", "cents", "touch")
+    cnt = m.groupBy("pid").agg(F.count("*").alias("n"))
+    credits = (
+        m.join(cnt, "pid")
+        .select(
+            F.col("touch").alias("touch_type"),
+            F.expr("div(cents * 1000, n)").alias("credit"),
+        )
+        .unionByName(
+            p.join(m.select("pid").distinct(), "pid", "left_anti").select(
+                F.lit("direct").alias("touch_type"),
+                (F.col("cents") * 1000).alias("credit"),
+            )
+        )
+    )
+    return credits.groupBy("touch_type").agg(
+        F.count("*").alias("n_credits"),
+        F.sum("credit").cast("long").alias("credit_cents_1e3"),
+    )
+
+
+@register(
+    "grouping_sets_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers — completes the
+    multi-level-aggregate family next to rollup_region_nation and
+    cube_pricing. The grouping flags disambiguate a grouped-out NULL
+    from a data NULL, the contract BI layers depend on. One shuffle:
+    Spark expands the four sets map-side then aggregates once."""
+    tag = abs(hash(sf_dir)) % 100000
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        f"lineitem_gs{tag}"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs{tag}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "schema_evolution_union",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS src_version
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderpriority, CAST(NULL AS BIGINT) AS o_custkey,
+           CAST(NULL AS DOUBLE) AS o_totalprice, 2 AS src_version
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two slices of the same logical table
+    written under DIFFERENT schema versions (v1 carries custkey+price,
+    v2 dropped those and added orderpriority) union into one frame
+    with missing columns as NULL — ``unionByName(allowMissingColumns
+    =True)``, the Spark-native mergeSchema contract a 100 TB lake
+    needs when producers roll schemas forward mid-partition. Pure
+    row-local projection; no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit(1).alias("src_version"),
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(2).alias("src_version"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_conv
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= v.t_view
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT (c.t_conv - v.t_view) // 1000000 AS delta_ms
+      FROM v JOIN c ON v.user_id = c.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(delta_ms, 0.50) AS p50_ms,
+           quantile_cont(delta_ms, 0.90) AS p90_ms,
+           CAST(MAX(delta_ms) AS BIGINT) AS max_ms
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first 'view' to first
+    subsequent 'purchase'; reports exact interpolated p50/p90 of the
+    millisecond deltas (Spark percentile() and DuckDB quantile_cont
+    share the (n-1)*q interpolation — same contract as
+    priority_quantiles). The latency companion to events_funnel's
+    conversion counts. Scale: two user-keyed folds + one tiny global
+    percentile over per-user scalars (one row per converted user, not
+    per event)."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    d = v.join(c, "user_id").select(
+        F.expr("div(t_conv - t_view, 1000000)").alias("delta_ms")
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr("percentile(delta_ms, 0.50)").alias("p50_ms"),
+        F.expr("percentile(delta_ms, 0.90)").alias("p90_ms"),
+        F.max("delta_ms").cast("long").alias("max_ms"),
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get
@@ -6829,7 +7037,9 @@ _DEFERRED_TO_NEXT_WINDOW = [
     # continuation-session additions (graph/iterative-ML/attribution/
     # chunking/IR/changepoint classes), all green in the pytest oracle
     # gate, queued behind the 50-row cap:
-    "dedup_containment", "weighted_doc_sample",
+    "dedup_containment", "weighted_doc_sample", "attribution_linear",
+    "grouping_sets_pricing", "schema_evolution_union",
+    "funnel_time_to_convert",
     "pagerank_custsupp", "copurchase_triangles", "kmeans_embeddings",
     "events_cusum", "doc_chunks", "inverted_index",
     "attribution_last_touch", "bigram_lm_scores", "copurchase_recs",
