@@ -7224,6 +7224,32 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shard_assignment_audit",
+    """
+    SELECT CAST(('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 16 AS shard,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY shard
+    """,
+)
+def shard_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planned training-shard layout audit (sinks/shards
+    .shard_assignment, n=16): per-shard doc counts of the md5-stable
+    doc→shard map, proving balance before paying the write shuffle.
+    The same hash drives write_training_shards, so this oracle row is
+    the correctness evidence for the shard sink's assignment."""
+    from clickhouse_only_importer_prototype_spark.sinks.shards import (
+        shard_assignment,
+    )
+
+    return (
+        shard_assignment(load(spark, sf_dir, "documents"), n_shards=16)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get
@@ -7296,6 +7322,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "grouping_sets_pricing", "schema_evolution_union",
     "funnel_time_to_convert", "vocab_top_tokens", "class_weights",
     "feature_hashing", "priority_quantile_disc", "semantic_dedup",
+    "shard_assignment_audit",
     "pagerank_custsupp", "copurchase_triangles", "kmeans_embeddings",
     "events_cusum", "doc_chunks", "inverted_index",
     "attribution_last_touch", "bigram_lm_scores", "copurchase_recs",

@@ -292,3 +292,91 @@ def test_cli_checksum_mode(spark, tmp_path, capsys):
     assert "n_rows=3" in out_a and "checksum=" in out_a
     # empty dir: loud failure, not a silent empty report
     assert main(["-mode", "checksum", "-parquet-dir", str(tmp_path / "nope")]) == 1
+
+
+def test_training_shards_layout_and_stability(spark, sf_dir, tmp_path):
+    """Shard sink: hive shard dirs, stable assignment, within-shard
+    sort, and agreement with shard_assignment."""
+    import glob
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.sinks.shards import (
+        shard_assignment,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs, out, n_shards=8, sort_by=["n_chars", "doc_id"]
+    )
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == 8
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    # every row is in its md5 shard, matching the python reference
+    def ref_shard(i):
+        return (
+            int(hashlib.md5(f"shard-v1:{i}".encode()).hexdigest()[:15], 16)
+            % 8
+        )
+
+    sample = back.select("doc_id", "shard").limit(200).collect()
+    assert all(r.shard == ref_shard(r.doc_id) for r in sample)
+
+    # audit op agrees with the written layout
+    audit = {
+        r.shard: r["count"]
+        for r in shard_assignment(docs, n_shards=8)
+        .groupBy("shard")
+        .count()
+        .collect()
+    }
+    written = {
+        r.shard: r["count"]
+        for r in back.groupBy("shard").count().collect()
+    }
+    assert audit == written
+    # balance: no shard more than 2x the mean (md5-uniform)
+    mean = docs.count() / 8
+    assert all(c < 2 * mean for c in written.values())
+
+    # within-shard sort: each parquet file is n_chars-ordered
+    one = spark.read.parquet(dirs[0]).select("n_chars").collect()
+    vals = [r.n_chars for r in one]
+    assert vals == sorted(vals)
+
+    # determinism: a second write lands every doc in the same shard
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=8)
+    back2 = spark.read.parquet(out2)
+    assert (
+        back.select("doc_id", "shard")
+        .exceptAll(back2.select("doc_id", "shard"))
+        .count()
+        == 0
+    )
+
+
+def test_training_shards_max_records_per_file(spark, tmp_path):
+    import glob
+
+    from clickhouse_only_importer_prototype_spark.sinks.shards import (
+        write_training_shards,
+    )
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "small")
+    write_training_shards(
+        df, out, n_shards=2, max_records_per_file=100
+    )
+    files = glob.glob(f"{out}/shard=*/*.parquet")
+    # ~1000 rows / 2 shards / 100-rows-per-file => >= 10 files
+    assert len(files) >= 10
+    with pytest.raises(ValueError):
+        write_training_shards(df, out, n_shards=0)
