@@ -114,6 +114,30 @@ def tumbling_counts(
     )
 
 
+def sliding_type_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window per-type event counts, watermarked — the
+    overlapping-window twin of tumbling_counts (each event lands in
+    window/slide windows; state per open window is bounded by the
+    watermark horizon). Exact counts only, so a batch/DuckDB oracle
+    can reproduce every row — the approximate-distinct variant lives
+    in sliding_user_activity."""
+    src = df.withWatermark("event_time", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.window("event_time", window, slide), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def sliding_user_activity(
     df: DataFrame,
     window: str = "1 hour",
