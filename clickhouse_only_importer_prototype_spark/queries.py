@@ -7367,7 +7367,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "grouping_sets_pricing", "schema_evolution_union",
     "funnel_time_to_convert", "vocab_top_tokens", "class_weights",
     "feature_hashing", "priority_quantile_disc", "semantic_dedup",
-    "shard_assignment_audit",
+    "shard_assignment_audit", "stream_sliding_counts",
     "pagerank_custsupp", "copurchase_triangles", "kmeans_embeddings",
     "events_cusum", "doc_chunks", "inverted_index",
     "attribution_last_touch", "bigram_lm_scores", "copurchase_recs",
