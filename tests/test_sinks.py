@@ -380,3 +380,46 @@ def test_training_shards_max_records_per_file(spark, tmp_path):
     assert len(files) >= 10
     with pytest.raises(ValueError):
         write_training_shards(df, out, n_shards=0)
+
+
+def test_range_sorted_export_nonoverlapping_zone_maps(spark, sf_dir, tmp_path):
+    """write_range_sorted: per-file min/max ranges on the sort key are
+    disjoint and ordered — the property that makes zone-map skipping
+    prune to O(1) files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.sinks.parquet import (
+        write_range_sorted,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = str(tmp_path / "sorted")
+    write_range_sorted(orders, out, ["o_totalprice"], n_files=8)
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("o_totalprice").alias("lo"),
+                F.max("o_totalprice").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .first()
+        )
+        if r["n"]:
+            ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered zone maps
+    # nothing lost
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    with pytest.raises(ValueError):
+        write_range_sorted(orders, out, [])
