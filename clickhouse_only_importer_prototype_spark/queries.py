@@ -7459,6 +7459,133 @@ def priority_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region, cents,
+           (cents * 1000000) // SUM(cents) OVER (PARTITION BY region)
+             AS share_of_region_1e6
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent: each nation's exact-cents revenue share of its
+    region (integer parts-per-million) — the classic BI percent-of-
+    total, computed as one fact aggregation plus a region-keyed window
+    over the 25-row nation rollup (window cost is dimension-scale, not
+    fact-scale). Dims broadcast; the fact shuffles once for the
+    groupBy."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "nation",
+        "region",
+        "cents",
+        F.expr("div(cents * 1000000, sum(cents) OVER (PARTITION BY region))")
+        .alias("share_of_region_1e6"),
+    )
+
+
+@register(
+    "customer_concentration",
+    """
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                           0) AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    r AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents DESC, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM spend
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN rn <= (100 * n + 999) // 1000
+                         THEN cents ELSE 0 END) AS BIGINT)
+             AS top10pct_cents,
+           (SUM(CASE WHEN rn <= (100 * n + 999) // 1000
+                     THEN cents ELSE 0 END) * 1000000)
+             // greatest(SUM(cents), 1) AS share_1e6
+    FROM r GROUP BY segment
+    """,
+)
+def customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: exact-cents share
+    held by the top decile of customers (ceil(0.1·n) by spend, ties by
+    custkey) — the Lorenz/Pareto 'whale curve' point product teams
+    track, in pure int64 (no float shares until the final ppm
+    division). Scale: one fact groupBy to per-customer spend, one
+    segment-keyed window for ranks, one fold — never a global sort."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("c_custkey")
+        )
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("cents").desc(), F.col("c_custkey")
+    )
+    wn = Window.partitionBy("segment")
+    r = spend.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    top = F.col("rn") <= F.expr("div(100 * n + 999, 1000)")
+    return r.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(top, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("top10pct_cents"),
+        F.expr(
+            "div(sum(CASE WHEN rn <= div(100 * n + 999, 1000) "
+            "THEN cents ELSE 0 END) * 1000000, "
+            "greatest(sum(cents), 1))"
+        ).alias("share_1e6"),
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get
@@ -7533,6 +7660,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "feature_hashing", "priority_quantile_disc", "semantic_dedup",
     "shard_assignment_audit", "stream_sliding_counts",
     "fk_integrity_audit", "priority_winsorized_spend",
+    "nation_revenue_share", "customer_concentration",
     "pagerank_custsupp", "copurchase_triangles", "kmeans_embeddings",
     "events_cusum", "doc_chunks", "inverted_index",
     "attribution_last_touch", "bigram_lm_scores", "copurchase_recs",
