@@ -375,3 +375,40 @@ def test_copurchase_recs_freqs_broadcast(spark, sf_dir):
     plan = _plan(q.copurchase_recs(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2  # both freq sides + total
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_weighted_sample_takeordered_no_global_sort(spark, sf_dir):
+    """priority_sample compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge of k), never a global Sort+Exchange."""
+    plan = _plan(q.weighted_doc_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "Sort " not in phys  # no full sort operator
+
+
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    plan = _plan(q.dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fk_audit_broadcasts_parents(spark, sf_dir):
+    """Every FK edge anti-joins against a BROADCAST parent — the fact
+    side never shuffles for the probe."""
+    plan = _plan(q.fk_integrity_audit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 7
+    assert "SortMergeJoin" not in plan
+
+
+def test_nation_share_single_fact_shuffle(spark, sf_dir):
+    """Dims broadcast; the window runs over the 25-row nation rollup."""
+    plan = _plan(q.nation_revenue_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """The pair search is an equi-join on cluster id, not all-pairs."""
+    plan = _plan(q.semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
