@@ -7328,21 +7328,27 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than constraint DDL. A clean catalog reports all-zero
     orphan columns; the query is the detector, not an assertion.
 
-    Scale: each edge is one left-anti join where the PARENT side is
-    the dimension — Spark broadcasts it (AQE at these sizes, explicit
-    broadcast below dims' known scale), so no edge shuffles the fact
-    table; the seven audits are independent jobs unioned at
-    one-row-each metadata scale. NULL FK keys never match in an
-    anti-join probe (they'd count as orphans); they are measured
+    Scale: each edge is one left-anti join. Only the two FIXED-SIZE
+    dimensions (nation, region) are force-broadcast; every other
+    parent (orders, customer, part, supplier) GROWS with the corpus,
+    so its strategy is left to AQE — broadcast while its single key
+    column fits the threshold, shuffle anti-join co-partitioned on the
+    key beyond it (forcing a broadcast of a scale-variable parent is
+    exactly the plan that dies first at 100 TB — measured: the forced
+    variant OOM'd the 10x stress gate). NULL FK keys never match in
+    an anti-join probe (they'd count as orphans); they are measured
     separately and excluded from the orphan probe, matching the SQL
     ANTI JOIN's NULL semantics."""
+    fixed_dims = {"nation", "region"}
     out = None
     for edge, child, ck, parent, pk in _FK_EDGES:
         c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
         p = load(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        if parent in fixed_dims:
+            p = F.broadcast(p)
         orphans = (
             c.where(F.col("k").isNotNull())
-            .join(F.broadcast(p), "k", "left_anti")
+            .join(p, "k", "left_anti")
             .agg(F.count("*").alias("n_orphans"))
         )
         row = (
@@ -7483,7 +7489,10 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region (integer parts-per-million) — the classic BI percent-of-
     total, computed as one fact aggregation plus a region-keyed window
     over the 25-row nation rollup (window cost is dimension-scale, not
-    fact-scale). Dims broadcast; the fact shuffles once for the
+    fact-scale). nation/region (fixed-size dims) broadcast explicitly;
+    customer scales with the corpus so its join strategy is AQE's call
+    (broadcast under the threshold, shuffle join beyond — never force-
+    broadcast a scale-variable table). The fact shuffles once for the
     groupBy."""
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -7495,7 +7504,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     rev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))

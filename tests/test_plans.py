@@ -392,18 +392,20 @@ def test_containment_pairs_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_fk_audit_broadcasts_parents(spark, sf_dir):
-    """Every FK edge anti-joins against a BROADCAST parent — the fact
-    side never shuffles for the probe."""
+def test_fk_audit_broadcasts_fixed_dims_only(spark, sf_dir):
+    """The fixed-size parents (nation, region — 3 of the 7 edges) are
+    force-broadcast; scale-variable parents are left to AQE (a forced
+    broadcast of orders/customer OOM'd the 10x gate). No cartesians."""
     plan = _plan(q.fk_integrity_audit(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 7
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
 
 
 def test_nation_share_single_fact_shuffle(spark, sf_dir):
-    """Dims broadcast; the window runs over the 25-row nation rollup."""
+    """Fixed dims broadcast; the window runs over the 25-row nation
+    rollup; customer's join strategy is AQE's call."""
     plan = _plan(q.nation_revenue_share(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
 
 

@@ -160,3 +160,23 @@ def test_sessionize_late_events_form_own_sessions(spark, tmp_path):
     # late chain (10, 600) closes as ONE session; 99_400 merges into the
     # open session (99_400..101_000, n=4) which stays open (not emitted)
     assert got == {(1, 10, 600, 2)}
+
+
+def test_sliding_type_counts_batch_semantics(spark, sf_dir):
+    """Each event lands in exactly window/slide (=2) sliding windows;
+    per-type totals across windows are 2x the raw counts."""
+    from pyspark.sql import functions as F
+
+    df = ev.with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    out = ev.sliding_type_counts(df)
+    doubled = {
+        r.event_type: r.total
+        for r in out.groupBy("event_type")
+        .agg(F.sum("n_events").alias("total"))
+        .collect()
+    }
+    raw = {
+        r.event_type: r["count"]
+        for r in df.groupBy("event_type").count().collect()
+    }
+    assert doubled == {t: 2 * c for t, c in raw.items()}
