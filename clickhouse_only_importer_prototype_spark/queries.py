@@ -6817,8 +6817,19 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.col("ts").alias("tt"))
         .agg(F.max("event_type").alias("touch"))
     )
+    # bucket width MUST match the interval length: the bucketized join
+    # explodes each interval into every bucket it overlaps, so a 7-day
+    # lookback over the default 1-hour buckets is a 169-way explode of
+    # the purchase side (measured: OOM'd the 10x gate). Week-wide
+    # buckets cap the explode at 2 rows per purchase.
     m = temporal_ops.interval_join(
-        tch, p, on=["user_id"], point_ts="tt", start_col="t0", end_col="t1"
+        tch,
+        p,
+        on=["user_id"],
+        point_ts="tt",
+        start_col="t0",
+        end_col="t1",
+        bucket_width=lookback,
     ).select("pid", "cents", "touch")
     cnt = m.groupBy("pid").agg(F.count("*").alias("n"))
     credits = (
