@@ -240,3 +240,47 @@ def test_kmeans_int_validates(spark):
         kmeans_assign_int(df, k=2, iters=1)
     with pytest.raises(ValueError):
         kmeans_assign_int(df, k=1, iters=-1)
+
+
+def test_grouped_neardup_matches_bruteforce(spark):
+    """Panel prefilter + exact rescore == naive within-group pairs."""
+    import itertools
+    import math
+
+    from clickhouse_only_importer_prototype_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [
+            base[d] + 0.05 * ((i * 7 + d * 3) % 5 - 2) for d in range(4)
+        ]
+        rows.append((i, i % 3, vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<double>"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.cos_1e6
+        for r in sim.grouped_neardup_pairs(
+            df, "cluster", threshold_1e6=900000
+        ).collect()
+    }
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (
+            math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v))
+        )
+
+    expect = {}
+    for (ia, ga, va), (ib, gb, vb) in itertools.combinations(rows, 2):
+        if ga == gb:
+            c = math.floor(1e6 * cos(va, vb))
+            if c >= 900000:
+                expect[(min(ia, ib), max(ia, ib))] = c
+    assert set(got) == set(expect)
+    # exact rescore: integer cosines match a float reference within
+    # 1 ulp of the 1e6 scaling
+    assert all(abs(got[k] - expect[k]) <= 1 for k in got)
