@@ -203,6 +203,79 @@ def fixed_width_histogram(
     )
 
 
+def group_tv_distance(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Pairwise total-variation distance between the per-group
+    distributions of ``item_col``: (group_a, group_b, tv_1e6) for every
+    unordered group pair, where each group's distribution is its
+    integer per-million item shares (share = count * 1e6 div n_group)
+    and tv_1e6 = sum|share_a - share_b| div 2.
+
+    The corpus drift / domain-shift audit: "how differently do two
+    sources (or two snapshot dates) use the vocabulary?" 0 = identical
+    usage, ~1e6 = disjoint. TV is chosen over KL/PSI deliberately —
+    those need log(), whose float rounding differs across engines,
+    while integer-share TV is EXACT in int64 at any corpus size: shares
+    are <= 1e6 by construction, so no product ever approaches overflow
+    (contrast the naive cross-multiplied form |c_a*n_b - c_b*n_a|,
+    which overflows int64 near ~3e9-token groups).
+
+    Shape: one groupBy for per-group item counts, tiny per-group
+    totals BROADCAST back, then an inner self-join on item with
+    group_a < group_b — each item fans out to at most G^2/2 pairs, so
+    cost is |vocab| * G^2; G is slice-scale (tens of sources), never
+    data-scale. Pairs sharing NO items still get a row: the pair
+    skeleton is a crossJoin of the group LIST (G rows, broadcast) and
+    the matched-item stats left-join onto it. Disjoint-item mass needs
+    no second join: sum over a-only items of share_a equals the
+    group's total share mass minus its matched mass, both already in
+    hand."""
+    items = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).where(F.col(item_col).isNotNull())
+    c = items.groupBy("__g", "__i").agg(F.count(F.lit(1)).alias("__c"))
+    tot = c.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    shares = c.join(F.broadcast(tot), "__g").select(
+        "__g", "__i", F.expr("__c * 1000000 div __n").alias("__s")
+    )
+    # per-group share mass: ~1e6 minus floor dust, needed for the
+    # unmatched-item correction
+    z = shares.groupBy("__g").agg(F.sum("__s").alias("__z"))
+    a = shares.select(
+        F.col("__g").alias("group_a"), "__i", F.col("__s").alias("__sa")
+    )
+    b = shares.select(
+        F.col("__g").alias("group_b"), "__i", F.col("__s").alias("__sb")
+    )
+    matched = (
+        a.join(b, "__i")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(F.abs(F.col("__sa") - F.col("__sb"))).alias("__m"),
+            F.sum("__sa").alias("__s1"),
+            F.sum("__sb").alias("__s2"),
+        )
+    )
+    ga = z.select(F.col("__g").alias("group_a"), F.col("__z").alias("__za"))
+    gb = z.select(F.col("__g").alias("group_b"), F.col("__z").alias("__zb"))
+    pairs = ga.crossJoin(F.broadcast(gb)).where(
+        F.col("group_a") < F.col("group_b")
+    )
+    return (
+        pairs.join(F.broadcast(matched), ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.expr(
+                "(coalesce(__m, 0) + (__za - coalesce(__s1, 0))"
+                " + (__zb - coalesce(__s2, 0))) div 2"
+            ).alias("tv_1e6"),
+        )
+    )
+
+
 def mad_outlier_stats(
     df: DataFrame,
     group_col: str,
