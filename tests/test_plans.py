@@ -414,3 +414,39 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     plan = _plan(q.semantic_dedup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitter_rescore_is_broadcast_semi(spark, sf_dir):
+    """The exact rescore prunes the token stream with a BROADCAST left
+    semi join on the MG candidate set — the token stream itself must
+    never shuffle (the whole point of the sketch at data-scale key
+    cardinality). persist=False keeps the frame lazy for explain."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators import (
+        sketches,
+        text as text_ops,
+    )
+
+    d = q.load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            sketches.bigram_tokens(text_ops._norm(F.col("text")))
+        ).alias("tok")
+    )
+    plan = _plan(sketches.heavy_hitters(toks, "tok", den=850, persist=False))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the only Exchanges allowed: the candidate distinct and the
+    # candidate-pruned count groupBy — never a pre-join token shuffle
+    assert "SortMergeJoin" not in plan
+
+
+def test_tv_drift_broadcasts_group_stats(spark, sf_dir):
+    """Per-group totals/share-mass are broadcast back onto the counts;
+    the only non-broadcast join is the matched-token self-join. The
+    G-row pair skeleton may compile to a broadcast nested-loop — a
+    CartesianProduct (both sides unbroadcast) must not appear."""
+    plan = _plan(q.source_token_drift(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
