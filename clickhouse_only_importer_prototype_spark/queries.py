@@ -2884,6 +2884,7 @@ def _stream_twin(
     prefix: str,
     build,
     output_mode: str = "append",
+    setup=None,
 ) -> DataFrame:
     """Shared scaffold for the streaming batch twins: symlink the
     fixture parquet into a fresh source dir, run ``build(src_dir)``'s
@@ -2911,6 +2912,10 @@ def _stream_twin(
         os.path.join(sf_dir, f"{table}.parquet"),
         os.path.join(src, f"{table}.parquet"),
     )
+    if setup is not None:
+        # e.g. write extra source files (watermark sentinels) that the
+        # availableNow read must see alongside the fixture
+        setup(src)
     name = prefix + uuid.uuid4().hex[:8]
     handle = (
         build(src)
@@ -3734,6 +3739,139 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_attributed"),
             F.min(F.col("c_ns") - F.col("v_ns")).alias("min_lag_ns"),
             F.max(F.col("c_ns") - F.col("v_ns")).alias("max_lag_ns"),
+        )
+    )
+
+
+@register(
+    "stream_stream_outer_join",
+    """
+    WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 * 1000 AS ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, epoch_ns(ts) // 1000 * 1000 AS ts
+          FROM events WHERE event_type = 'click')
+    SELECT v.user_id,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) - COUNT(c.ts) AS BIGINT) AS n_orphan_views
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+      AND c.ts > v.ts
+      AND c.ts <= v.ts + CAST(21600 AS BIGINT) * 1000000000
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: views that never
+    convert within the 6-hour window surface as null-extended rows —
+    the 'unattributed impressions' feed a real attribution pipeline
+    needs alongside the matched pairs (stream_stream_join covers
+    those; this twin exercises the OTHER half of the operator: state
+    expiry emitting the null side).
+
+    Outer-join null rows only emit once the global watermark passes a
+    view's join window, and the global watermark is min over BOTH
+    sides of (max event time - delay) — so a finite fixture would
+    strand every view in the last watermark+window hours in state
+    forever, and the twin would undercount orphans vs the batch
+    oracle. The deterministic fix is a watermark SENTINEL: one far-
+    future 'view' + one far-future 'click' row (user_id -1) written as
+    a second source file, pushing both sides' max event time 30 days
+    past the data so every REAL view's window is closed when the
+    availableNow run's final no-data micro-batch flushes state. The
+    sentinels themselves stay in state (their own windows never close)
+    and are filtered out of the rollup — the oracle is then the plain
+    batch LEFT JOIN, no emission-boundary caveats. Same micro-
+    truncated-nanos convention as the inner twin."""
+    import os
+    import uuid
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as streaming_events,
+    )
+
+    def setup(src: str) -> None:
+        # the NANOS-shape fixture needs this for the batch max-ts read,
+        # same as read_events_stream does for the stream itself
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+        t = ev.schema["ts"].dataType
+        far: Column
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            far = F.max("ts") + F.expr("INTERVAL 30 DAYS")
+        else:  # raw long nanos fixture shape
+            far = F.max("ts") + F.lit(30 * 86_400 * 1_000_000_000)
+        far_ts = ev.agg(far.alias("m")).first()["m"]
+        rows = [
+            (-1, far_ts, -1, "view", 0.0, None),
+            (-2, far_ts, -1, "click", 0.0, None),
+        ]
+        # the file stream source lists plain FILES in src — a Spark
+        # write would create a directory it silently skips, stranding
+        # the watermark at (real max - delay); write to a scratch dir
+        # and move the single part file in as a sibling of the fixture
+        import glob
+        import shutil
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="sentinel_")
+        spark.createDataFrame(
+            rows, "event_id long, ts " + t.simpleString()
+            + ", user_id long, event_type string, value double,"
+            " props string"
+        ).coalesce(1).write.mode("overwrite").parquet(scratch)
+        (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
+        shutil.move(
+            part,
+            os.path.join(src, f"sentinel_{uuid.uuid4().hex[:8]}.parquet"),
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    def build(src: str) -> DataFrame:
+        stream = streaming_events.read_events_stream(spark, src).withColumn(
+            "ts", F.expr("ts div 1000") * 1000
+        )
+        v = (
+            stream.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ns"),
+                F.col("event_time").alias("v_time"),
+            )
+            .withWatermark("v_time", "12 hours")
+        )
+        c = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ns"),
+                F.col("event_time").alias("c_time"),
+            )
+            .withWatermark("c_time", "12 hours")
+        )
+        return v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_time") > F.col("v_time"))
+            & (
+                F.col("c_time")
+                <= F.col("v_time") + F.expr("INTERVAL 6 HOURS")
+            ),
+            "left_outer",
+        )
+
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "events",
+        "stream_stream_outer_",
+        build,
+        setup=setup,
+    )
+    return (
+        sink.where(F.col("v_user") >= 0)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.col("c_user")).alias("n_pairs"),
+            F.count_if(F.col("c_user").isNull()).alias("n_orphan_views"),
         )
     )
 
@@ -7769,6 +7907,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "graph_bfs_hops", "customer_rfm", "events_gap_interpolated",
     "events_wau", "ab_test_analysis",
     "heavy_hitter_bigrams", "source_token_drift",
+    "stream_stream_outer_join",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
