@@ -2917,21 +2917,34 @@ def _stream_twin(
         # availableNow read must see alongside the fixture
         setup(src)
     name = prefix + uuid.uuid4().hex[:8]
-    handle = (
-        build(src)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .start()
-    )
-    handle.awaitTermination()
-    sink = spark.table(name)
-    schema = sink.schema
-    rows = sink.collect()
-    handle.stop()
-    spark.catalog.dropTempView(name)
+    # Streaming state partition count is pinned at first checkpoint
+    # and every micro-batch pays per-store overhead (provider init,
+    # commit, snapshot) regardless of state volume — at twin scale 32
+    # stores cost ~5x the join itself (measured: stream_stream_join
+    # 11.8s -> 2.5s at sf0.1). Pin the STREAM to a small fixed count;
+    # a production deployment sizes this to state volume, not cores,
+    # and the operator semantics are partition-count-invariant (the
+    # oracle equality is the proof). Restored for the batch rollup.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        handle = (
+            build(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        handle.awaitTermination()
+        sink = spark.table(name)
+        schema = sink.schema
+        rows = sink.collect()
+        handle.stop()
+        spark.catalog.dropTempView(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
