@@ -450,3 +450,14 @@ def test_tv_drift_broadcasts_group_stats(spark, sf_dir):
     plan = _plan(q.source_token_drift(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_position_no_range_cross_product(spark, sf_dir):
+    """The 7-day lookback match is the week-bucketized equi-join, and
+    the ranking window partitions by purchase id — no cartesian, no
+    all-events window."""
+    plan = _plan(q.attribution_position(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the position window runs per purchase id, never unpartitioned
+    assert "windowspecdefinition(pid" in plan
