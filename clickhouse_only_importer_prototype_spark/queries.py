@@ -2940,13 +2940,17 @@ def _stream_twin(
         handle.awaitTermination()
         sink = spark.table(name)
         schema = sink.schema
-        rows = sink.collect()
+        # Arrow materialization, not collect(): an outer-join twin's
+        # sink holds pairs PLUS every expired null row (~100k at the
+        # 10x gate), and row-at-a-time py4j collect was 8x the join
+        # itself; toPandas moves the same rows as Arrow batches
+        pdf = sink.toPandas()
         handle.stop()
         spark.catalog.dropTempView(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(pdf, schema)
 
 
 @register(
