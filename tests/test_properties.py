@@ -429,3 +429,71 @@ def test_token_budget_is_greedy_hash_prefix(spark, rows, budget):
                 break
             expect.add(i)
     assert kept == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2"]),
+            st.sampled_from("abcdefgh"),
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_tv_distance_is_a_metric_and_bounded(spark, rows):
+    """group_tv_distance: 0 <= tv <= 1e6, and the triangle inequality
+    holds for total variation — checked on the integer-share variant
+    with a +2 floor-dust allowance (each share floors away < 1 unit
+    per term; the correction terms add at most 2 units across a
+    triangle)."""
+    from clickhouse_only_importer_prototype_spark.operators.profile import (
+        group_tv_distance,
+    )
+
+    df = spark.createDataFrame(rows, "g string, tok string")
+    got = {
+        (r.group_a, r.group_b): r.tv_1e6
+        for r in group_tv_distance(df, "g", "tok").collect()
+    }
+    present = sorted({g for g, _ in rows})
+    assert len(got) == len(present) * (len(present) - 1) // 2
+    for v in got.values():
+        assert 0 <= v <= 1_000_000
+
+    def d(x, y):
+        return got[(min(x, y), max(x, y))]
+
+    if len(present) == 3:
+        a, b, c = present
+        assert d(a, c) <= d(a, b) + d(b, c) + 2
+        assert d(a, b) <= d(a, c) + d(b, c) + 2
+        assert d(b, c) <= d(a, b) + d(a, c) + 2
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefghijklmnop"), min_size=5, max_size=400),
+    st.integers(min_value=2, max_value=12),
+)
+def test_heavy_hitters_exact_for_any_den(spark, toks, den):
+    """heavy_hitters == brute-force exact >= total/den set, whatever
+    the distribution and threshold hypothesis picks (the MG
+    nomination's superset guarantee + exact rescore, end to end)."""
+    from collections import Counter
+
+    from clickhouse_only_importer_prototype_spark.operators import sketches
+
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.token: r.n_occurrences
+        for r in sketches.heavy_hitters(
+            df.repartition(4), "tok", den=den
+        ).collect()
+    }
+    total = len(toks)
+    expect = {
+        t: n for t, n in Counter(toks).items() if n * den >= total
+    }
+    assert got == expect
