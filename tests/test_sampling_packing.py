@@ -216,3 +216,51 @@ def test_priority_sample_excludes_nonpositive_weights(spark):
     assert got == {3, 4}
     with pytest.raises(ValueError):
         sampling.priority_sample(df, 0, "w")
+
+
+def test_contrastive_negatives_properties(spark):
+    """Never the anchor, always in [0, N), deterministic across runs,
+    and matching the pure-Python reference draw."""
+    import hashlib
+
+    from clickhouse_only_importer_prototype_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+    from pyspark.sql import functions as F
+
+    n = 37
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = contrastive_negatives(df, k=4).collect()
+    assert len(out) == n * 4
+    got = {(r.anchor_id, r.j): r.negative_id for r in out}
+    for (a, j), neg in got.items():
+        assert 0 <= neg < n and neg != a
+        h = int(
+            hashlib.md5(f"cneg-v1:{a}:{j}".encode()).hexdigest()[:15], 16
+        )
+        assert neg == (a + 1 + h % (n - 1)) % n
+    again = {
+        (r.anchor_id, r.j): r.negative_id
+        for r in contrastive_negatives(df, k=4).collect()
+    }
+    assert again == got
+
+
+def test_contrastive_negatives_validates(spark):
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    dense = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        contrastive_negatives(dense, k=0)
+    with pytest.raises(ValueError):
+        contrastive_negatives(
+            spark.createDataFrame([(5,), (6,)], "doc_id long"), k=1
+        )
+    with pytest.raises(ValueError):
+        contrastive_negatives(
+            spark.createDataFrame([(0,)], "doc_id long"), k=1
+        )
