@@ -326,3 +326,24 @@ def contrastive_negatives(
     return ks.select(
         "anchor_id", "j", neg.cast("long").alias("negative_id")
     )
+
+
+def kfold(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "kfold-v1",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = md5-hash(salt:id) mod k,
+    appended as a ``fold`` column. The cross-validation sibling of
+    hash_split: folds are disjoint and exhaustive by construction,
+    stable under reruns/backfills (no shuffle-order dependence), and a
+    document keeps its fold when the corpus grows — only NEW ids land
+    in folds, existing assignments never migrate (the property that
+    makes incremental re-training comparable across corpus versions).
+    Row-local projection; no shuffle."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    return df.withColumn(
+        "fold", F.pmod(_hash_u60(F.col(id_col), salt), F.lit(k))
+    )
