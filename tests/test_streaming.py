@@ -180,3 +180,27 @@ def test_sliding_type_counts_batch_semantics(spark, sf_dir):
         for r in df.groupBy("event_type").count().collect()
     }
     assert doubled == {t: 2 * c for t, c in raw.items()}
+
+
+def test_stream_twin_restores_shuffle_conf_on_failure(spark):
+    """_stream_twin pins the stream to 8 state partitions; the session
+    conf must come back even when the build fails (a leaked pin would
+    silently serialize every later batch query)."""
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def bad_build(src):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        q._stream_twin(
+            spark,
+            "/root/testdata/sf0.001",
+            "events",
+            "twin_conf_test_",
+            bad_build,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
