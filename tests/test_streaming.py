@@ -204,3 +204,73 @@ def test_stream_twin_restores_shuffle_conf_on_failure(spark):
             bad_build,
         )
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_throttle_audit_api_gate(spark, tmp_path):
+    """The Spark 4 StatefulProcessor path is env-gated on protobuf;
+    in this container auto must fall back to applyInPandasWithState
+    and still build a streaming plan. The processor factory itself
+    imports and validates without the gated deps."""
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as se,
+        throttle as th,
+    )
+
+    assert th.new_api_available() is False
+    src = str(tmp_path / "src")
+    import os
+    import shutil
+
+    os.mkdir(src)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(src, "events.parquet"),
+    ) if os.path.isfile(
+        "/root/testdata/sf0.001/events.parquet"
+    ) else shutil.copytree(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(src, "events.parquet"),
+    )
+    stream = se.read_events_stream(spark, src)
+    df = th.throttle_audit(stream, limit=3, api="auto")
+    assert df.isStreaming
+    assert [f.name for f in df.schema] == [
+        "user_id",
+        "day_bucket",
+        "n_events",
+        "n_throttled",
+    ]
+    proc = th.make_processor(limit=2)
+    assert hasattr(proc, "handleInputRows")
+    with pytest.raises(ValueError):
+        th.make_processor(limit=0)
+    with pytest.raises(ValueError):
+        th.throttle_audit_apply(stream, limit=0)
+    with pytest.raises(ValueError):
+        th.throttle_audit(stream, api="nope")
+
+
+def test_throttle_state_merges_across_batches():
+    """The per-day fold + held-state merge is the cross-batch
+    contract; exercise it directly on pandas batches."""
+    import pandas as pd
+
+    from clickhouse_only_importer_prototype_spark.streaming.throttle import (
+        DAY_NS,
+        _fold_batches,
+    )
+
+    b1 = _fold_batches(
+        [pd.DataFrame({"ts": [0, 1, DAY_NS, DAY_NS + 5]})]
+    )
+    assert b1 == {0: 2, 1: 2}
+    b2 = _fold_batches(
+        [pd.DataFrame({"ts": [2]}), pd.DataFrame({"ts": [DAY_NS * 2]})]
+    )
+    assert b2 == {0: 1, 2: 1}
+    held = dict(b1)
+    for k, v in b2.items():
+        held[k] = held.get(k, 0) + v
+    assert held == {0: 3, 1: 2, 2: 1}
