@@ -461,3 +461,20 @@ def test_attribution_position_no_range_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the position window runs per purchase id, never unpartitioned
     assert "windowspecdefinition(pid" in plan
+
+
+def test_corpus_datacard_single_doc_join_no_cartesian(spark, sf_dir):
+    """Feature pass joins base on doc_id; top-lang window runs over
+    the slice-scale source x lang counts; no cross products."""
+    plan = _plan(q.corpus_datacard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(source" in plan
+
+
+def test_split_novelty_anti_join_shape(spark, sf_dir):
+    """Novelty = shingle-keyed LEFT ANTI against the train shingle
+    set — the decontamination shape, never a cross product."""
+    plan = _plan(q.split_novelty_rate(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
