@@ -8239,17 +8239,53 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the gate selects the latter here (module docstring documents
     the env gate). Update-mode emissions re-state a (user, day)'s
     running count each batch it is touched, so the batch-side rollup
-    takes the max per key — exact whether the file source delivers
-    one batch or many. Oracle = the plain per-user-day count with
-    the over-limit excess."""
+    takes the max per key. The twin FORCES the multi-batch regime —
+    the fixture is split into two source files and maxFilesPerTrigger
+    is 1, so the same (user, day) genuinely crosses micro-batches and
+    the oracle equality proves the state merge, not the single-batch
+    degenerate. Oracle = the plain per-user-day count with the
+    over-limit excess."""
+    import os
+    import uuid
+
     from clickhouse_only_importer_prototype_spark.streaming import (
         events as streaming_events,
         throttle as streaming_throttle,
     )
 
+    def setup(src: str) -> None:
+        # replace the single-file symlink with two half files so the
+        # 1-file-per-trigger stream runs TWO batches over shared keys
+        import glob
+        import shutil
+        import tempfile
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        fixture = os.path.join(src, "events.parquet")
+        ev = spark.read.parquet(fixture)
+        # write both halves BEFORE unlinking: the half writes read the
+        # fixture lazily, job-time
+        for half in (0, 1):
+            scratch = tempfile.mkdtemp(prefix="throttle_half_")
+            ev.where(
+                F.pmod(F.col("event_id"), F.lit(2)) == half
+            ).coalesce(1).write.mode("overwrite").parquet(scratch)
+            (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
+            shutil.move(
+                part,
+                os.path.join(
+                    src, f"half{half}_{uuid.uuid4().hex[:8]}.parquet"
+                ),
+            )
+            shutil.rmtree(scratch, ignore_errors=True)
+        os.remove(fixture)
+
     def build(src: str) -> DataFrame:
         return streaming_throttle.throttle_audit(
-            streaming_events.read_events_stream(spark, src), limit=3
+            streaming_events.read_events_stream(
+                spark, src, max_files_per_trigger=1
+            ),
+            limit=3,
         )
 
     sink = _stream_twin(
@@ -8259,6 +8295,7 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_throttle_",
         build,
         output_mode="update",
+        setup=setup,
     )
     return sink.groupBy("user_id", "day_bucket").agg(
         F.max("n_events").cast("long").alias("n_events"),

@@ -67,13 +67,20 @@ def with_event_time(df: DataFrame) -> DataFrame:
     return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming read of the events parquet directory.
 
     The stream schema is pinned from the files' own footer (a batch
     schema inference — metadata-only), so both the long-nanos fixture
     shape and the driver's timestamp[us] shape stream correctly;
-    ``with_event_time`` then normalizes to long nanos."""
+    ``with_event_time`` then normalizes to long nanos.
+    ``max_files_per_trigger`` caps files per micro-batch — the twin
+    harness uses it to force MULTI-batch runs so cross-batch state
+    contracts are exercised, not just the single-batch degenerate."""
     # TIMESTAMP(NANOS) parquet -> long requires this (runtime-settable);
     # external sessions won't have it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -83,9 +90,10 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     # instants. Runtime-settable, so pin it here like nanosAsLong.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
-    return with_event_time(
-        spark.readStream.schema(schema).parquet(path)
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return with_event_time(reader.parquet(path))
 
 
 def tumbling_counts(
