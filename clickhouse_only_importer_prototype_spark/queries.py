@@ -7110,6 +7110,111 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "attribution_decay",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_ns(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id, epoch_ns(ts) AS t, MAX(event_type) AS touch
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+      GROUP BY user_id, epoch_ns(ts)
+    ),
+    m AS (
+      SELECT p.pid, p.cents, tc.touch,
+             CASE (p.t - tc.t) // 86400000000000
+                  WHEN 0 THEN 64 WHEN 1 THEN 32 WHEN 2 THEN 16
+                  WHEN 3 THEN 8 WHEN 4 THEN 4 WHEN 5 THEN 2
+                  ELSE 1 END AS w
+      FROM p JOIN tch tc
+        ON p.user_id = tc.user_id
+       AND tc.t >= p.t - 604800000000000 AND tc.t <= p.t
+    ),
+    tot AS (SELECT pid, SUM(w) AS sw FROM m GROUP BY pid),
+    credits AS (
+      SELECT m.touch AS touch_type,
+             (m.cents * 1000 * m.w) // tot.sw AS credit
+      FROM m JOIN tot USING (pid)
+      UNION ALL
+      SELECT 'direct' AS touch_type, p.cents * 1000 AS credit
+      FROM p ANTI JOIN m USING (pid)
+    )
+    SELECT touch_type, COUNT(*) AS n_credits,
+           CAST(SUM(credit) AS BIGINT) AS credit_cents_1e3
+    FROM credits GROUP BY touch_type
+    """,
+)
+def attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution with a 1-day half-life over
+    the 7-day lookback — the fourth standard model, closing the family
+    (last-touch as-of, linear equal-split, U-shaped position). Decay
+    weights are POWER-OF-TWO discretized by age day: 64,32,...,1 —
+    exact integers, no exp()/float half-life math to drift across
+    engines — and each touch's credit is div(cents*1000*w, sum w)
+    milli-cents. The boundary-exact 7-day-old touch falls into the
+    ELSE weight 1 (same as day 6), keeping the closed interval total.
+
+    Scale: identical shape to attribution_linear — week-bucketized
+    interval join (2-row explode per purchase), one purchase-keyed
+    weight-sum fold, no windows over all events. Overflow headroom:
+    cents*1000*64 stays ~16x under int64 for any plausible order."""
+    e = load(spark, sf_dir, "events")
+    lookback = 604_800_000_000_000
+    day_ns = 86_400_000_000_000
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        (F.col("ts") - F.lit(lookback)).alias("t0"),
+        (F.col("ts") + F.lit(1)).alias("t1"),
+    )
+    tch = (
+        e.where(F.col("event_type").isin("click", "view", "signup"))
+        .groupBy("user_id", F.col("ts").alias("tt"))
+        .agg(F.max("event_type").alias("touch"))
+    )
+    m = temporal_ops.interval_join(
+        tch,
+        p,
+        on=["user_id"],
+        point_ts="tt",
+        start_col="t0",
+        end_col="t1",
+        bucket_width=lookback,
+    ).select(
+        "pid",
+        "cents",
+        "touch",
+        F.expr(
+            f"CASE (t1 - 1 - tt) div {day_ns}"
+            " WHEN 0 THEN 64 WHEN 1 THEN 32 WHEN 2 THEN 16"
+            " WHEN 3 THEN 8 WHEN 4 THEN 4 WHEN 5 THEN 2"
+            " ELSE 1 END"
+        ).alias("w"),
+    )
+    tot = m.groupBy("pid").agg(F.sum("w").alias("sw"))
+    credits = (
+        m.join(tot, "pid")
+        .select(
+            F.col("touch").alias("touch_type"),
+            F.expr("div(cents * 1000 * w, sw)").alias("credit"),
+        )
+        .unionByName(
+            p.join(m.select("pid").distinct(), "pid", "left_anti").select(
+                F.lit("direct").alias("touch_type"),
+                (F.col("cents") * 1000).alias("credit"),
+            )
+        )
+    )
+    return credits.groupBy("touch_type").agg(
+        F.count("*").alias("n_credits"),
+        F.sum("credit").cast("long").alias("credit_cents_1e3"),
+    )
+
+
+@register(
     "grouping_sets_pricing",
     """
     SELECT l_returnflag, l_linestatus,
@@ -8387,7 +8492,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "heavy_hitter_bigrams", "source_token_drift",
     "stream_stream_outer_join", "attribution_position",
     "corpus_datacard", "contrastive_negatives", "kfold_balance",
-    "split_novelty_rate", "stream_throttle_audit",
+    "split_novelty_rate", "stream_throttle_audit", "attribution_decay",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
