@@ -478,3 +478,12 @@ def test_split_novelty_anti_join_shape(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_decay_no_range_cross_product(spark, sf_dir):
+    """Same bucketized equi-join contract as the linear model; the
+    weight is a row-local CASE, no window at all."""
+    plan = _plan(q.attribution_decay(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan

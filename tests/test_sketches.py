@@ -131,3 +131,10 @@ def test_group_tv_distance_disjoint_and_identical(spark):
     # disjoint vocabularies: full share mass on both sides
     assert got[("a", "c")] == 1_000_000
     assert got[("b", "c")] == 1_000_000
+
+
+def test_heavy_hitters_empty_input(spark):
+    from clickhouse_only_importer_prototype_spark.operators import sketches
+
+    df = spark.createDataFrame([], "tok string")
+    assert sketches.heavy_hitters(df, "tok", den=10).count() == 0
