@@ -485,3 +485,134 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def bpe_word_states(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Render each distinct word as a '/'-delimited symbol state
+    ('the' -> '/t/h/e/') — the working representation for BPE merge
+    training. Symbols never contain '/' or '|' (corpus words are
+    normalized word characters), so the delimiters are unambiguous.
+
+    Scale: BPE trainers operate on the DISTINCT-word frequency table,
+    never the corpus — Zipf bounds it at vocab scale (~10^5..10^6 rows
+    regardless of corpus size), so every downstream iteration is a
+    small row-local job.
+    """
+    return words.select(
+        F.concat(
+            F.lit("/"),
+            F.array_join(F.split(F.col(word_col), ""), "/"),
+            F.lit("/"),
+        ).alias("state"),
+        "n",
+    )
+
+
+def bpe_pair_counts(states: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the current merge states,
+    weighted by word frequency. Output: (pair 'a|b', pair_count).
+
+    Scale: row-local explode over vocab-scale states + one map-side
+    combinable groupBy; pair cardinality is bounded by total symbol
+    transitions in the vocab, not the corpus."""
+    syms = F.split(F.expr("substring(state, 2, length(state)-2)"), "/")
+    pairs = (
+        F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i), F.lit("|"), F.element_at(syms, i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.expr("array()").cast("array<string>"))
+    )
+    return (
+        states.select(F.explode(pairs).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_best_pair(pair_counts: DataFrame) -> DataFrame:
+    """The single next merge rule: argmax by (count desc, pair asc) —
+    the deterministic tie-break every BPE trainer needs for
+    reproducible vocabularies. TakeOrderedAndProject: no global sort
+    materializes."""
+    return (
+        pair_counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(1)
+        .select(
+            F.split("pair", "[|]").getItem(0).alias("left_sym"),
+            F.split("pair", "[|]").getItem(1).alias("right_sym"),
+            "pair_count",
+        )
+    )
+
+
+# Canonical greedy-leftmost BPE merge as a string fold: walk symbols
+# left to right; when the last emitted symbol is exactly `a` and the
+# next is `b`, fuse them. The '/'-anchored suffix test makes the match
+# symbol-exact (never a substring collision), and because the fused
+# symbol 'ab' no longer ends with '/a/' (unless a == ab, impossible),
+# occurrences merge non-overlapping leftmost — e.g. 'a a a' -> 'aa a',
+# exactly the reference BPE semantics. DuckDB twin: list_reduce with
+# the identical lambda (both engines fold left with a string acc).
+_BPE_MERGE_FOLD = (
+    "aggregate(split(substring(state, 2, length(state)-2), '/'), '/', "
+    "(acc, x) -> CASE WHEN right(acc, length(left_sym)+2) = '/'||left_sym||'/' "
+    "AND x = right_sym "
+    "THEN left(acc, length(acc)-length(left_sym)-1)||left_sym||right_sym||'/' "
+    "ELSE acc||x||'/' END)"
+)
+
+
+def bpe_apply_merge(states: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one merge rule to every word state. The rule is a 1-row
+    frame (broadcast literal) — the fold itself is row-local JVM
+    codegen; no Python, no shuffle."""
+    return states.crossJoin(F.broadcast(best)).select(
+        F.expr(_BPE_MERGE_FOLD).alias("state"), "n"
+    )
+
+
+def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
+    """BPE tokenizer merge training: ``n_merges`` iterations of
+    (count adjacent pairs -> pick argmax rule -> fuse in every word),
+    over the distinct-word frequency table. Returns the ordered merge
+    table (step, left_sym, right_sym, pair_count) — the ``merges.txt``
+    artifact a tokenizer trainer emits.
+
+    Exactness: pure integer counts and deterministic (count desc,
+    pair asc) tie-breaks — bit-identical cross-engine; the greedy
+    fold above is canonical BPE.
+
+    Scale: every iteration runs on the Zipf-bounded vocab frame
+    (persisted once); pair counting is map-side combinable; the rule
+    is a 1-row TakeOrdered broadcast. K merges = K tiny jobs — the
+    industrial word-count-first BPE trainer shape, never touching the
+    corpus after the initial word count."""
+    states = bpe_word_states(words).persist()
+    steps = []
+    try:
+        for k in range(1, n_merges + 1):
+            best = bpe_best_pair(bpe_pair_counts(states)).persist()
+            steps.append(
+                best.select(
+                    F.lit(k).cast("long").alias("step"),
+                    "left_sym",
+                    "right_sym",
+                    "pair_count",
+                )
+            )
+            new_states = bpe_apply_merge(states, best).persist()
+            new_states.count()  # materialize before dropping the parent
+            states.unpersist()
+            states = new_states
+        out = steps[0]
+        for s in steps[1:]:
+            out = out.unionByName(s)
+        return out.orderBy("step")
+    finally:
+        states.unpersist()

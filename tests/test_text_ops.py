@@ -257,3 +257,69 @@ def test_chunk_documents_validates(spark):
         chunk_documents(df, chunk_size=0)
     with pytest.raises(ValueError):
         chunk_documents(df, stride=0)
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Canonical BPE trainer: greedy-leftmost non-overlapping merges,
+    argmax by (count desc, pair asc)."""
+    states = {tuple(w): n for w, n in word_counts.items()}
+    rules = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, n in states.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + n
+                )
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((step, a, b, c))
+        new_states = {}
+        for syms, n in states.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_states[key] = new_states.get(key, 0) + n
+        states = new_states
+    return rules
+
+
+def test_bpe_train_matches_reference_incl_self_pair_runs(spark):
+    # 'aaaaaa' exercises the odd/even self-pair overlap rule where
+    # greedy implementations commonly diverge.
+    wc = {"aaaaaa": 3, "the": 2, "then": 2, "t": 1, "ababab": 1}
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+    got = [tuple(r) for r in text_ops.bpe_train(df, 4).collect()]
+    assert got == _bpe_reference(wc, 4)
+
+
+def test_bpe_merge_fold_is_greedy_leftmost(spark):
+    df = spark.createDataFrame([("aaa", 1), ("aaaa", 1)], "word string, n long")
+    states = text_ops.bpe_word_states(df)
+    best = spark.createDataFrame(
+        [("a", "a", 0)], "left_sym string, right_sym string, pair_count long"
+    )
+    got = sorted(
+        r.state for r in text_ops.bpe_apply_merge(states, best).collect()
+    )
+    # 'a a a' -> 'aa a' (non-overlapping leftmost); 'a a a a' -> 'aa aa'
+    assert got == ["/aa/a/", "/aa/aa/"]
+
+
+def test_bpe_pair_counts_single_symbol_words(spark):
+    df = spark.createDataFrame([("a", 5), ("bc", 2)], "word string, n long")
+    got = {
+        r.pair: r.pair_count
+        for r in text_ops.bpe_pair_counts(
+            text_ops.bpe_word_states(df)
+        ).collect()
+    }
+    assert got == {"b|c": 2}
