@@ -8408,6 +8408,138 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# table-qualified variant for oracles whose FROM has >1 doc_id source
+_SQL_HASH_BUCKET_D = _SQL_HASH_BUCKET.replace("doc_id", "d.doc_id")
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                   JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE floor(1000.0 * i.inter_size
+                  / (sa.set_size + sb.set_size - i.inter_size)) >= 800
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (
+      SELECT CAST(a AS BIGINT) AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    g AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id,
+             CASE WHEN {_SQL_HASH_BUCKET_D.format(salt="split-v1")} < 9000
+                    THEN 'train'
+                  WHEN {_SQL_HASH_BUCKET_D.format(salt="split-v1")} < 9500
+                    THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    ga AS (
+      SELECT group_id, COUNT(*) AS n_members,
+             COUNT(DISTINCT naive_split) AS n_naive
+      FROM g GROUP BY group_id
+    ),
+    gs AS (
+      SELECT CASE WHEN gb < 9000 THEN 'train'
+                  WHEN gb < 9500 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_members, n_naive
+      FROM (
+        SELECT n_members, n_naive,
+               CAST(('0x' || substr(md5('safesplit-v1:'
+                 || CAST(group_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 10000 AS gb
+        FROM ga
+      )
+    )
+    SELECT split,
+           CAST(SUM(n_members) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_members >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_groups,
+           CAST(SUM(CASE WHEN n_naive >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS naive_leaky_groups
+    FROM gs GROUP BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split — the fix-side counterpart of
+    ``split_leakage_audit``: split by the hash of the near-dup CLUSTER
+    (min-doc_id component of the exact 0.8-Jaccard graph, singletons =
+    their own group) instead of the doc hash, so a cluster can never
+    straddle splits and eval can never contain near-copies of training
+    docs. Output per split: docs, groups, multi-member groups (where
+    group-level assignment mattered), and how many of this split's
+    groups the NAIVE doc-hash split would have torn across splits —
+    the leakage this operator eliminates by construction.
+
+    Scale: the cluster graph is the dedup-family banded shape (no new
+    expensive stage); everything after is key-partitioned aggs over
+    the slim (doc_id, group_id, split) frame. Group-hash assignment
+    keeps the property that docs never migrate splits as the corpus
+    grows — only whole groups do when new edges merge clusters."""
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_ops.minhash_dedup_clusters(
+        docs, num_hashes=32, bands=16, threshold=0.8
+    )
+    naive = sampling_ops.hash_split(
+        docs.select("doc_id"),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="split-v1",
+    ).withColumnRenamed("split", "naive_split")
+    g = naive.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_id"),
+        "naive_split",
+    )
+    ga = g.groupBy("group_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("naive_split").alias("n_naive"),
+    )
+    gs = sampling_ops.hash_split(
+        ga,
+        id_col="group_id",
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="safesplit-v1",
+    )
+    return gs.groupBy("split").agg(
+        F.sum("n_members").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum((F.col("n_members") >= 2).cast("long"))
+        .cast("long")
+        .alias("n_multi_groups"),
+        F.sum((F.col("n_naive") >= 2).cast("long"))
+        .cast("long")
+        .alias("naive_leaky_groups"),
+    )
+
+
 def _bpe_oracle(n_merges: int) -> str:
     """Unrolled DuckDB twin of ``text_ops.bpe_train``: K chained
     (pair-count -> argmax rule -> list_reduce merge fold) CTE blocks.
@@ -8574,7 +8706,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "stream_stream_outer_join", "attribution_position",
     "corpus_datacard", "contrastive_negatives", "kfold_balance",
     "split_novelty_rate", "stream_throttle_audit", "attribution_decay",
-    "bpe_merges",
+    "bpe_merges", "leakage_safe_split",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
