@@ -638,3 +638,52 @@ def cusum_drift(
             "n_neg_alerts"
         ),
     )
+
+
+def rolling_zscore_flags(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    lookback: int = 24,
+    min_n: int = 12,
+    z: int = 3,
+) -> DataFrame:
+    """Flag points deviating > z·σ from the trailing ``lookback``-row
+    window (exclusive of the current row; rows with < ``min_n`` prior
+    observations are dropped as warm-up). Returns (key, order, x,
+    is_anomaly 0/1).
+
+    The test is exact integer algebra: (x·n − S)² > z²·(n·Q − S²)
+    — (x − μ)² > z²σ² with both divisions cleared — so no float
+    mean/stddev summation drift can flip a flag, and a constant
+    window (σ = 0) only flags x ≠ μ. ``z`` is integer by contract.
+
+    Scale: ONE key-partitioned window; the quadratics stay in int64
+    while x·n < 2^31 — cast x to DECIMAL(38,0) upstream for
+    larger-magnitude series (same shape, still exact)."""
+    win = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    w = series.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("order"),
+        F.col(x_col).alias("x"),
+        F.count(x_col).over(win).alias("__n"),
+        F.coalesce(F.sum(x_col).over(win), F.lit(0)).alias("__s"),
+        F.coalesce(
+            F.sum(F.col(x_col) * F.col(x_col)).over(win), F.lit(0)
+        ).alias("__q"),
+    )
+    dev = F.col("x") * F.col("__n") - F.col("__s")
+    var = F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    return w.where(F.col("__n") >= min_n).select(
+        "key",
+        "order",
+        "x",
+        F.when(dev * dev > z * z * var, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    )

@@ -8408,6 +8408,73 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_ns(ts) // 3600000000000 AS hour,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hour, x,
+             COUNT(x) OVER win AS n,
+             COALESCE(SUM(x) OVER win, 0) AS s,
+             COALESCE(SUM(x * x) OVER win, 0) AS q
+      FROM h
+      WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, hour,
+             CASE WHEN (x * n - s) * (x * n - s) > 9 * (n * q - s * s)
+                  THEN 1 ELSE 0 END AS is_anomaly
+      FROM w WHERE n >= 12
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies,
+           CAST(MIN(CASE WHEN is_anomaly = 1 THEN hour END) AS BIGINT)
+             AS first_anomaly_hour
+    FROM scored GROUP BY event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score volume-anomaly screen: per event type, flag
+    hours whose count deviates > 3σ from the trailing 24-observed-hour
+    window (warm-up: >= 12 prior hours). The flag is EXACT integer
+    algebra — (x·n − S)² > z²·(n·Q − S²) is (x−μ)² > z²σ² cleared of
+    divisions — so no float mean/stddev drift can flip a flag
+    cross-engine; the per-mille cousin of the CUSUM screen (level
+    shifts) for point spikes.
+
+    Scale: one map-side-combinable hourly rollup, then ONE
+    key-partitioned window over the type×hour frame (catalog × history
+    scale, not event scale). Counts keep the quadratics well inside
+    int64 (x·n ≲ 2^31 at any realistic hourly volume); a cents-valued
+    series would cast the three moment terms to DECIMAL(38,0), same
+    shape."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.expr("ts div 3600000000000").alias("hour")
+    ).agg(F.count("*").cast("long").alias("x"))
+    scored = temporal_ops.rolling_zscore_flags(
+        h, "event_type", "hour", "x", lookback=24, min_n=12, z=3
+    ).select(
+        F.col("key").alias("event_type"),
+        F.col("order").alias("hour"),
+        "is_anomaly",
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum("is_anomaly").cast("long").alias("n_anomalies"),
+        F.min(F.when(F.col("is_anomaly") == 1, F.col("hour")))
+        .cast("long")
+        .alias("first_anomaly_hour"),
+    )
+
+
 # table-qualified variant for oracles whose FROM has >1 doc_id source
 _SQL_HASH_BUCKET_D = _SQL_HASH_BUCKET.replace("doc_id", "d.doc_id")
 
@@ -8706,7 +8773,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "stream_stream_outer_join", "attribution_position",
     "corpus_datacard", "contrastive_negatives", "kfold_balance",
     "split_novelty_rate", "stream_throttle_audit", "attribution_decay",
-    "bpe_merges", "leakage_safe_split",
+    "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

@@ -5,6 +5,7 @@ from __future__ import annotations
 from clickhouse_only_importer_prototype_spark.operators.temporal import (
     asof_join,
     interval_join,
+    rolling_zscore_flags,
 )
 
 
@@ -463,3 +464,46 @@ def test_cusum_keys_independent(spark):
     assert set(got) == {"a", "b"}
     assert got["b"]["max_pos_drift"] == 0  # single point: no drift
     assert got["a"]["target_cents"] == (100 + 300) // 2
+
+
+# ------------------------------------------------- rolling z-score
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    # 30 steady hours of x=10 with one x=100 spike at hour 20
+    rows = [("m", h, 100 if h == 20 else 10) for h in range(30)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {
+        r.order: r.is_anomaly
+        for r in rolling_zscore_flags(
+            df, "k", "t", "x", lookback=24, min_n=12, z=3
+        ).collect()
+    }
+    # warm-up: hours 0-11 unscored
+    assert set(got) == set(range(12, 30))
+    assert got[20] == 1
+    # constant-window hours: sigma=0, x=mean -> never flagged
+    assert all(v == 0 for h, v in got.items() if h != 20)
+
+
+def test_rolling_zscore_constant_series_no_flags(spark):
+    df = spark.createDataFrame(
+        [("m", h, 7) for h in range(20)], "k string, t long, x long"
+    )
+    out = rolling_zscore_flags(
+        df, "k", "t", "x", lookback=24, min_n=5, z=3
+    ).collect()
+    assert out and all(r.is_anomaly == 0 for r in out)
+
+
+def test_rolling_zscore_sigma_zero_flags_any_deviation(spark):
+    # constant window then a tiny step: sigma=0 so ANY deviation flags
+    rows = [("m", h, 10) for h in range(15)] + [("m", 15, 11)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {
+        r.order: r.is_anomaly
+        for r in rolling_zscore_flags(
+            df, "k", "t", "x", lookback=24, min_n=12, z=3
+        ).collect()
+    }
+    assert got[15] == 1
