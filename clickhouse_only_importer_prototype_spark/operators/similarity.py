@@ -698,3 +698,63 @@ def grouped_neardup_pairs(
         )
         .where(F.col("cos_1e6") >= threshold_1e6)
     )
+
+
+def topk_ranking_quality(
+    truth: DataFrame,
+    approx: DataFrame,
+    variant: str,
+    k: int,
+    mrr_floor_per_1000: int,
+    ndcg_floor_per_1000: int,
+) -> DataFrame:
+    """Rank-AWARE audit of an approximate top-k against the exact one:
+    one row (variant, n_queries, meets_mrr_floor, meets_ndcg_floor).
+    Complements ``topk_recall`` (set overlap): MRR scores WHERE the
+    first true neighbor lands in the approximate ranking, binary-
+    relevance NDCG@k scores the whole list's ordering.
+
+    Exactness: reciprocal ranks and DCG discounts are integer
+    constants (floor(1e6/rank), floor(1e6/log2(i+1)) literals), means
+    are integer divisions — so the floor comparisons are drift-free
+    and, like the recall audit, oracle-able as pinned booleans that
+    fail the hard gate if ranking quality regresses.
+
+    Scale: hits = one broadcastable semi join on (nq x k) frames;
+    everything downstream is query-keyed aggregation over nq rows.
+    """
+    import math
+
+    weights = [int(1_000_000 // math.log2(i + 1)) for i in range(1, k + 1)]
+    idcg = sum(weights)
+    w_arr = F.array([F.lit(w) for w in weights])
+
+    t = truth.select("query_id", "neighbor_id")
+    qs = t.select("query_id").distinct()
+    hits = approx.select("query_id", "neighbor_id", "rank").join(
+        t, ["query_id", "neighbor_id"], "left_semi"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.min("rank").alias("first_rank"),
+        F.sum(F.element_at(w_arr, F.col("rank").cast("int"))).alias("dcg"),
+    )
+    scored = qs.join(per_q, "query_id", "left").select(
+        F.coalesce(F.expr("div(1000000, first_rank)"), F.lit(0)).alias("rr"),
+        F.coalesce(
+            F.expr(f"div(dcg * 1000000, {idcg})"), F.lit(0)
+        ).alias("ndcg"),
+    )
+    return scored.agg(
+        F.count("*").alias("nq"),
+        F.sum("rr").alias("srr"),
+        F.sum("ndcg").alias("sndcg"),
+    ).select(
+        F.lit(variant).alias("variant"),
+        F.col("nq").cast("long").alias("n_queries"),
+        (
+            F.expr("div(srr, nq)") >= F.lit(mrr_floor_per_1000 * 1000)
+        ).alias("meets_mrr_floor"),
+        (
+            F.expr("div(sndcg, nq)") >= F.lit(ndcg_floor_per_1000 * 1000)
+        ).alias("meets_ndcg_floor"),
+    )

