@@ -499,6 +499,7 @@ def bpe_word_states(words: DataFrame, word_col: str = "word") -> DataFrame:
     small row-local job.
     """
     return words.select(
+        F.col(word_col).alias("word"),
         F.concat(
             F.lit("/"),
             F.array_join(F.split(F.col(word_col), ""), "/"),
@@ -573,8 +574,30 @@ def bpe_apply_merge(states: DataFrame, best: DataFrame) -> DataFrame:
     frame (broadcast literal) — the fold itself is row-local JVM
     codegen; no Python, no shuffle."""
     return states.crossJoin(F.broadcast(best)).select(
-        F.expr(_BPE_MERGE_FOLD).alias("state"), "n"
+        "word", F.expr(_BPE_MERGE_FOLD).alias("state"), "n"
     )
+
+
+def _bpe_iterate(words: DataFrame, n_merges: int):
+    """Shared training loop: returns (final_states, [step frames]).
+    The caller owns unpersisting final_states after its action runs."""
+    states = bpe_word_states(words).persist()
+    steps = []
+    for k in range(1, n_merges + 1):
+        best = bpe_best_pair(bpe_pair_counts(states)).persist()
+        steps.append(
+            best.select(
+                F.lit(k).cast("long").alias("step"),
+                "left_sym",
+                "right_sym",
+                "pair_count",
+            )
+        )
+        new_states = bpe_apply_merge(states, best).persist()
+        new_states.count()  # materialize before dropping the parent
+        states.unpersist()
+        states = new_states
+    return states, steps
 
 
 def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
@@ -593,26 +616,34 @@ def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
     is a 1-row TakeOrdered broadcast. K merges = K tiny jobs — the
     industrial word-count-first BPE trainer shape, never touching the
     corpus after the initial word count."""
-    states = bpe_word_states(words).persist()
-    steps = []
+    states, steps = _bpe_iterate(words, n_merges)
     try:
-        for k in range(1, n_merges + 1):
-            best = bpe_best_pair(bpe_pair_counts(states)).persist()
-            steps.append(
-                best.select(
-                    F.lit(k).cast("long").alias("step"),
-                    "left_sym",
-                    "right_sym",
-                    "pair_count",
-                )
-            )
-            new_states = bpe_apply_merge(states, best).persist()
-            new_states.count()  # materialize before dropping the parent
-            states.unpersist()
-            states = new_states
         out = steps[0]
         for s in steps[1:]:
             out = out.unionByName(s)
         return out.orderBy("step")
     finally:
         states.unpersist()
+
+
+def bpe_encode(words: DataFrame, n_merges: int) -> DataFrame:
+    """The APPLY side of BPE: train ``n_merges`` rules, return every
+    word's final segmentation — (word, state, n, n_tokens) where
+    n_tokens counts the '/'-separated symbols of the merged state
+    (length(state) - length(replace(state,'/','')) - 1; symbols never
+    contain '/'). The per-word token count is what fertility /
+    compression metrics aggregate. Same scale shape as bpe_train; the
+    returned frame stays vocab-scale."""
+    states, _ = _bpe_iterate(words, n_merges)
+    return states.select(
+        "word",
+        "state",
+        "n",
+        (
+            F.length("state")
+            - F.length(F.expr("replace(state, '/', '')"))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )

@@ -8645,23 +8645,27 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled DuckDB twin of ``text_ops.bpe_train``: K chained
-    (pair-count -> argmax rule -> list_reduce merge fold) CTE blocks.
-    The fold lambda is character-identical in semantics to the Spark
-    ``aggregate`` fold (both engines fold left with a string acc and
-    the '/'-anchored suffix test), so merge states — and therefore
-    every subsequent rule — are bit-identical cross-engine."""
+def _bpe_oracle(n_merges: int, emit: str = "merges") -> str:
+    """Unrolled DuckDB twin of ``text_ops.bpe_train`` / ``bpe_encode``:
+    K chained (pair-count -> argmax rule -> list_reduce merge fold)
+    CTE blocks. The fold lambda is character-identical in semantics to
+    the Spark ``aggregate`` fold (both engines fold left with a string
+    acc and the '/'-anchored suffix test), so merge states — and
+    therefore every subsequent rule — are bit-identical cross-engine.
+    ``emit='merges'`` returns the rule table; ``emit='compression'``
+    applies all K rules and aggregates per-language chars/tokens."""
     ctes = [
         f"""toks AS (
       SELECT unnest(string_split({_SQL_NORM}, ' ')) AS w FROM documents
     ),
     wc AS (SELECT w, COUNT(*) AS n FROM toks WHERE w <> '' GROUP BY w),
     s0 AS (
-      SELECT '/' || array_to_string(string_split(w, ''), '/') || '/' AS st, n
+      SELECT w,
+             '/' || array_to_string(string_split(w, ''), '/') || '/' AS st, n
       FROM wc
     )"""
     ]
+    last_state = n_merges if emit == "compression" else n_merges - 1
     for k in range(1, n_merges + 1):
         prev = f"s{k - 1}"
         ctes.append(
@@ -8680,10 +8684,10 @@ def _bpe_oracle(n_merges: int) -> str:
       FROM p{k} ORDER BY pair_count DESC, pair LIMIT 1
     )"""
         )
-        if k < n_merges:
+        if k <= last_state:
             ctes.append(
                 f"""s{k} AS (
-      SELECT list_reduce(list_prepend('/', string_split(trim(st, '/'), '/')),
+      SELECT w, list_reduce(list_prepend('/', string_split(trim(st, '/'), '/')),
         (acc, x) -> CASE
           WHEN right(acc, length(b{k}.a) + 2) = '/' || b{k}.a || '/'
                AND x = b{k}.b
@@ -8693,12 +8697,33 @@ def _bpe_oracle(n_merges: int) -> str:
       FROM {prev}, b{k}
     )"""
             )
-    selects = " UNION ALL ".join(
-        f"SELECT CAST({k} AS BIGINT) AS step, a AS left_sym, "
-        f"b AS right_sym, pair_count FROM b{k}"
-        for k in range(1, n_merges + 1)
-    )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects + " ORDER BY step"
+    if emit == "merges":
+        selects = " UNION ALL ".join(
+            f"SELECT CAST({k} AS BIGINT) AS step, a AS left_sym, "
+            f"b AS right_sym, pair_count FROM b{k}"
+            for k in range(1, n_merges + 1)
+        )
+        tail = selects + " ORDER BY step"
+    else:
+        ctes.append(
+            f"""wl AS (
+      SELECT lang, w, COUNT(*) AS n_lang FROM (
+        SELECT lang, unnest(string_split({_SQL_NORM}, ' ')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY lang, w
+    )"""
+        )
+        tail = f"""SELECT lang,
+           CAST(SUM(n_lang) AS BIGINT) AS n_words,
+           CAST(SUM(n_lang * length(s.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_lang * (length(st) - length(replace(st, '/', ''))
+                              - 1)) AS BIGINT) AS n_tokens,
+           (SUM(n_lang * length(s.w)) * 1000000)
+             // SUM(n_lang * (length(st) - length(replace(st, '/', ''))
+                              - 1)) AS chars_per_token_1e6
+    FROM wl JOIN s{n_merges} s ON wl.w = s.w
+    GROUP BY lang"""
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + tail
 
 
 @register("bpe_merges", _bpe_oracle(3))
@@ -8724,6 +8749,40 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return text_ops.bpe_train(words, n_merges=3)
+
+
+@register("bpe_compression", _bpe_oracle(3, emit="compression"))
+def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of BPE — tokenizer fertility / compression per
+    language: train 3 merges on the global corpus (same chain
+    bpe_merges oracles), apply them to every word, and aggregate
+    chars vs post-merge tokens per lang. chars_per_token is the
+    compression a tokenizer buys each language — THE fairness metric
+    for multilingual vocab design (a language with low
+    chars-per-token pays more tokens for the same text).
+
+    Scale: one extra (lang, word) rollup and one vocab-scale join
+    beyond the training chain; per-lang output is catalog-scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(text_ops._norm(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wl = toks.groupBy("lang", "word").agg(F.count("*").alias("n_lang"))
+    words = wl.groupBy("word").agg(F.sum("n_lang").alias("n"))
+    enc = text_ops.bpe_encode(words, n_merges=3)
+    j = wl.join(enc.select("word", "n_tokens"), "word")
+    chars = F.sum(F.col("n_lang") * F.length("word"))
+    tokens = F.sum(F.col("n_lang") * F.col("n_tokens"))
+    return j.groupBy("lang").agg(
+        F.sum("n_lang").cast("long").alias("n_words"),
+        chars.cast("long").alias("n_chars"),
+        tokens.cast("long").alias("n_tokens"),
+        F.expr(
+            "div(sum(n_lang * length(word)) * 1000000, "
+            "sum(n_lang * n_tokens))"
+        ).alias("chars_per_token_1e6"),
+    )
 
 
 # The driver records correctness for a bounded prefix of ``queries()``
@@ -8812,7 +8871,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "corpus_datacard", "contrastive_negatives", "kfold_balance",
     "split_novelty_rate", "stream_throttle_audit", "attribution_decay",
     "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
-    "ann_ranking_quality",
+    "ann_ranking_quality", "bpe_compression",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

@@ -323,3 +323,30 @@ def test_bpe_pair_counts_single_symbol_words(spark):
         ).collect()
     }
     assert got == {"b|c": 2}
+
+
+def test_bpe_encode_token_counts(spark):
+    # merges learned on this corpus: ('a','a') dominates; verify the
+    # final segmentation token counts against the python reference
+    wc = {"aaaa": 5, "ab": 3, "b": 2}
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+    got = {
+        r.word: (r.state, r.n_tokens)
+        for r in text_ops.bpe_encode(df, 2).collect()
+    }
+    rules = _bpe_reference(wc, 2)
+    # replay reference apply
+    states = {w: list(w) for w in wc}
+    for _, a, b, _c in rules:
+        for w, syms in states.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            states[w] = out
+    for w, syms in states.items():
+        assert got[w] == ("/" + "/".join(syms) + "/", len(syms)), w
