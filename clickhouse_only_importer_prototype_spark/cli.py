@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         "-limit", "--limit", type=int, default=20,
         help="query mode: max rows printed",
     )
+    parser.add_argument(
+        "-explain", "--explain", action="store_true",
+        help="query mode: print the formatted physical plan instead of"
+        " executing (plan review: broadcasts, PushedFilters, codegen)",
+    )
     args = parser.parse_args(argv)
 
     if args.mode == "query":
@@ -79,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name=f"cips-query-{args.name}")
         t0 = time.time()
         df = registry[args.name](spark, args.parquet_dir)
+        if args.explain:
+            # the plan-review loop as a first-class surface: the same
+            # .explain("formatted") the plan tests pin, without running
+            df.explain("formatted")
+            return 0
         df.show(args.limit, truncate=False)
         logging.basicConfig(
             level=logging.INFO, format="%(levelname)s %(message)s"

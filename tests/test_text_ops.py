@@ -350,3 +350,19 @@ def test_bpe_encode_token_counts(spark):
             states[w] = out
     for w, syms in states.items():
         assert got[w] == ("/" + "/".join(syms) + "/", len(syms)), w
+
+
+def test_bpe_distributed_path_equals_local(spark, monkeypatch):
+    wc = {"aaaaaa": 3, "the": 2, "then": 2, "t": 1, "ababab": 1}
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+    local_rules = [tuple(r) for r in text_ops.bpe_train(df, 3).collect()]
+    local_enc = sorted(
+        tuple(r) for r in text_ops.bpe_encode(df, 3).collect()
+    )
+    monkeypatch.setattr(text_ops, "LOCAL_VOCAB_MAX", -1)
+    dist_rules = [tuple(r) for r in text_ops.bpe_train(df, 3).collect()]
+    dist_enc = sorted(
+        tuple(r) for r in text_ops.bpe_encode(df, 3).collect()
+    )
+    assert dist_rules == local_rules == _bpe_reference(wc, 3)
+    assert dist_enc == local_enc
