@@ -8409,6 +8409,69 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_median_price",
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, price_cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g
+    )
+    SELECT l_returnflag,
+           CAST(MIN(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(price_cents) AS BIGINT) AS weighted_median_cents
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median: smallest price whose inclusive
+    cumulative quantity-weight clears half the flag's total — the
+    quantity-weighted complement of the unweighted quantile family
+    (priority_quantiles / priority_quantile_disc). Explicit rank math
+    (2·cumw >= W on integer cents/weights) — engine-convention-free,
+    no interpolation mode to disagree on.
+
+    Scale: collapse to DISTINCT (flag, price) first — the cumsum
+    window then runs over the price DOMAIN per flag, not the fact
+    table, with map-side partial sums doing the heavy lifting."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("price_cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(cum).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    return (
+        c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("tw").cast("long").alias("total_weight"),
+            F.min("price_cents").cast("long").alias("weighted_median_cents"),
+        )
+    )
+
+
+@register(
     "ann_ranking_quality",
     """
     WITH t AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 10)
@@ -8871,7 +8934,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "corpus_datacard", "contrastive_negatives", "kfold_balance",
     "split_novelty_rate", "stream_throttle_audit", "attribution_decay",
     "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
-    "ann_ranking_quality", "bpe_compression",
+    "ann_ranking_quality", "bpe_compression", "weighted_median_price",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

@@ -497,3 +497,30 @@ def test_heavy_hitters_exact_for_any_den(spark, toks, den):
         t: n for t, n in Counter(toks).items() if n * den >= total
     }
     assert got == expect
+
+
+def test_weighted_median_clears_half_weight_python_reference(spark, sf_dir):
+    """weighted_median_price == the brute-force python weighted median
+    (lower convention) on the same data."""
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    got = {
+        r.l_returnflag: (r.total_weight, r.weighted_median_cents)
+        for r in q.weighted_median_price(spark, sf_dir).collect()
+    }
+    li = q.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    import collections
+    acc = collections.defaultdict(collections.Counter)
+    for r in li.collect():
+        cents = int(round(r.l_extendedprice * 100))
+        acc[r.l_returnflag][cents] += int(r.l_quantity)
+    for flag, cnt in acc.items():
+        total = sum(cnt.values())
+        cum = 0
+        for price in sorted(cnt):
+            cum += cnt[price]
+            if 2 * cum >= total:
+                assert got[flag] == (total, price), flag
+                break
