@@ -487,3 +487,36 @@ def test_attribution_decay_no_range_cross_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_weighted_median_domain_collapse_before_window(spark, sf_dir):
+    # the cumsum window must run over the collapsed (flag, price)
+    # domain: exactly one pre-window aggregate, no cartesian, and the
+    # scan reads only the three needed columns
+    plan = _formatted(q.weighted_median_price(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs
+
+
+def test_zscore_single_keyed_window_no_cartesian(spark, sf_dir):
+    plan = _formatted(q.events_anomaly_zscore(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # one window NODE over the hourly rollup (formatted mode lists the
+    # node once in the tree and once in the detail section)
+    assert plan.count("(") and plan.count("Window") <= 2
+    assert "Window" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bpe_compression_vocab_join_no_cartesian(spark, sf_dir):
+    plan = _plan(q.bpe_compression(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_ranking_quality_truth_joins_are_semi(spark, sf_dir):
+    plan = _plan(q.ann_ranking_quality(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
