@@ -43,6 +43,7 @@ def pagerank_int(
     arcs: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over directed ``(src, dst)`` arcs in
     exact int64 fixed-point (PR_SCALE parts).
@@ -75,7 +76,24 @@ def pagerank_int(
     arcs_c = arcs.persist()
     deg = arcs_c.groupBy("src").agg(F.count("*").alias("outdeg"))
     n_nodes = deg.count()  # tiny driver scalar; materializes arcs_c
-    base = ((100 - damping_pct) * PR_SCALE) // (100 * n_nodes)
+    # Personalized variant: teleport mass restricted to ``seeds``
+    # (single column ``node``) — ranks measure proximity to the seed
+    # set instead of global centrality. Seed sets are query-scale
+    # (broadcast); the iteration adds one broadcast flag join, nothing
+    # else changes shape.
+    seed_flag = None
+    if seeds is not None:
+        seed_flag = (
+            seeds.select("node").distinct()
+            .withColumn("__seed", F.lit(1))
+            .persist()
+        )
+        n_teleport = seed_flag.count()
+        if n_teleport == 0:
+            raise ValueError("personalized PageRank needs >= 1 seed node")
+    else:
+        n_teleport = n_nodes
+    base = ((100 - damping_pct) * PR_SCALE) // (100 * n_teleport)
     # the rank vector is |V| rows vs |E| arcs: broadcast it while it
     # fits (catalog-scale graphs; billions of nodes would flip this to
     # a src-co-partitioned shuffle join)
@@ -84,10 +102,24 @@ def pagerank_int(
     if not bcast_ranks:
         arcs_deg = arcs_deg.repartition("src")
     arcs_deg = arcs_deg.persist()
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(PR_SCALE // n_nodes).cast("long").alias("rank"),
-    )
+    r0 = PR_SCALE // n_teleport
+    if seed_flag is None:
+        ranks = deg.select(
+            F.col("src").alias("node"),
+            F.lit(r0).cast("long").alias("rank"),
+        )
+    else:
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(F.broadcast(seed_flag), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("__seed").isNotNull(), F.lit(r0))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
     for _ in range(iterations):
         r = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = arcs_deg.join(
@@ -96,18 +128,33 @@ def pagerank_int(
             F.col("dst").alias("node"),
             F.expr("rank div outdeg").alias("contrib"),
         )
-        ranks = contribs.groupBy("node").agg(
-            (
-                F.lit(base)
-                + F.expr(f"div({damping_pct} * sum(contrib), 100)")
-            ).cast("long").alias("rank")
+        damp = contribs.groupBy("node").agg(
+            F.expr(f"div({damping_pct} * sum(contrib), 100)").alias("__damp")
         )
+        if seed_flag is None:
+            ranks = damp.select(
+                "node",
+                (F.lit(base) + F.col("__damp")).cast("long").alias("rank"),
+            )
+        else:
+            ranks = damp.join(F.broadcast(seed_flag), "node", "left").select(
+                "node",
+                (
+                    F.when(F.col("__seed").isNotNull(), F.lit(base))
+                    .otherwise(F.lit(0))
+                    + F.col("__damp")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
         # eager: materialize the (tiny, |V|-row) rank vector now so the
         # lineage is O(1) per iteration and arcs_deg can be released
         # after the loop — the canonical iterative-algorithm shape
         ranks = ranks.localCheckpoint(eager=True)
     arcs_deg.unpersist()
     arcs_c.unpersist()
+    if seed_flag is not None:
+        seed_flag.unpersist()
     return ranks
 
 

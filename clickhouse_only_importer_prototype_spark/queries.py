@@ -5608,6 +5608,107 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     return "".join(parts)
 
 
+def _ppr_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled twin of the PERSONALIZED variant: teleport mass
+    restricted to the seed customers (custkey % 19 == 0 among graph
+    nodes) — same exact int64 chain, base term gated per node."""
+    parts = [
+        """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+    seeds AS (
+      SELECT src AS node FROM deg
+      WHERE src % 2 = 0 AND (src // 2) % 19 = 0
+    ),
+    ns AS (SELECT COUNT(*) AS n FROM seeds),
+    r0 AS (
+      SELECT d.src AS node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 1000000000000 // ns.n
+                  ELSE CAST(0 AS BIGINT) END AS rank
+      FROM deg d LEFT JOIN seeds s ON s.node = d.src CROSS JOIN ns
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT t.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN (15 * 1000000000000) // (100 * ns.n)
+                  ELSE CAST(0 AS BIGINT) END + t.damp AS rank
+      FROM (
+        SELECT sm.dst AS node,
+               (85 * SUM(r.rank // d.outdeg)) // 100 AS damp
+        FROM sym sm JOIN r{i - 1} r ON sm.src = r.node
+                    JOIN deg d ON d.src = sm.src
+        GROUP BY sm.dst
+      ) t LEFT JOIN seeds s ON s.node = t.node CROSS JOIN ns
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           CAST(rank AS BIGINT) AS rank_1e12
+    FROM r{iterations}
+    ORDER BY rank_1e12 DESC, node_type, node_key
+    LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@register("pagerank_personalized", _ppr_oracle_sql(3))
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport restricted to seed customers
+    (custkey % 19 == 0) — ranks measure proximity to the seed set,
+    the 'suppliers my customer segment actually trades near' /
+    related-entity recommendation shape, vs pagerank_custsupp's
+    global centrality. Same exact int64 fixed-point chain; the seed
+    gating adds one broadcast flag join per iteration and nothing
+    else changes shape (operators/graph.pagerank_int seeds=...)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    arcs = graph_ops.symmetrize(edges)
+    seeds = (
+        arcs.select(F.col("src").alias("node"))
+        .distinct()
+        .where(
+            (F.col("node") % 2 == 0) & (F.expr("div(node, 2)") % 19 == 0)
+        )
+    )
+    ranks = graph_ops.pagerank_int(arcs, iterations=3, seeds=seeds)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").cast("long").alias("node_key"),
+            F.col("rank").cast("long").alias("rank_1e12"),
+        )
+        .orderBy(F.desc("rank_1e12"), "node_type", "node_key")
+        .limit(20)
+    )
+
+
 @register("pagerank_custsupp", _pagerank_oracle_sql(3))
 def pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank nodes of the customer<->supplier trade graph
@@ -8409,6 +8510,50 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_seasonality_profile",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+      FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_of_day, h.n,
+           (h.n * 1000000) // t.total AS share_1e6,
+           h.n * 24 > t.total * 2 AS is_peak
+    FROM h JOIN t USING (event_type)
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: each hour
+    cell's share of the type's traffic, with a peak flag where the
+    cell carries more than twice the uniform 1/24 share (n·24 >
+    total·2 — exact integer cross-multiplication, no float shares).
+    The baseline every seasonality-aware alerting rule (and the
+    z-score/CUSUM screens' residualization step) starts from.
+
+    Scale: one map-side-combinable rollup to the (type × 24) grid,
+    then a broadcast-size totals join — output is catalog-scale."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.expr("pmod(ts div 3600000000000, 24)").alias("hour_of_day"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = h.groupBy("event_type").agg(F.sum("n").cast("long").alias("total"))
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.expr("div(n * 1000000, total)").alias("share_1e6"),
+        (F.col("n") * 24 > F.col("total") * 2).alias("is_peak"),
+    )
+
+
+@register(
     "weighted_median_price",
     """
     WITH g AS (
@@ -8935,6 +9080,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "split_novelty_rate", "stream_throttle_audit", "attribution_decay",
     "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
     "ann_ranking_quality", "bpe_compression", "weighted_median_price",
+    "events_seasonality_profile", "pagerank_personalized",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

@@ -25,7 +25,7 @@ def test_pagerank_uniform_on_regular_graph(spark):
     # a 4-cycle is 2-regular: every node keeps exactly the uniform rank
     e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
     arcs = G.symmetrize(e)
-    ranks = {r["node"]: r["rank"] for r in G.pagerank_int(arcs, 3).collect()}
+    ranks = {r["node"]: r["rank"] for r in G.G.pagerank_int(arcs, 3).collect()}
     assert len(ranks) == 4
     assert len(set(ranks.values())) == 1  # symmetry preserved exactly
     # conserved mass up to truncation dust: <= N ulps lost per div site
@@ -134,3 +134,47 @@ def test_floordiv_negative_ts_matches_duckdb(spark):
     assert oracle == want
     # and the trap is real: bare // truncates on negatives
     assert con.execute("SELECT -7 // 2").fetchone()[0] == -3
+
+
+def test_personalized_pagerank_all_seeds_equals_uniform(spark):
+    arcs = G.symmetrize(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+    ).persist()
+    seeds = arcs.select(F.col("src").alias("node")).distinct()
+    uni = {
+        r.node: r.rank for r in G.pagerank_int(arcs, iterations=2).collect()
+    }
+    per = {
+        r.node: r.rank
+        for r in G.pagerank_int(arcs, iterations=2, seeds=seeds).collect()
+    }
+    assert per == uni
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    # path 1-2-3-4-5: seed at node 1 -> rank(2) > rank(5)
+    arcs = G.symmetrize(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    r = {
+        r.node: r.rank
+        for r in G.pagerank_int(arcs, iterations=3, seeds=seeds).collect()
+    }
+    assert r[2] > r[5]
+    assert r[1] > r[4]
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    arcs = G.symmetrize(
+        spark.createDataFrame([(1, 2)], "src long, dst long")
+    )
+    seeds = spark.createDataFrame([], "node long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed"):
+        G.pagerank_int(arcs, iterations=1, seeds=seeds)
