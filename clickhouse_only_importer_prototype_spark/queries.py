@@ -8510,6 +8510,68 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_diversity",
+    f"""
+    WITH c AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT source, unnest(string_split({_SQL_NORM}, ' ')) AS token
+        FROM documents
+      ) WHERE token <> '' GROUP BY source, token
+    ),
+    d AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      FROM c GROUP BY source
+    )
+    SELECT source, n_tokens, vocab_size,
+           ((n_tokens * n_tokens - sum_sq) * 1000000)
+             // (n_tokens * n_tokens) AS simpson_1e6,
+           (n_tokens * n_tokens) // sum_sq AS effective_vocab
+    FROM d
+    """,
+)
+def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: Gini–Simpson index (probability
+    two sampled tokens differ) and inverse-Simpson 'effective vocab'
+    (the number of equally-common types that would give the same
+    concentration) — both EXACT rationals over integer token counts
+    (1 − Σn²/N², N²/Σn²), unlike Shannon entropy whose log() bits
+    drift across libm implementations. The token-level diversity
+    audit next to source_token_drift (pairwise) and corpus_datacard
+    (per-source volume/quality).
+
+    Scale: one (source, token) rollup (map-side combinable, Zipf-
+    bounded per source) + one per-source fold; Σn² and N decompose
+    over shards, so web-scale corpora partial-aggregate — int64 holds
+    while per-source N < 3e9; shard-then-merge (or DECIMAL(38,0))
+    past it."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(text_ops._norm(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    c = toks.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.expr(
+            "div((n_tokens * n_tokens - sum_sq) * 1000000, "
+            "n_tokens * n_tokens)"
+        ).alias("simpson_1e6"),
+        F.expr("div(n_tokens * n_tokens, sum_sq)").alias("effective_vocab"),
+    )
+
+
+@register(
     "events_seasonality_profile",
     """
     WITH h AS (
@@ -9081,6 +9143,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
     "ann_ranking_quality", "bpe_compression", "weighted_median_price",
     "events_seasonality_profile", "pagerank_personalized",
+    "corpus_diversity",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
