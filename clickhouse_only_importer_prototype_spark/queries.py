@@ -8510,6 +8510,79 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_centroid_shift",
+    """
+    WITH q AS (
+      SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    c AS (
+      SELECT label, dim,
+             CAST(SUM(CASE WHEN half = 0 THEN v END) AS BIGINT) AS s0,
+             CAST(COUNT(CASE WHEN half = 0 THEN v END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN half = 1 THEN v END) AS BIGINT) AS s1,
+             CAST(COUNT(CASE WHEN half = 1 THEN v END) AS BIGINT) AS c1
+      FROM q GROUP BY label, dim
+    ),
+    d AS (
+      SELECT label, (s0 // c0 - s1 // c1) AS delta
+      FROM c WHERE c0 > 0 AND c1 > 0
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(delta * delta) AS BIGINT) AS l2_sq_1e12
+    FROM d GROUP BY label
+    """,
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label centroid L2² distance
+    between two corpus halves (vec_id parity stands in for 'model v1
+    vs v2' / 'last month vs this month' snapshots) — the check a
+    retrieval pipeline runs before trusting a re-embedded corpus
+    against an old ANN index. Dims quantize to integer 1e-6 units
+    BEFORE averaging (floor), means are integer div — the whole
+    statistic is exact int64, no float mean drift.
+
+    Scale: posexplode fans N×dim rows into ONE map-side-combinable
+    (label, dim) aggregation with both halves folded via conditional
+    sums (no self-join); output is labels × dims then labels."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("val") * 1000000).cast("long").alias("v"),
+    )
+    c = q.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("v"))).cast("long").alias("s0"),
+        F.count(F.when(F.col("half") == 0, F.col("v")))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("half") == 1, F.col("v"))).cast("long").alias("s1"),
+        F.count(F.when(F.col("half") == 1, F.col("v")))
+        .cast("long")
+        .alias("c1"),
+    )
+    d = c.where((F.col("c0") > 0) & (F.col("c1") > 0)).select(
+        "label",
+        (F.expr("div(s0, c0)") - F.expr("div(s1, c1)")).alias("delta"),
+    )
+    return d.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum(F.col("delta") * F.col("delta"))
+        .cast("long")
+        .alias("l2_sq_1e12"),
+    )
+
+
+@register(
     "corpus_diversity",
     f"""
     WITH c AS (
@@ -9143,7 +9216,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
     "ann_ranking_quality", "bpe_compression", "weighted_median_price",
     "events_seasonality_profile", "pagerank_personalized",
-    "corpus_diversity",
+    "corpus_diversity", "embedding_centroid_shift",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
