@@ -8509,6 +8509,78 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson(1) CDF cutpoints in millionths — the bootstrap multiplicity
+# ladder (k copies with prob e^-1/k!; tail mass 1e-6 tops out at 9)
+_POISSON1_CUM = [367879, 735759, 919699, 981012, 996340, 999406,
+                 999917, 999990, 999999]
+
+
+def _poisson_mult_sql(bucket_expr: str) -> str:
+    whens = "".join(
+        f" WHEN {bucket_expr} < {c} THEN {k}"
+        for k, c in enumerate(_POISSON1_CUM)
+    )
+    return f"CASE{whens} ELSE 9 END"
+
+
+@register(
+    "bootstrap_chars_ci",
+    f"""
+    WITH reps AS (
+      SELECT d.doc_id, d.n_chars, r.r AS replicate,
+             {_poisson_mult_sql(
+                 "CAST(('0x' || substr(md5('boot' || CAST(r.r AS VARCHAR)"
+                 " || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+                 " % 1000000")} AS m
+      FROM documents d, UNNEST(generate_series(0, 7)) AS r(r)
+    )
+    SELECT CAST(replicate AS BIGINT) AS replicate,
+           CAST(SUM(m) AS BIGINT) AS n_resampled,
+           CAST(SUM(m * n_chars) AS BIGINT) AS sum_chars,
+           SUM(m * n_chars) // SUM(m) AS mean_chars
+    FROM reps GROUP BY replicate
+    """,
+)
+def bootstrap_chars_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap: 8 resampling replicates of the
+    corpus where each doc's multiplicity in replicate r is drawn from
+    Poisson(1) via the salted md5 bucket against fixed CDF cutpoints —
+    the spread of the replicate means IS the bootstrap CI of mean doc
+    length, fully reproducible (rerun/retry/engine-independent),
+    unlike rand()-based resampling. The statistical-resampling class:
+    the same ladder bootstraps any integer metric.
+
+    Scale: one explode by R replicates (row-local) + one
+    map-side-combinable groupBy — no shuffle of the corpus per
+    replicate, no driver-side sampling state."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = d.select(
+        "doc_id",
+        "n_chars",
+        F.posexplode(F.sequence(F.lit(0), F.lit(7))).alias("__i", "replicate"),
+    )
+    bucket = (
+        "pmod(CAST(conv(substring(md5(concat('boot', "
+        "CAST(replicate AS STRING), ':', CAST(doc_id AS STRING))), "
+        "1, 15), 16, 10) AS BIGINT), 1000000)"
+    )
+    reps = reps.select(
+        "replicate",
+        "n_chars",
+        F.expr(_poisson_mult_sql(bucket)).cast("long").alias("m"),
+    )
+    return reps.groupBy("replicate").agg(
+        F.sum("m").cast("long").alias("n_resampled"),
+        F.sum(F.col("m") * F.col("n_chars")).cast("long").alias("sum_chars"),
+        F.expr("div(sum(m * n_chars), sum(m))").alias("mean_chars"),
+    ).select(
+        F.col("replicate").cast("long").alias("replicate"),
+        "n_resampled",
+        "sum_chars",
+        "mean_chars",
+    )
+
+
 @register(
     "embedding_centroid_shift",
     """
@@ -9216,7 +9288,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
     "ann_ranking_quality", "bpe_compression", "weighted_median_price",
     "events_seasonality_profile", "pagerank_personalized",
-    "corpus_diversity", "embedding_centroid_shift",
+    "corpus_diversity", "embedding_centroid_shift", "bootstrap_chars_ci",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
