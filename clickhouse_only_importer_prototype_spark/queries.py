@@ -8509,6 +8509,127 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHISQ_TERMS = " + ".join(
+    f"(CAST((c{v} * nn - n{v} * cc) AS DOUBLE)"
+    f" * CAST((c{v} * nn - n{v} * cc) AS DOUBLE)"
+    f" / CAST(n{v} AS DOUBLE))"
+    for v in range(4)
+)
+# one shared expression string: identical text -> identical IEEE ops
+# -> identical bits on both engines (the ab_test z-stat discipline,
+# with the 4-term sum written in FIXED order — an aggregate SUM of
+# doubles would be summation-order nondeterministic)
+_CHISQ_EXPR = (
+    "CASE WHEN cc = 0 OR cc = nn THEN 0 ELSE "
+    "CAST(floor(1000.0 * CAST(nn AS DOUBLE) * ({terms}) "
+    "/ (CAST(cc AS DOUBLE) * CAST(nn - cc AS DOUBLE))) AS BIGINT) END"
+).format(terms=_CHISQ_TERMS)
+
+
+@register(
+    "abn_test_chisq",
+    f"""
+    WITH u0 AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    u AS (
+      SELECT CAST(('0x' || substr(md5('abn-v1:' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 4 AS variant,
+             conv
+      FROM u0
+    ),
+    s AS (
+      SELECT
+        {", ".join(
+            f"CAST(SUM(CASE WHEN variant = {v} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n{v}, "
+            f"CAST(SUM(CASE WHEN variant = {v} THEN conv ELSE 0 END)"
+            f" AS BIGINT) AS c{v}"
+            for v in range(4)
+        )}
+      FROM u
+    ),
+    t AS (
+      SELECT *, n0 + n1 + n2 + n3 AS nn, c0 + c1 + c2 + c3 AS cc FROM s
+    )
+    SELECT {", ".join(
+        f"n{v} AS n_v{v}, c{v} AS conv_v{v}, "
+        f"(c{v} * 1000000) // n{v} AS rate_v{v}_1e6"
+        for v in range(4)
+    )},
+           CAST(3 AS BIGINT) AS df,
+           {_CHISQ_EXPR} AS chi2_1e3
+    FROM t
+    """,
+)
+def abn_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B/n experiment readout: 4 md5-assigned variants, per-variant
+    conversion (the ab_test_analysis conversion definition), and the
+    2×k chi-squared statistic — cells and cross-multiplied residuals
+    (c_v·N − n_v·C)² stay exact int64; the single final double
+    expression is written in FIXED 4-term order so both engines
+    produce identical bits (an aggregated double SUM would not).
+    df = k−1 = 3; chi2_1e3 ≳ 7815 rejects uniformity at 5%.
+
+    Scale: one user fold + one 1-row conditional-sum aggregate —
+    the same two-shuffle shape as ab_test_analysis regardless of
+    corpus size. Residual squares hold in int64 while users < ~3e9
+    per variant; DECIMAL(38,0) past that."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .select(
+            # _hash_bucket mods by 10000 first; 4 | 10000, so the
+            # composed mod equals the oracle's direct % 4
+            (sampling_ops._hash_bucket(F.col("user_id"), "abn-v1") % 4)
+            .alias("variant"),
+            "conv",
+        )
+    )
+    aggs = []
+    for v in range(4):
+        aggs.append(
+            F.sum(F.when(F.col("variant") == v, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{v}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("variant") == v, F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias(f"c{v}")
+        )
+    s = u.agg(*aggs).withColumn(
+        "nn", F.expr("n0 + n1 + n2 + n3")
+    ).withColumn("cc", F.expr("c0 + c1 + c2 + c3"))
+    out_cols = []
+    for v in range(4):
+        out_cols += [
+            F.col(f"n{v}").alias(f"n_v{v}"),
+            F.col(f"c{v}").alias(f"conv_v{v}"),
+            F.expr(f"div(c{v} * 1000000, n{v})").alias(f"rate_v{v}_1e6"),
+        ]
+    out_cols += [
+        F.lit(3).cast("long").alias("df"),
+        F.expr(_CHISQ_EXPR).alias("chi2_1e3"),
+    ]
+    return s.select(*out_cols)
+
+
 # Poisson(1) CDF cutpoints in millionths — the bootstrap multiplicity
 # ladder (k copies with prob e^-1/k!; tail mass 1e-6 tops out at 9)
 _POISSON1_CUM = [367879, 735759, 919699, 981012, 996340, 999406,
@@ -9289,6 +9410,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "ann_ranking_quality", "bpe_compression", "weighted_median_price",
     "events_seasonality_profile", "pagerank_personalized",
     "corpus_diversity", "embedding_centroid_shift", "bootstrap_chars_ci",
+    "abn_test_chisq",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
