@@ -8510,6 +8510,71 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trending_parts",
+    """
+    WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders),
+    recent AS (
+      SELECT o_orderkey, age FROM (
+        SELECT o_orderkey,
+               date_diff('day', CAST(o_orderdate AS DATE), mx.maxd) AS age
+        FROM orders, mx
+      ) WHERE age BETWEEN 0 AND 6
+    )
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT) * (64 >> r.age))
+                AS BIGINT) AS trend_score,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN recent r ON l.l_orderkey = r.o_orderkey
+    GROUP BY l.l_partkey
+    ORDER BY trend_score DESC, l.l_partkey
+    LIMIT 10
+    """,
+)
+def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-10 parts by exponentially-decayed demand
+    over the last 7 order days — weight 2^(6−age) (1-day half-life as
+    integer bit-shifts, the attribution_decay ladder), quantity-mass
+    weighted. The freshness-ranked leaderboard every marketplace /
+    feed surface runs; fully deterministic (anchor = max order date,
+    shift weights exact).
+
+    Scale: the 1-row anchor broadcasts into the orders scan, the
+    recent-orders frame (7 days) joins lineitem on the order key, and
+    the part rollup is map-side combinable; TakeOrdered caps the sort
+    at k. At true scale the anchor is a literal ('today') and the
+    age filter pushes to the date partition."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    recent = (
+        o.crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("maxd"), F.col("o_orderdate").cast("date"))
+            .alias("age"),
+        )
+        .where((F.col("age") >= 0) & (F.col("age") <= 6))
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    j = li.join(recent, li["l_orderkey"] == recent["o_orderkey"])
+    return (
+        j.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_quantity").cast("long")
+                * F.expr("shiftright(64, CAST(age AS INT))")
+            )
+            .cast("long")
+            .alias("trend_score"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy(F.desc("trend_score"), "l_partkey")
+        .limit(10)
+    )
+
+
+@register(
     "orders_open_timeline",
     """
     WITH closes AS (
@@ -9475,7 +9540,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "ann_ranking_quality", "bpe_compression", "weighted_median_price",
     "events_seasonality_profile", "pagerank_personalized",
     "corpus_diversity", "embedding_centroid_shift", "bootstrap_chars_ci",
-    "abn_test_chisq", "orders_open_timeline",
+    "abn_test_chisq", "orders_open_timeline", "trending_parts",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among

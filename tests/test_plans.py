@@ -520,3 +520,20 @@ def test_ranking_quality_truth_joins_are_semi(spark, sf_dir):
     plan = _plan(q.ann_ranking_quality(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ppr_final_plan_is_checkpoint_topk(spark, sf_dir):
+    # the iteration's broadcast joins execute eagerly (localCheckpoint
+    # per iteration pins O(1) lineage); the returned plan must be just
+    # the top-k over the checkpointed |V|-row vector — no join, no
+    # cartesian, no full sort
+    plan = _plan(q.pagerank_personalized(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan.split("== Physical Plan ==")[1]
+
+
+def test_trending_parts_anchor_broadcast_topk(spark, sf_dir):
+    plan = _plan(q.trending_parts(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
