@@ -25,7 +25,7 @@ def test_pagerank_uniform_on_regular_graph(spark):
     # a 4-cycle is 2-regular: every node keeps exactly the uniform rank
     e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
     arcs = G.symmetrize(e)
-    ranks = {r["node"]: r["rank"] for r in G.G.pagerank_int(arcs, 3).collect()}
+    ranks = {r["node"]: r["rank"] for r in G.pagerank_int(arcs, 3).collect()}
     assert len(ranks) == 4
     assert len(set(ranks.values())) == 1  # symmetry preserved exactly
     # conserved mass up to truncation dust: <= N ulps lost per div site
