@@ -8510,6 +8510,82 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interarrival_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_ns(ts), event_id) AS gap_ns
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, gap_ns,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gap_ns) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g WHERE gap_ns IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_ns) // MAX(n) AS BIGINT) AS mean_gap_ns,
+           CAST(MAX(CASE WHEN rn = (500 * n + 999) // 1000
+                         THEN gap_ns END) AS BIGINT) AS p50_gap_ns,
+           CAST(MAX(CASE WHEN rn = (990 * n + 999) // 1000
+                         THEN gap_ns END) AS BIGINT) AS p99_gap_ns
+    FROM r GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (mean / discrete
+    p50 / p99 of consecutive-event gaps) — the burstiness profile
+    behind capacity planning and the sessionizer's gap threshold.
+    Gaps via ONE keyed lag window (ties broken by event_id, so the
+    lag order is total); quantiles by the explicit ceil(q·n) rank
+    convention (priority_quantile_disc); mean as integer division.
+
+    Scale: two windows on the SAME (event_type) key — one partition
+    shuffle total; the gap quantile rank runs per type, never a
+    global sort. Gap ordering is unique (gap values may tie but rank
+    picks by gap only after a deterministic lag pass, and equal gap
+    values are interchangeable for a quantile)."""
+    e = load(spark, sf_dir, "events")
+    lagw = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.col("ts") - F.lag("ts").over(lagw)).alias("gap_ns"),
+    ).where(F.col("gap_ns").isNotNull())
+    rw = Window.partitionBy("event_type").orderBy("gap_ns")
+    nw = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_ns",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(nw).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.expr("div(sum(gap_ns), max(n))").cast("long").alias("mean_gap_ns"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("div(500 * n + 999, 1000)"),
+                F.col("gap_ns"),
+            )
+        )
+        .cast("long")
+        .alias("p50_gap_ns"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("div(990 * n + 999, 1000)"),
+                F.col("gap_ns"),
+            )
+        )
+        .cast("long")
+        .alias("p99_gap_ns"),
+    )
+
+
+@register(
     "trending_parts",
     """
     WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders),
@@ -9541,6 +9617,7 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "events_seasonality_profile", "pagerank_personalized",
     "corpus_diversity", "embedding_centroid_shift", "bootstrap_chars_ci",
     "abn_test_chisq", "orders_open_timeline", "trending_parts",
+    "events_interarrival_stats",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
