@@ -83,14 +83,25 @@ def pagerank_int(
     # else changes shape.
     seed_flag = None
     if seeds is not None:
+        # intersect with the graph's node set FIRST: seeds absent
+        # from the graph can never receive their teleport share, so
+        # counting them would silently drain rank mass (and a fully
+        # disjoint seed set would yield all-zero ranks instead of an
+        # error)
         seed_flag = (
             seeds.select("node").distinct()
+            .join(
+                deg.select(F.col("src").alias("node")), "node", "left_semi"
+            )
             .withColumn("__seed", F.lit(1))
             .persist()
         )
         n_teleport = seed_flag.count()
         if n_teleport == 0:
-            raise ValueError("personalized PageRank needs >= 1 seed node")
+            raise ValueError(
+                "personalized PageRank needs >= 1 seed node present in "
+                "the graph"
+            )
     else:
         n_teleport = n_nodes
     base = ((100 - damping_pct) * PR_SCALE) // (100 * n_teleport)

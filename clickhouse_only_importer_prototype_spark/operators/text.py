@@ -487,11 +487,23 @@ def chunk_documents(
     )
 
 
+def bpe_exclude_delimiter_words(
+    words: DataFrame, word_col: str = "word"
+) -> DataFrame:
+    """Drop words containing the state/pair delimiters '/' or '|' —
+    the rendering below is only unambiguous without them. Enforced (not
+    assumed): real corpora contain URLs/paths/pipes even after
+    normalization; excluded words simply don't vote on merges, the
+    same treatment real BPE trainers give their reserved bytes."""
+    return words.where(~F.col(word_col).rlike("[/|]"))
+
+
 def bpe_word_states(words: DataFrame, word_col: str = "word") -> DataFrame:
     """Render each distinct word as a '/'-delimited symbol state
     ('the' -> '/t/h/e/') — the working representation for BPE merge
-    training. Symbols never contain '/' or '|' (corpus words are
-    normalized word characters), so the delimiters are unambiguous.
+    training. Callers pass words through bpe_exclude_delimiter_words
+    first (bpe_train/bpe_encode do) so symbols never contain '/' or
+    '|' and the delimiters are unambiguous.
 
     Scale: BPE trainers operate on the DISTINCT-word frequency table,
     never the corpus — Zipf bounds it at vocab scale (~10^5..10^6 rows
@@ -625,25 +637,29 @@ def _bpe_train_local(wc: dict, n_merges: int):
 
 
 def _bpe_iterate(words: DataFrame, n_merges: int):
-    """Shared training loop: returns (final_states, [step frames]).
-    The caller owns unpersisting final_states after its action runs."""
+    """Shared distributed training loop: returns (final_states,
+    rules) where rules = [(step, left, right, count)] COLLECTED rows
+    (one 1-row ``first()`` per iteration — driver-side metadata, the
+    n_nodes-count class; nothing per-iteration stays persisted). The
+    caller owns unpersisting final_states after its action runs;
+    stops early if no pairs remain (all-single-symbol vocab)."""
+    spark = words.sparkSession
     states = bpe_word_states(words).persist()
-    steps = []
+    rules = []
     for k in range(1, n_merges + 1):
-        best = bpe_best_pair(bpe_pair_counts(states)).persist()
-        steps.append(
-            best.select(
-                F.lit(k).cast("long").alias("step"),
-                "left_sym",
-                "right_sym",
-                "pair_count",
-            )
+        row = bpe_best_pair(bpe_pair_counts(states)).first()
+        if row is None:
+            break
+        rules.append((k, row.left_sym, row.right_sym, row.pair_count))
+        best_lit = spark.createDataFrame(
+            [(row.left_sym, row.right_sym, row.pair_count)],
+            "left_sym string, right_sym string, pair_count long",
         )
-        new_states = bpe_apply_merge(states, best).persist()
+        new_states = bpe_apply_merge(states, best_lit).persist()
         new_states.count()  # materialize before dropping the parent
         states.unpersist()
         states = new_states
-    return states, steps
+    return states, rules
 
 
 def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
@@ -670,24 +686,19 @@ def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
     -> ~2s at sf0.1, 31-word vocab). Past the budget the distributed
     iteration runs with identical semantics (equality pinned in
     tests)."""
-    words = words.persist()
+    words = bpe_exclude_delimiter_words(words).persist()
     try:
         if words.count() <= LOCAL_VOCAB_MAX:
             wc = {r["word"]: r["n"] for r in words.collect()}
             rules, _ = _bpe_train_local(wc, n_merges)
-            return words.sparkSession.createDataFrame(
-                rules,
-                "step long, left_sym string, right_sym string, "
-                "pair_count long",
-            ).orderBy("step")
-        states, steps = _bpe_iterate(words, n_merges)
-        try:
-            out = steps[0]
-            for s in steps[1:]:
-                out = out.unionByName(s)
-            return out.orderBy("step")
-        finally:
+        else:
+            states, rules = _bpe_iterate(words, n_merges)
             states.unpersist()
+        return words.sparkSession.createDataFrame(
+            [tuple(r) for r in rules],
+            "step long, left_sym string, right_sym string, "
+            "pair_count long",
+        ).orderBy("step")
     finally:
         words.unpersist()
 
@@ -700,8 +711,9 @@ def bpe_encode(words: DataFrame, n_merges: int) -> DataFrame:
     contain '/'). The per-word token count is what fertility /
     compression metrics aggregate. Same scale shape and adaptive
     local/distributed split as bpe_train; the returned frame stays
-    vocab-scale."""
-    words = words.persist()
+    vocab-scale (distributed path: eagerly checkpointed so no cache
+    or lineage is left pinned behind the returned frame)."""
+    words = bpe_exclude_delimiter_words(words).persist()
     try:
         if words.count() <= LOCAL_VOCAB_MAX:
             rows = words.collect()
@@ -720,7 +732,7 @@ def bpe_encode(words: DataFrame, n_merges: int) -> DataFrame:
                 "word string, state string, n long, n_tokens long",
             )
         states, _ = _bpe_iterate(words, n_merges)
-        return states.select(
+        out = states.select(
             "word",
             "state",
             "n",
@@ -731,6 +743,8 @@ def bpe_encode(words: DataFrame, n_merges: int) -> DataFrame:
             )
             .cast("long")
             .alias("n_tokens"),
-        )
+        ).localCheckpoint(eager=True)
+        states.unpersist()
+        return out
     finally:
         words.unpersist()

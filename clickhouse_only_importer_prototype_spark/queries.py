@@ -5608,6 +5608,38 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     return "".join(parts)
 
 
+def _custsupp_arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer<->supplier trade graph shared by both
+    PageRank variants: edges = distinct trading pairs via orders x
+    lineitem; node ids custkey*2 / suppkey*2+1."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph_ops.symmetrize(edges)
+
+
+def _pagerank_top20(ranks: DataFrame) -> DataFrame:
+    """Shared output contract: decode node ids, top-20 by rank."""
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").cast("long").alias("node_key"),
+            F.col("rank").cast("long").alias("rank_1e12"),
+        )
+        .orderBy(F.desc("rank_1e12"), "node_type", "node_key")
+        .limit(20)
+    )
+
+
 def _ppr_oracle_sql(iterations: int = 3) -> str:
     """Unrolled twin of the PERSONALIZED variant: teleport mass
     restricted to the seed customers (custkey % 19 == 0 among graph
@@ -5677,17 +5709,7 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     global centrality. Same exact int64 fixed-point chain; the seed
     gating adds one broadcast flag join per iteration and nothing
     else changes shape (operators/graph.pagerank_int seeds=...)."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    arcs = graph_ops.symmetrize(edges)
+    arcs = _custsupp_arcs(spark, sf_dir)
     seeds = (
         arcs.select(F.col("src").alias("node"))
         .distinct()
@@ -5695,17 +5717,8 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node") % 2 == 0) & (F.expr("div(node, 2)") % 19 == 0)
         )
     )
-    ranks = graph_ops.pagerank_int(arcs, iterations=3, seeds=seeds)
-    return (
-        ranks.select(
-            F.when(F.col("node") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_type"),
-            F.expr("node div 2").cast("long").alias("node_key"),
-            F.col("rank").cast("long").alias("rank_1e12"),
-        )
-        .orderBy(F.desc("rank_1e12"), "node_type", "node_key")
-        .limit(20)
+    return _pagerank_top20(
+        graph_ops.pagerank_int(arcs, iterations=3, seeds=seeds)
     )
 
 
@@ -5724,28 +5737,10 @@ def pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector + a map-side-combinable groupBy(dst); ranks are
     localCheckpointed per iteration so lineage stays O(1). The final
     top-20 sorts |V| rows, not edges."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    return _pagerank_top20(
+        graph_ops.pagerank_int(
+            _custsupp_arcs(spark, sf_dir), iterations=3
         )
-        .distinct()
-    )
-    arcs = graph_ops.symmetrize(edges)
-    ranks = graph_ops.pagerank_int(arcs, iterations=3)
-    return (
-        ranks.select(
-            F.when(F.col("node") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_type"),
-            F.expr("node div 2").cast("long").alias("node_key"),
-            F.col("rank").cast("long").alias("rank_1e12"),
-        )
-        .orderBy(F.desc("rank_1e12"), "node_type", "node_key")
-        .limit(20)
     )
 
 
@@ -6831,15 +6826,36 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "ab_test_analysis",
-    """
-    WITH u AS (
+# ONE conversion definition shared by every experiment readout
+# (ab_test_analysis, abn_test_chisq): >= 14 purchase events converts.
+# Tune it here and both Spark paths and both oracles move together.
+_SQL_USER_CONV_CTE = """
       SELECT user_id,
              CASE WHEN SUM(CASE WHEN event_type = 'purchase'
                                 THEN 1 ELSE 0 END) >= 14
                   THEN 1 ELSE 0 END AS conv
-      FROM events GROUP BY user_id
+      FROM events GROUP BY user_id"""
+
+
+def _user_conversions(e: DataFrame) -> DataFrame:
+    """Per-user conversion flag (the _SQL_USER_CONV_CTE twin): one
+    map-side-combinable fold."""
+    return e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        )
+        .cast("int")
+        .alias("conv")
+    )
+
+
+@register(
+    "ab_test_analysis",
+    f"""
+    WITH u AS ({_SQL_USER_CONV_CTE}
     ),
     v AS (
       SELECT CASE WHEN strpos('02468ace',
@@ -6887,17 +6903,7 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one per-user fold (map-side combinable), one 4-cell global
     agg — no shuffle carries more than |users| rows."""
-    e = load(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(
-        (
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            >= 14
-        )
-        .cast("int")
-        .alias("conv")
-    )
+    u = _user_conversions(load(spark, sf_dir, "events"))
     variant = F.when(
         F.expr(
             "instr('02468ace', substr(md5(CAST(user_id AS STRING)), 1, 1)) > 0"
@@ -8724,10 +8730,13 @@ _CHISQ_TERMS = " + ".join(
 # one shared expression string: identical text -> identical IEEE ops
 # -> identical bits on both engines (the ab_test z-stat discipline,
 # with the 4-term sum written in FIXED order — an aggregate SUM of
-# doubles would be summation-order nondeterministic)
+# doubles would be summation-order nondeterministic).
+# chi2 = sum_v (c_v*N - n_v*C)^2 / n_v, divided by C*(N-C):
+# each cell's (O-E)^2/E pair collapses to that closed form (the
+# conv/non-conv numerators are negatives of each other).
 _CHISQ_EXPR = (
     "CASE WHEN cc = 0 OR cc = nn THEN 0 ELSE "
-    "CAST(floor(1000.0 * CAST(nn AS DOUBLE) * ({terms}) "
+    "CAST(floor(1000.0 * ({terms}) "
     "/ (CAST(cc AS DOUBLE) * CAST(nn - cc AS DOUBLE))) AS BIGINT) END"
 ).format(terms=_CHISQ_TERMS)
 
@@ -8735,12 +8744,7 @@ _CHISQ_EXPR = (
 @register(
     "abn_test_chisq",
     f"""
-    WITH u0 AS (
-      SELECT user_id,
-             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
-                                THEN 1 ELSE 0 END) >= 14
-                  THEN 1 ELSE 0 END AS conv
-      FROM events GROUP BY user_id
+    WITH u0 AS ({_SQL_USER_CONV_CTE}
     ),
     u AS (
       SELECT CAST(('0x' || substr(md5('abn-v1:' || CAST(user_id AS VARCHAR)),
@@ -8785,27 +8789,12 @@ def abn_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two-shuffle shape as ab_test_analysis regardless of
     corpus size. Residual squares hold in int64 while users < ~3e9
     per variant; DECIMAL(38,0) past that."""
-    u = (
-        load(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.when(
-                F.sum(
-                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-                )
-                >= 14,
-                1,
-            )
-            .otherwise(0)
-            .alias("conv")
-        )
-        .select(
-            # _hash_bucket mods by 10000 first; 4 | 10000, so the
-            # composed mod equals the oracle's direct % 4
-            (sampling_ops._hash_bucket(F.col("user_id"), "abn-v1") % 4)
-            .alias("variant"),
-            "conv",
-        )
+    u = _user_conversions(load(spark, sf_dir, "events")).select(
+        # _hash_bucket mods by 10000 first; 4 | 10000, so the
+        # composed mod equals the oracle's direct % 4
+        (sampling_ops._hash_bucket(F.col("user_id"), "abn-v1") % 4)
+        .alias("variant"),
+        "conv",
     )
     aggs = []
     for v in range(4):
@@ -9015,9 +9004,11 @@ def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (source, token) rollup (map-side combinable, Zipf-
     bounded per source) + one per-source fold; Σn² and N decompose
-    over shards, so web-scale corpora partial-aggregate — int64 holds
-    while per-source N < 3e9; shard-then-merge (or DECIMAL(38,0))
-    past it."""
+    over shards, so web-scale corpora partial-aggregate. int64 bound:
+    the ×1e6 share scaling needs N²·1e6 < 2^63, i.e. per-source
+    N < ~3.0e6 tokens AT THE FINAL FOLD — past that, compute the two
+    final ratios from the (decomposable) partials in DECIMAL(38,0)
+    (effective_vocab alone holds to N < 3e9)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "source",
@@ -9073,9 +9064,12 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combinable rollup to the (type × 24) grid,
     then a broadcast-size totals join — output is catalog-scale."""
     e = load(spark, sf_dir, "events")
+    # truncating % on both sides (Spark % == DuckDB %), NOT pmod:
+    # pmod/% disagree on pre-epoch (negative-hour) timestamps and the
+    # repo's floordiv tests pin the truncation convention as in-domain
     h = e.groupBy(
         "event_type",
-        F.expr("pmod(ts div 3600000000000, 24)").alias("hour_of_day"),
+        F.expr("(ts div 3600000000000) % 24").alias("hour_of_day"),
     ).agg(F.count("*").cast("long").alias("n"))
     t = h.groupBy("event_type").agg(F.sum("n").cast("long").alias("total"))
     return h.join(F.broadcast(t), "event_type").select(
@@ -9400,7 +9394,11 @@ def _bpe_oracle(n_merges: int, emit: str = "merges") -> str:
         f"""toks AS (
       SELECT unnest(string_split({_SQL_NORM}, ' ')) AS w FROM documents
     ),
-    wc AS (SELECT w, COUNT(*) AS n FROM toks WHERE w <> '' GROUP BY w),
+    wc AS (
+      SELECT w, COUNT(*) AS n FROM toks
+      WHERE w <> '' AND w NOT LIKE '%/%' AND w NOT LIKE '%|%'
+      GROUP BY w
+    ),
     s0 AS (
       SELECT w,
              '/' || array_to_string(string_split(w, ''), '/') || '/' AS st, n

@@ -178,3 +178,25 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
 
     with _pytest.raises(ValueError, match="seed"):
         G.pagerank_int(arcs, iterations=1, seeds=seeds)
+
+
+def test_personalized_pagerank_disjoint_seeds_raise(spark):
+    arcs = G.symmetrize(
+        spark.createDataFrame([(1, 2)], "src long, dst long")
+    )
+    seeds = spark.createDataFrame([(42,)], "node long")
+    with pytest.raises(ValueError, match="present in"):
+        G.pagerank_int(arcs, iterations=1, seeds=seeds)
+
+
+def test_personalized_pagerank_offgraph_seeds_dont_dilute(spark):
+    # seeds {1, 99}: 99 is off-graph, so mass must be allotted as if
+    # the seed set were exactly {1}
+    arcs = G.symmetrize(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    )
+    only1 = spark.createDataFrame([(1,)], "node long")
+    with99 = spark.createDataFrame([(1,), (99,)], "node long")
+    a = {r.node: r.rank for r in G.pagerank_int(arcs, 2, seeds=only1).collect()}
+    b = {r.node: r.rank for r in G.pagerank_int(arcs, 2, seeds=with99).collect()}
+    assert a == b

@@ -524,3 +524,19 @@ def test_weighted_median_clears_half_weight_python_reference(spark, sf_dir):
             if 2 * cum >= total:
                 assert got[flag] == (total, price), flag
                 break
+
+
+def test_chisq_expr_matches_manual_statistic(spark):
+    """_CHISQ_EXPR on a hand-checked 2x4 table: chi2 = 6.7490...
+    (sum of (O-E)^2/E over all 8 cells) -> floor(1000x) = 6749."""
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    df = spark.createDataFrame(
+        [(100, 30, 120, 45, 90, 20, 110, 40)],
+        "n0 long, c0 long, n1 long, c1 long, n2 long, c2 long, "
+        "n3 long, c3 long",
+    ).selectExpr("*", "n0+n1+n2+n3 AS nn", "c0+c1+c2+c3 AS cc")
+    from pyspark.sql import functions as F
+
+    got = df.select(F.expr(q._CHISQ_EXPR).alias("chi2")).collect()[0].chi2
+    assert got == 6749

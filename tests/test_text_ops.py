@@ -274,7 +274,12 @@ def _bpe_reference(word_counts, n_merges):
                 counts[(syms[i], syms[i + 1])] = (
                     counts.get((syms[i], syms[i + 1]), 0) + n
                 )
-        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        # tie-break on the concatenated 'a|b' rendering — the SAME key
+        # the product orders on (tuple order would disagree when one
+        # pair's left symbol is a prefix of another's)
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "|" + kv[0][1])
+        )
         rules.append((step, a, b, c))
         new_states = {}
         for syms, n in states.items():
@@ -366,3 +371,14 @@ def test_bpe_distributed_path_equals_local(spark, monkeypatch):
     )
     assert dist_rules == local_rules == _bpe_reference(wc, 3)
     assert dist_enc == local_enc
+
+
+def test_bpe_excludes_delimiter_bearing_words(spark):
+    # 'a/b' and 'x|y' must not vote on merges or corrupt states
+    wc = {"the": 5, "then": 3, "a/b": 100, "x|y": 100}
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+    got = [tuple(r) for r in text_ops.bpe_train(df, 2).collect()]
+    clean = {w: n for w, n in wc.items() if "/" not in w and "|" not in w}
+    assert got == _bpe_reference(clean, 2)
+    enc_words = {r.word for r in text_ops.bpe_encode(df, 2).collect()}
+    assert enc_words == set(clean)
