@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
         help="query mode: print the formatted physical plan instead of"
         " executing (plan review: broadcasts, PushedFilters, codegen)",
     )
+    parser.add_argument(
+        "-describe", "--describe", action="store_true",
+        help="query mode with -name list: include each query's"
+        " one-line description",
+    )
     args = parser.parse_args(argv)
 
     if args.mode == "query":
@@ -73,9 +78,14 @@ def main(argv: list[str] | None = None) -> int:
         registry = entry.queries()
         if args.name == "list":
             oracled = set(entry.oracle_sql())
-            for name in registry:
+            for name, fn in registry.items():
                 tag = "oracled" if name in oracled else "rows-only"
-                print(f"{name}\t{tag}")
+                if args.describe:
+                    doc = (fn.__doc__ or "").strip().splitlines()
+                    first = doc[0].rstrip() if doc else ""
+                    print(f"{name}\t{tag}\t{first}")
+                else:
+                    print(f"{name}\t{tag}")
             return 0
         if args.name not in registry:
             parser.error(f"unknown query {args.name!r}; try -name list")
