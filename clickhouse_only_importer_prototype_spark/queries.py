@@ -9525,6 +9525,325 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_freq_of_freqs",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_SQL_NORM}, ' ')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+      WHERE token <> '' GROUP BY token
+    )
+    SELECT n AS freq,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM c
+    GROUP BY n
+    """,
+)
+def token_freq_of_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency-of-frequencies: how many vocabulary types
+    occur exactly r times and the token mass each r holds. N1/N (the
+    singleton share) IS the Good–Turing estimate of unseen-type
+    probability — the standard smoothing input for the bigram LM
+    scorer (bigram_lm_scores) and a direct read on corpus
+    contamination (duplicated corpora crater N1).
+
+    Scale: both folds are map-side combinable; the second runs over
+    DISTINCT tokens (vocab-scale, Zipf-bounded) and its output key
+    space is the distinct count values — O(sqrt(total occurrences))
+    by the partition bound, metadata-scale at any corpus size. No
+    windows, no joins."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(text_ops._norm(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    c = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    return c.groupBy(F.col("n").alias("freq")).agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+    )
+
+
+@register(
+    "mixture_temperature",
+    f"""
+    WITH tk AS (
+      SELECT source,
+             CASE WHEN {_SQL_NORM} = '' THEN 0
+                  ELSE CAST(len(string_split({_SQL_NORM}, ' ')) AS BIGINT)
+             END AS n_tokens
+      FROM documents
+    ),
+    avail AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_avail
+      FROM tk GROUP BY source
+      HAVING SUM(n_tokens) > 0
+    ),
+    w AS (
+      SELECT source, n_avail,
+             CAST(floor(sqrt(CAST(n_avail AS DOUBLE))) AS BIGINT) AS wgt
+      FROM avail
+    ),
+    t AS (
+      SELECT source, n_avail, wgt,
+             CAST(SUM(wgt) OVER () AS BIGINT) AS wsum,
+             CAST(SUM(n_avail) OVER () AS BIGINT) AS total
+      FROM w
+    )
+    SELECT source, n_avail,
+           (wgt * 1000000) // wsum AS share_1e6,
+           (2 * total * wgt) // wsum AS target_tokens,
+           ((2 * total * wgt) // wsum * 1000) // n_avail
+             AS epochs_milli,
+           ((2 * total * wgt) // wsum * 1000) // n_avail > 1000
+             AS oversampled
+    FROM t
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced source mixture (the multilingual
+    alpha=0.5 sampling rule): per-source target share proportional to
+    sqrt(available tokens), flattening the natural Zipf of source
+    sizes so small sources aren't drowned. Against a 2x-total token
+    budget this yields per-source target tokens and epochs_milli —
+    the repeat factor the data-constrained-scaling literature needs
+    (>1000 = the source is epoched / oversampled). Complements
+    domain_mixture (observed composition) and token_budget_sample
+    (greedy doc selection under the resulting caps).
+
+    Determinism: sqrt over an exact int64 (< 2^53) is IEEE
+    correctly-rounded, so floor(sqrt(n)) is bit-identical cross-
+    engine; everything after is integer div. Scale: one map-side
+    token-count fold to catalog-scale rows; the OVER () totals fold
+    a handful of sources on one task — metadata-scale. int64 bound:
+    2·total·wgt with wgt ≤ √total needs total < ~1.7e12 tokens
+    (multi-TB text); past that compute the target in DECIMAL(38,0)
+    over the same integer partials. Zero-token sources are excluded
+    (no epochs of nothing; also keeps the div exact)."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", text_ops.token_count(F.col("text")).alias("n_tokens")
+    )
+    avail = (
+        tk.groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("n_avail"))
+        .where(F.col("n_avail") > 0)
+    )
+    w = avail.select(
+        "source",
+        "n_avail",
+        F.floor(F.sqrt(F.col("n_avail").cast("double")))
+        .cast("long")
+        .alias("wgt"),
+    )
+    tot = Window.partitionBy()
+    t = w.select(
+        "source",
+        "n_avail",
+        "wgt",
+        F.sum("wgt").over(tot).cast("long").alias("wsum"),
+        F.sum("n_avail").over(tot).cast("long").alias("total"),
+    )
+    target = F.expr("div(2 * total * wgt, wsum)")
+    return t.select(
+        "source",
+        "n_avail",
+        F.expr("div(wgt * 1000000, wsum)").alias("share_1e6"),
+        target.alias("target_tokens"),
+        F.expr("div(div(2 * total * wgt, wsum) * 1000, n_avail)").alias(
+            "epochs_milli"
+        ),
+        (
+            F.expr("div(div(2 * total * wgt, wsum) * 1000, n_avail)")
+            > F.lit(1000)
+        ).alias("oversampled"),
+    )
+
+
+@register(
+    "lang_chi2_tokens",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split({_SQL_NORM}, ' ')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS a
+      FROM toks WHERE token <> '' GROUP BY lang, token
+    ),
+    t AS (
+      SELECT lang, token, a,
+             CAST(SUM(a) OVER (PARTITION BY token) AS BIGINT) AS row_t,
+             CAST(SUM(a) OVER (PARTITION BY lang) AS BIGINT) AS col_l,
+             CAST(SUM(a) OVER () AS BIGINT) AS nn
+      FROM c
+    ),
+    x AS (
+      SELECT lang, token, a,
+             CAST(floor(
+               (CAST(nn AS DOUBLE)
+                * (CAST(a AS DOUBLE) * CAST(nn - row_t - col_l + a AS DOUBLE)
+                   - CAST(row_t - a AS DOUBLE) * CAST(col_l - a AS DOUBLE))
+                * (CAST(a AS DOUBLE) * CAST(nn - row_t - col_l + a AS DOUBLE)
+                   - CAST(row_t - a AS DOUBLE) * CAST(col_l - a AS DOUBLE)))
+               / (CAST(row_t AS DOUBLE) * CAST(nn - row_t AS DOUBLE)
+                  * CAST(col_l AS DOUBLE) * CAST(nn - col_l AS DOUBLE))
+               * 1000) AS BIGINT) AS chi2_milli
+      FROM t
+      WHERE a >= 5 AND nn - row_t > 0 AND nn - col_l > 0
+            AND a * nn > row_t * col_l
+    )
+    SELECT lang, token, a AS n_in_lang, chi2_milli
+    FROM (
+      SELECT lang, token, a, chi2_milli,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY chi2_milli DESC, token
+             ) AS rk
+      FROM x
+    ) WHERE rk <= 3
+    """,
+)
+def lang_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised feature selection: per-language top-3 tokens by
+    chi-squared association with the language label — the classic
+    discriminative-vocabulary pick for routing / lang-ID feature
+    lists, complementing tfidf_top_terms (unsupervised rarity).
+    Over-represented tokens only (observed > expected), support
+    floor a >= 5.
+
+    Determinism: the 2x2 chi-squared is a ROW-LOCAL closed form over
+    already-aggregated integer cells — both engines evaluate the
+    identical IEEE expression tree (exact int64→double conversions,
+    same op order, no float aggregation), so the doubles are
+    bit-identical and floor(x*1000) hashes exactly; the ranking
+    tie-breaks on token. Scale: one (lang, token) map-side rollup;
+    per-token totals are a token-partitioned window on the vocab-
+    scale frame (Zipf-bounded, never the corpus), while the lang and
+    grand totals fold to broadcast-joined catalog-scale frames — no
+    SinglePartition window anywhere on the data path; output is 3
+    rows per language."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(text_ops._norm(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    c = toks.groupBy("lang", "token").agg(
+        F.count("*").cast("long").alias("a")
+    )
+    langs = c.groupBy("lang").agg(F.sum("a").cast("long").alias("col_l"))
+    nn_df = c.agg(F.sum("a").cast("long").alias("nn"))
+    t = (
+        c.withColumn(
+            "row_t",
+            F.sum("a").over(Window.partitionBy("token")).cast("long"),
+        )
+        .join(F.broadcast(langs), "lang")
+        .crossJoin(F.broadcast(nn_df))
+    )
+    dbl = lambda col: col.cast("double")  # noqa: E731
+    det = dbl(F.col("a")) * dbl(
+        F.col("nn") - F.col("row_t") - F.col("col_l") + F.col("a")
+    ) - dbl(F.col("row_t") - F.col("a")) * dbl(F.col("col_l") - F.col("a"))
+    chi2 = (dbl(F.col("nn")) * det * det) / (
+        dbl(F.col("row_t"))
+        * dbl(F.col("nn") - F.col("row_t"))
+        * dbl(F.col("col_l"))
+        * dbl(F.col("nn") - F.col("col_l"))
+    )
+    x = t.where(
+        (F.col("a") >= 5)
+        & (F.col("nn") - F.col("row_t") > 0)
+        & (F.col("nn") - F.col("col_l") > 0)
+        & (F.col("a") * F.col("nn") > F.col("row_t") * F.col("col_l"))
+    ).select(
+        "lang",
+        "token",
+        F.col("a").alias("n_in_lang"),
+        F.floor(chi2 * F.lit(1000)).cast("long").alias("chi2_milli"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2_milli").desc(), F.col("token")
+    )
+    return (
+        x.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@register(
+    "curriculum_order",
+    f"""
+    WITH {_SQL_QF_CTES},
+    f AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)
+               AS punct_rate,
+             CAST(floor(1000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT)
+               AS stop_rate,
+             CAST(floor(n_chars / greatest(n_tokens, 1)) AS BIGINT) AS mtl
+      FROM m
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(5 * stop_rate - 2 * punct_rate - 50 * abs(mtl - 5)
+                  + least(n_tokens, 256) AS BIGINT) AS quality_score
+      FROM f
+    ),
+    k AS (
+      SELECT doc_id, quality_score,
+             (1048576 - greatest(least(quality_score, 1048576), -1048576))
+               * 4294967296
+             + CAST(('0x' || substr(md5('curr-v1:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ord_key
+      FROM q
+    )
+    SELECT doc_id, quality_score,
+           CAST(row_number() OVER (ORDER BY ord_key, doc_id) - 1 AS BIGINT)
+             AS train_order
+    FROM k
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: a gapless global training order that
+    presents highest-quality documents first while shuffling uniformly
+    WITHIN each quality level (salted md5 in the low 32 bits breaks up
+    source/crawl locality — adjacent training batches must not be
+    correlated). The composite int64 key packs clamped quality into
+    the high bits ((2^20 - q) * 2^32 + h32), so ORDER BY key IS the
+    curriculum.
+
+    Scale: the global rank reuses operators/ids.rank_gapless — range-
+    bucketed two-pass prefix-sum rank, NO single-task global window;
+    the hash low bits smear ties across bucket boundaries evenly.
+    Production layouts would write sorted by the same key
+    (sinks/ranges) so readers stream the curriculum in file order."""
+    q = text_ops.quality_score(load(spark, sf_dir, "documents"))
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("curr-v1:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    qcap = F.lit(1 << 20)
+    clamped = F.greatest(F.least(F.col("quality_score"), qcap), -qcap)
+    keyed = q.select(
+        "doc_id",
+        "quality_score",
+        ((qcap - clamped) * F.lit(1 << 32) + h32).alias("ord_key"),
+    )
+    ranked = ids_ops.rank_gapless(
+        keyed, ["ord_key", "doc_id"], id_col="train_order"
+    )
+    return ranked.select("doc_id", "quality_score", "train_order")
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get

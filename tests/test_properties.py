@@ -540,3 +540,115 @@ def test_chisq_expr_matches_manual_statistic(spark):
 
     got = df.select(F.expr(q._CHISQ_EXPR).alias("chi2")).collect()[0].chi2
     assert got == 6749
+
+
+def test_lang_chi2_tokens_matches_python_reference(spark, sf_dir):
+    """lang_chi2_tokens == brute-force python chi2 over the same
+    tokenization: identical cells, identical closed form, identical
+    top-3-per-lang pick (chi2 desc, token asc)."""
+    import collections
+    import math
+
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    got = [
+        (r.lang, r.token, r.n_in_lang, r.chi2_milli)
+        for r in q.lang_chi2_tokens(spark, sf_dir).collect()
+    ]
+
+    docs = q.load(spark, sf_dir, "documents").select("lang", "text").collect()
+    cells: dict[tuple[str, str], int] = collections.Counter()
+    for r in docs:
+        toks = re.sub(r"\s+", " ", (r.text or "").lower()).strip().split(" ")
+        for t in toks:
+            if t:
+                cells[(r.lang, t)] += 1
+    row_t = collections.Counter()
+    col_l = collections.Counter()
+    for (lang, tok), n in cells.items():
+        row_t[tok] += n
+        col_l[lang] += n
+    nn = sum(cells.values())
+    best: dict[str, list] = collections.defaultdict(list)
+    for (lang, tok), a in cells.items():
+        rt, cl = row_t[tok], col_l[lang]
+        if a < 5 or nn - rt <= 0 or nn - cl <= 0 or a * nn <= rt * cl:
+            continue
+        det = float(a) * float(nn - rt - cl + a) - float(rt - a) * float(
+            cl - a
+        )
+        chi2 = (float(nn) * det * det) / (
+            float(rt) * float(nn - rt) * float(cl) * float(nn - cl)
+        )
+        best[lang].append((-math.floor(chi2 * 1000), tok, a))
+    expect = []
+    for lang, rows in best.items():
+        for neg, tok, a in sorted(rows)[:3]:
+            expect.append((lang, tok, a, -neg))
+    assert sorted(got) == sorted(expect)
+
+
+def test_curriculum_order_gapless_and_quality_descending(spark, sf_dir):
+    """train_order is a gapless 0..n-1 permutation; walking it in
+    order, quality_score never increases (curriculum contract); ties
+    within a quality level follow the salted md5 shuffle key."""
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    rows = q.curriculum_order(spark, sf_dir).collect()
+    orders = sorted(r.train_order for r in rows)
+    assert orders == list(range(len(rows)))
+    seq = sorted(rows, key=lambda r: r.train_order)
+    quals = [r.quality_score for r in seq]
+    assert quals == sorted(quals, reverse=True)
+
+    def h32(doc_id: int) -> int:
+        return int(
+            hashlib.md5(f"curr-v1:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+
+    keys = [(-r.quality_score, h32(r.doc_id), r.doc_id) for r in seq]
+    assert keys == sorted(keys)
+
+
+def test_mixture_temperature_flattens_zipf(spark, sf_dir):
+    """sqrt-temperature rebalancing: bigger sources keep bigger
+    targets, but their share RATIO shrinks vs the raw token ratio;
+    epochs_milli is exactly div(target*1000, avail)."""
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    rows = sorted(
+        q.mixture_temperature(spark, sf_dir).collect(),
+        key=lambda r: r.n_avail,
+    )
+    assert rows, "no sources"
+    for r in rows:
+        assert r.epochs_milli == (r.target_tokens * 1000) // r.n_avail
+        assert r.oversampled == (r.epochs_milli > 1000)
+    small, big = rows[0], rows[-1]
+    if big.n_avail > small.n_avail:
+        assert big.share_1e6 >= small.share_1e6
+        # flattening: share ratio strictly below the raw size ratio
+        assert (
+            big.share_1e6 * small.n_avail < small.share_1e6 * big.n_avail
+        )
+    total = sum(r.n_avail for r in rows)
+    # 2x budget conserved up to per-source floor rounding
+    assert sum(r.target_tokens for r in rows) <= 2 * total
+    assert sum(r.target_tokens for r in rows) >= 2 * total - 2 * len(rows)
+
+
+def test_token_freq_of_freqs_mass_conservation(spark, sf_dir):
+    """sum(freq * n_types) == sum(n_occurrences) == total token
+    occurrences counted directly off the corpus."""
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    rows = q.token_freq_of_freqs(spark, sf_dir).collect()
+    assert sum(r.freq * r.n_types for r in rows) == sum(
+        r.n_occurrences for r in rows
+    )
+    docs = q.load(spark, sf_dir, "documents").select("text").collect()
+    total = 0
+    for r in docs:
+        toks = re.sub(r"\s+", " ", (r.text or "").lower()).strip().split(" ")
+        total += sum(1 for t in toks if t)
+    assert sum(r.n_occurrences for r in rows) == total
