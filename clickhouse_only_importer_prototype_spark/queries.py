@@ -9844,6 +9844,228 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "quality_score", "train_order")
 
 
+@register(
+    "bm25_topdocs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS token
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tk GROUP BY token
+    ),
+    terms AS (
+      SELECT token, df FROM dfreq, g
+      WHERE 2 * df <= n_docs
+      ORDER BY df DESC, token LIMIT 3
+    ),
+    tf AS (
+      SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk t JOIN terms q ON t.token = q.token
+      GROUP BY t.doc_id, t.token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                             / CAST(avgdl AS DOUBLE)))))
+               * 1000000.0) AS BIGINT) AS term_milli
+      FROM tf
+      JOIN terms USING (token)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN g
+    )
+    SELECT doc_id, CAST(SUM(term_milli) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus: top-10 documents for a
+    data-derived 3-term query (the highest-df tokens appearing in at
+    most half the corpus — mid-frequency, informative). LOG-FREE
+    rational idf (N - df + 0.5)/(df + 0.5): libm log() is not
+    IEEE-correctly-rounded and drifts across engines, but +,-,*,/
+    are exactly rounded, so the per-term double is bit-identical
+    cross-engine; each term's contribution floors to integer
+    micro-points BEFORE the per-doc sum, so the final score is an
+    order-independent int64. k1=1.2, b=0.75 (the standard Robertson
+    constants), avgdl floored to integer.
+
+    Scale: token stats fold map-side on the vocab-scale frame; the
+    3-row query-term set and the 1-row corpus stats broadcast; the
+    only doc-keyed join (tf x dl) co-partitions on doc_id; TakeOrdered
+    caps the output sort at 10. The IR scoring complement to
+    inverted_index (postings) and tfidf_top_terms (term extraction)."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.explode(F.split(text_ops._norm(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    dl = tk.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    g = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("div(sum(dl), count(*))").alias("avgdl"),
+    )
+    dfreq = tk.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    terms = (
+        dfreq.crossJoin(F.broadcast(g.select("n_docs")))
+        .where(2 * F.col("df") <= F.col("n_docs"))
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(3)
+        .select("token", "df")
+    )
+    tf = (
+        tk.join(F.broadcast(terms.select("token")), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    joined = (
+        tf.join(F.broadcast(terms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+    )
+    idf = (dbl(F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        dbl(F.col("df")) + F.lit(0.5)
+    )
+    sat = (dbl(F.col("tf")) * F.lit(2.2)) / (
+        dbl(F.col("tf"))
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75) * (dbl(F.col("dl")) / dbl(F.col("avgdl")))
+        )
+    )
+    scored = joined.select(
+        "doc_id",
+        F.floor(idf * sat * F.lit(1000000.0)).cast("long").alias(
+            "term_milli"
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_milli").cast("long").alias("bm25_micro"))
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "events_sma_decomposition",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             {ORACLE_FLOORDIV('epoch_ns(ts)', 3600000000000)} AS bucket
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM b GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS bucket
+      FROM spans
+    ),
+    dense AS (
+      SELECT s.event_type, s.bucket,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+      FROM spine s LEFT JOIN c USING (event_type, bucket)
+    ),
+    tr AS (
+      SELECT event_type, bucket, n_events,
+             CASE WHEN COUNT(*) OVER w = 25
+                  THEN (SUM(n_events) OVER w * 1000) // 25
+             END AS trend_milli
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, bucket, n_events, trend_milli,
+             n_events * 1000 - trend_milli AS det_milli
+      FROM tr WHERE trend_milli IS NOT NULL
+    )
+    SELECT event_type, bucket, n_events, trend_milli,
+           SUM(det_milli) OVER s // COUNT(*) OVER s AS seasonal_milli,
+           det_milli - SUM(det_milli) OVER s // COUNT(*) OVER s
+             AS residual_milli
+    FROM det
+    WINDOW s AS (PARTITION BY event_type, bucket % 24)
+    """,
+)
+def events_sma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal-trend decomposition per event type: trend =
+    centered 25-hour moving average over the GAP-FILLED hourly series
+    (full windows only — edges drop, the textbook convention),
+    seasonal = hour-of-day mean of the detrended series, residual =
+    what's left. The residual is what seasonality-aware alerting
+    thresholds on (a raw spike at 9am is normal; the same spike at
+    3am pages). All integer milli-counts: truncating div matches
+    across engines (Spark div == DuckDB //), buckets are post-epoch
+    so bucket % 24 agrees too.
+
+    Scale: builds on temporal_ops.gap_fill (per-key dense spine);
+    both windows partition BY event_type (and hour-of-day) over the
+    hourly DOMAIN — thousands of rows per type-year regardless of
+    event volume, never the raw corpus. No global window, no
+    self-join."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    dense = temporal_ops.gap_fill(ev, ["event_type"])
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-12, 12)
+    )
+    tr = dense.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.when(
+            F.count("*").over(w) == 25,
+            F.expr("div(sum(n_events) over ("
+                   "partition by event_type order by bucket "
+                   "rows between 12 preceding and 12 following) * 1000, 25)"),
+        ).alias("trend_milli"),
+    )
+    det = tr.where(F.col("trend_milli").isNotNull()).withColumn(
+        "det_milli", F.col("n_events") * 1000 - F.col("trend_milli")
+    )
+    s = Window.partitionBy("event_type", F.col("bucket") % 24)
+    seasonal = F.expr("div(__ssum, __scnt)")
+    return (
+        det.withColumn("__ssum", F.sum("det_milli").over(s))
+        .withColumn("__scnt", F.count("*").over(s))
+        .select(
+            "event_type",
+            "bucket",
+            "n_events",
+            "trend_milli",
+            seasonal.alias("seasonal_milli"),
+            (F.col("det_milli") - seasonal).alias("residual_milli"),
+        )
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get

@@ -652,3 +652,80 @@ def test_token_freq_of_freqs_mass_conservation(spark, sf_dir):
         toks = re.sub(r"\s+", " ", (r.text or "").lower()).strip().split(" ")
         total += sum(1 for t in toks if t)
     assert sum(r.n_occurrences for r in rows) == total
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """bm25_topdocs == a brute-force python BM25 with the same
+    rational idf, constants, integer avgdl, and floor-before-sum."""
+    import collections
+    import math
+
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    got = [
+        (r.doc_id, r.bm25_micro)
+        for r in q.bm25_topdocs(spark, sf_dir).collect()
+    ]
+
+    docs = q.load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: [
+            t
+            for t in re.sub(r"\s+", " ", (r.text or "").lower())
+            .strip()
+            .split(" ")
+            if t
+        ]
+        for r in docs
+    }
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) // n_docs
+    dfreq = collections.Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] += 1
+    terms = sorted(
+        ((t, df) for t, df in dfreq.items() if 2 * df <= n_docs),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    scores = collections.Counter()
+    for d, ts in toks.items():
+        cnt = collections.Counter(ts)
+        for t, df in terms:
+            tf = cnt.get(t, 0)
+            if not tf:
+                continue
+            idf = (float(n_docs - df) + 0.5) / (float(df) + 0.5)
+            sat = (float(tf) * 2.2) / (
+                float(tf) + 1.2 * (0.25 + 0.75 * (float(dl[d]) / float(avgdl)))
+            )
+            scores[d] += math.floor(idf * sat * 1000000.0)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect
+
+
+def test_sma_decomposition_identity_and_edges(spark, sf_dir):
+    """trend + seasonal + residual == n_events*1000 exactly on every
+    row; only full 25-hour windows survive (12 rows drop per series
+    edge); seasonal is constant within (type, hour-of-day)."""
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    rows = q.events_sma_decomposition(spark, sf_dir).collect()
+    assert rows
+    seasonal_by = {}
+    for r in rows:
+        assert (
+            r.trend_milli + r.seasonal_milli + r.residual_milli
+            == r.n_events * 1000
+        )
+        key = (r.event_type, r.bucket % 24)
+        seasonal_by.setdefault(key, set()).add(r.seasonal_milli)
+    assert all(len(v) == 1 for v in seasonal_by.values())
+
+    dense = q.events_gap_filled_hourly(spark, sf_dir).collect()
+    spans = {}
+    for r in dense:
+        spans[r.event_type] = spans.get(r.event_type, 0) + 1
+    expect_rows = sum(max(n - 24, 0) for n in spans.values())
+    assert len(rows) == expect_rows
