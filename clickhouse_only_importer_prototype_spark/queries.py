@@ -10157,6 +10157,10 @@ _DEFERRED_TO_NEXT_WINDOW = [
     "corpus_diversity", "embedding_centroid_shift", "bootstrap_chars_ci",
     "abn_test_chisq", "orders_open_timeline", "trending_parts",
     "events_interarrival_stats",
+    # post-rotation round-4 additions (smoothing/mixture/feature-
+    # selection/curriculum/IR-scoring/decomposition classes):
+    "token_freq_of_freqs", "mixture_temperature", "lang_chi2_tokens",
+    "curriculum_order", "bm25_topdocs", "events_sma_decomposition",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
