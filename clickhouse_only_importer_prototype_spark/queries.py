@@ -10066,6 +10066,182 @@ def events_sma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FD_CANDIDATES = [
+    # (table, determinant, dependent) — a deliberate mix so both
+    # verdicts appear in the output: key FDs that must hold and
+    # low-cardinality pairs that must not.
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("orders", "o_orderkey", "o_orderdate"),
+    ("customer", "c_name", "c_nationkey"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_shipdate"),
+]
+
+
+@register(
+    "fd_audit",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, '{l}' AS determinant,
+           '{r}' AS dependent,
+           CAST(COUNT(DISTINCT {l}) AS BIGINT) AS n_lhs,
+           CAST(COUNT(DISTINCT ({l}, {r})) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT ({l}, {r})) - COUNT(DISTINCT {l}) AS BIGINT)
+             AS extra_rhs,
+           COUNT(DISTINCT ({l}, {r})) = COUNT(DISTINCT {l}) AS holds
+    FROM {t}"""
+        for t, l, r in _FD_CANDIDATES
+    ),
+)
+def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over a candidate list: A -> B
+    holds iff |distinct A| == |distinct (A,B)|; extra_rhs counts the
+    determinant values bound to more than one dependent value (the
+    violation mass). Schema-inference / normalization profiling —
+    the FD complement to dq_audit (row constraints) and
+    orders_profile (column stats); holds-verdicts here certify
+    dimension collapses (c_name -> c_nationkey) before a modeler
+    denormalizes on them.
+
+    Scale: each candidate is ONE pair of distinct-counts — map-side
+    partial distinct then a merge; candidates on the same table share
+    the scan. At 100 TB swap COUNT(DISTINCT) for approx HLL partials
+    (profile.hll_distinct_audit's machinery) and confirm only
+    near-ties exactly."""
+    out = None
+    for t, l, r in _FD_CANDIDATES:
+        d = load(spark, sf_dir, t)
+        one = d.agg(
+            F.countDistinct(l).cast("long").alias("n_lhs"),
+            F.countDistinct(l, r).cast("long").alias("n_pairs"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            F.lit(l).alias("determinant"),
+            F.lit(r).alias("dependent"),
+            "n_lhs",
+            "n_pairs",
+            (F.col("n_pairs") - F.col("n_lhs")).alias("extra_rhs"),
+            (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@register(
+    "mannwhitney_quality",
+    """
+    WITH d AS (SELECT source, n_chars FROM documents),
+    vals AS (
+      SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS m
+      FROM d GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars, m,
+             CAST(COALESCE(SUM(m) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c_prev
+      FROM vals
+    ),
+    sv AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS k
+      FROM d GROUP BY source, n_chars
+    ),
+    r AS (
+      SELECT sv.source,
+             CAST(SUM(sv.k) AS BIGINT) AS n_s,
+             CAST(SUM(sv.k * (2 * cum.c_prev + cum.m + 1)) AS BIGINT)
+               AS r2_s
+      FROM sv JOIN cum USING (n_chars)
+      GROUP BY sv.source
+    ),
+    g AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS nn,
+             CAST(SUM(m * m * m - m) AS BIGINT) AS tie3
+      FROM vals
+    )
+    SELECT source, n_s,
+           r2_s - n_s * (n_s + 1) AS u2_s,
+           CAST(floor(
+             (CAST(r2_s - n_s * (n_s + 1) AS DOUBLE)
+              - CAST(n_s * (nn - n_s) AS DOUBLE))
+             / sqrt(
+                 (CAST(n_s AS DOUBLE) * CAST(nn - n_s AS DOUBLE) / 3.0)
+                 * (CAST(nn + 1 AS DOUBLE)
+                    - CAST(tie3 AS DOUBLE)
+                      / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))))
+             * 1000.0) AS BIGINT) AS z_milli
+    FROM r, g
+    """,
+)
+def mannwhitney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per source vs the rest of the corpus on doc
+    length: does a source's n_chars distribution sit above/below
+    everyone else's? Nonparametric — no normality assumption, robust
+    to the heavy tails that break mean-based comparisons
+    (priority_winsorized_spend's rank-test sibling). Tie-corrected:
+    2x-scaled average ranks (2*c_prev + m + 1 per value run) keep the
+    rank sum an exact int64; U2 = 2U and its null mean n_s(N-n_s)
+    stay integers. The z-score is one ROW-LOCAL closed form over
+    those integers (IEEE +,-,*,/ and correctly-rounded sqrt — same
+    bits both engines; note 2x scaling doubles both numerator and
+    the sigma inside sqrt, so z needs the /3 variance form:
+    var(U2) = 4*var(U)). |z_milli| > 1960 rejects at 5%.
+
+    Scale: ranks come from the collapsed VALUE DOMAIN (weighted-
+    median pattern) — the cumsum window runs over distinct n_chars,
+    not the corpus; per-(source, value) counts fold map-side; the
+    final z is per-source arithmetic against one broadcast 1-row
+    global frame."""
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    vals = d.groupBy("n_chars").agg(F.count("*").cast("long").alias("m"))
+    wc = (
+        Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.withColumn(
+        "c_prev", F.coalesce(F.sum("m").over(wc), F.lit(0)).cast("long")
+    )
+    sv = d.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    r = (
+        sv.join(cum, "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("k").cast("long").alias("n_s"),
+            F.sum(
+                F.col("k") * (2 * F.col("c_prev") + F.col("m") + 1)
+            )
+            .cast("long")
+            .alias("r2_s"),
+        )
+    )
+    g = vals.agg(
+        F.sum("m").cast("long").alias("nn"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    j = r.crossJoin(F.broadcast(g))
+    u2 = F.col("r2_s") - F.col("n_s") * (F.col("n_s") + 1)
+    z = (
+        dbl(u2) - dbl(F.col("n_s") * (F.col("nn") - F.col("n_s")))
+    ) / F.sqrt(
+        (dbl(F.col("n_s")) * dbl(F.col("nn") - F.col("n_s")) / F.lit(3.0))
+        * (
+            dbl(F.col("nn") + 1)
+            - dbl(F.col("tie3"))
+            / (dbl(F.col("nn")) * dbl(F.col("nn") - 1))
+        )
+    )
+    return j.select(
+        "source",
+        "n_s",
+        u2.alias("u2_s"),
+        F.floor(z * F.lit(1000.0)).cast("long").alias("z_milli"),
+    )
+
+
 # The driver records correctness for a bounded prefix of ``queries()``
 # (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
 # 50 of 54). With ~100 oracled queries registered, WHICH ones get

@@ -729,3 +729,60 @@ def test_sma_decomposition_identity_and_edges(spark, sf_dir):
         spans[r.event_type] = spans.get(r.event_type, 0) + 1
     expect_rows = sum(max(n - 24, 0) for n in spans.values())
     assert len(rows) == expect_rows
+
+
+def test_fd_audit_verdicts(spark, sf_dir):
+    """Key-determined FDs hold (o_orderkey -> o_orderdate, c_name ->
+    c_nationkey); low-cardinality determinants are violated; holds
+    <=> extra_rhs == 0."""
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    rows = {
+        (r.table_name, r.determinant, r.dependent): r
+        for r in q.fd_audit(spark, sf_dir).collect()
+    }
+    assert len(rows) == 5
+    assert rows[("orders", "o_orderkey", "o_orderdate")].holds
+    assert rows[("customer", "c_name", "c_nationkey")].holds
+    assert not rows[("lineitem", "l_returnflag", "l_linestatus")].holds
+    for r in rows.values():
+        assert r.extra_rhs >= 0
+        assert r.holds == (r.extra_rhs == 0)
+        assert r.n_pairs >= r.n_lhs
+
+
+def test_mannwhitney_matches_python_reference(spark, sf_dir):
+    """mannwhitney_quality == a python tie-corrected MWU (2x-rank
+    integers, identical z closed form) per source vs rest."""
+    import collections
+    import math
+
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    got = {
+        r.source: (r.n_s, r.u2_s, r.z_milli)
+        for r in q.mannwhitney_quality(spark, sf_dir).collect()
+    }
+    docs = q.load(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    vals = collections.Counter(r.n_chars for r in docs)
+    rank2 = {}
+    c_prev = 0
+    for v in sorted(vals):
+        rank2[v] = 2 * c_prev + vals[v] + 1
+        c_prev += vals[v]
+    nn = len(docs)
+    tie3 = sum(m**3 - m for m in vals.values())
+    by_src = collections.defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r.n_chars)
+    for src, xs in by_src.items():
+        n_s = len(xs)
+        r2 = sum(rank2[x] for x in xs)
+        u2 = r2 - n_s * (n_s + 1)
+        z = (float(u2) - float(n_s * (nn - n_s))) / math.sqrt(
+            (float(n_s) * float(nn - n_s) / 3.0)
+            * (float(nn + 1) - float(tie3) / (float(nn) * float(nn - 1)))
+        )
+        assert got[src] == (n_s, u2, math.floor(z * 1000.0)), src
