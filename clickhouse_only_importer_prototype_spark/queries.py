@@ -9774,10 +9774,10 @@ def lang_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curriculum_order",
-    f"""
-    WITH {_SQL_QF_CTES},
+# Shared SQL twin of the curriculum ranking chain (quality features ->
+# integer quality score -> packed shuffle key -> gapless order), used
+# by the curriculum_order oracle and the shuffle-decorrelation audit.
+_SQL_CURRICULUM_CTES = f"""{_SQL_QF_CTES},
     f AS (
       SELECT doc_id, n_tokens,
              CAST(floor(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)
@@ -9800,11 +9800,20 @@ def lang_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CAST(('0x' || substr(md5('curr-v1:' ||
                  CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ord_key
       FROM q
-    )
-    SELECT doc_id, quality_score,
-           CAST(row_number() OVER (ORDER BY ord_key, doc_id) - 1 AS BIGINT)
-             AS train_order
-    FROM k
+    ),
+    ranked AS (
+      SELECT doc_id, quality_score,
+             CAST(row_number() OVER (ORDER BY ord_key, doc_id) - 1
+               AS BIGINT) AS train_order
+      FROM k
+    )"""
+
+
+@register(
+    "curriculum_order",
+    f"""
+    WITH {_SQL_CURRICULUM_CTES}
+    SELECT doc_id, quality_score, train_order FROM ranked
     """,
 )
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10239,6 +10248,197 @@ def mannwhitney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_s",
         u2.alias("u2_s"),
         F.floor(z * F.lit(1000.0)).cast("long").alias("z_milli"),
+    )
+
+
+@register(
+    "curriculum_shuffle_audit",
+    f"""
+    WITH {_SQL_CURRICULUM_CTES},
+    cur AS (
+      SELECT r.train_order, d.source
+      FROM ranked r JOIN documents d USING (doc_id)
+    ),
+    adj AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM cur a JOIN cur b ON b.train_order = a.train_order + 1
+    ),
+    obs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN src_a = src_b THEN 1 ELSE 0 END)
+               AS BIGINT) AS same_pairs
+      FROM adj
+    ),
+    expc AS (
+      SELECT CAST(SUM(ns * (ns - 1)) AS BIGINT) AS sum_nn1,
+             CAST(SUM(ns) AS BIGINT) AS n_docs
+      FROM (SELECT COUNT(*) AS ns FROM documents GROUP BY source)
+    )
+    SELECT n_docs, n_pairs, same_pairs,
+           (same_pairs * 1000000) // n_pairs AS observed_1e6,
+           (sum_nn1 * 1000000) // (n_docs * (n_docs - 1)) AS expected_1e6,
+           (same_pairs * 1000000) // n_pairs
+             <= 2 * ((sum_nn1 * 1000000) // (n_docs * (n_docs - 1)))
+             AS decorrelated
+    FROM obs, expc
+    """,
+)
+def curriculum_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the curriculum's within-level shuffle actually decorrelate
+    adjacent training examples? Measures the same-source rate of
+    CONSECUTIVE pairs in curriculum_order against the random-
+    permutation expectation sum(n_s(n_s-1))/(N(N-1)) — a crawl-ordered
+    (or badly salted) layout shows observed >> expected, which turns
+    into correlated gradient batches. Flag trips at 2x expectation.
+
+    Scale: adjacency is an EQUI-join on train_order = train_order+1
+    (co-partitioned, no global ordered window over the corpus); both
+    rates are integer per-million. int64 bound: N^2 * 1e6 needs
+    N < ~3e6 docs; past that compute the two shares in DECIMAL(38,0)
+    from the same integer partials."""
+    cur = _REGISTRY["curriculum_order"](spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    c = cur.join(src, "doc_id").select("train_order", "source")
+    a = c.select(F.col("train_order").alias("i"), F.col("source").alias("src_a"))
+    b = c.select(
+        (F.col("train_order") - 1).alias("i"), F.col("source").alias("src_b")
+    )
+    obs = (
+        a.join(b, "i")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum((F.col("src_a") == F.col("src_b")).cast("long"))
+            .cast("long")
+            .alias("same_pairs"),
+        )
+    )
+    expc = (
+        src.groupBy("source")
+        .agg(F.count("*").alias("ns"))
+        .agg(
+            F.sum(F.col("ns") * (F.col("ns") - 1)).cast("long").alias(
+                "sum_nn1"
+            ),
+            F.sum("ns").cast("long").alias("n_docs"),
+        )
+    )
+    j = obs.crossJoin(F.broadcast(expc))
+    observed = F.expr("div(same_pairs * 1000000, n_pairs)")
+    expected = F.expr("div(sum_nn1 * 1000000, n_docs * (n_docs - 1))")
+    return j.select(
+        "n_docs",
+        "n_pairs",
+        "same_pairs",
+        observed.alias("observed_1e6"),
+        expected.alias("expected_1e6"),
+        (observed <= 2 * expected).alias("decorrelated"),
+    )
+
+
+@register(
+    "order_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (1000 - CAST(floor(l_discount * 1000 + 0.5) AS BIGINT))
+               * (1000 + CAST(floor(l_tax * 1000 + 0.5) AS BIGINT))
+             ) AS BIGINT) AS charge_micro
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+      FROM orders
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.total_cents, li.charge_micro,
+             abs(li.charge_micro - o.total_cents * 1000000) AS diff_micro
+      FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN charge_micro IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_childless,
+           CAST(SUM(CASE WHEN diff_micro * 100 > total_cents * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch_1pct,
+           CAST(MAX(CASE WHEN charge_micro IS NOT NULL
+                    THEN diff_micro // total_cents END) AS BIGINT)
+             AS max_rel_diff_1e6
+    FROM j
+    """,
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: does each order's header
+    total match the sum of its line charges ext*(1-disc)*(1+tax)?
+    Emits childless headers, >1%-off counts, and the worst relative
+    gap — the parent/child consistency audit dq_audit (single-table
+    rows) and fk_integrity_audit (key existence) don't cover: keys
+    can all resolve while the MONEY disagrees. Exact integer micro-
+    cents (cents x per-mille x per-mille), no float summation.
+
+    Scale: one map-side-combinable child rollup + ONE key-co-
+    partitioned left join, then a single global fold. diff//total is
+    exact integer (both engines truncate toward zero; diff >= 0)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+                * (
+                    1000
+                    - F.floor(F.col("l_discount") * 1000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                * (
+                    1000
+                    + F.floor(F.col("l_tax") * 1000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("charge_micro")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "total_cents",
+        "charge_micro",
+        F.abs(
+            F.col("charge_micro") - F.col("total_cents") * F.lit(1000000)
+        ).alias("diff_micro"),
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("charge_micro").isNull().cast("long"))
+        .cast("long")
+        .alias("n_childless"),
+        F.sum(
+            (
+                F.col("diff_micro") * 100
+                > F.col("total_cents") * F.lit(1000000)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_mismatch_1pct"),
+        F.max(
+            F.when(
+                F.col("charge_micro").isNotNull(),
+                F.expr("div(diff_micro, total_cents)"),
+            )
+        )
+        .cast("long")
+        .alias("max_rel_diff_1e6"),
     )
 
 

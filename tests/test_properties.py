@@ -6,6 +6,7 @@ of documents through one job to keep runtime sane.
 
 from __future__ import annotations
 
+import math
 import hashlib
 import re
 
@@ -786,3 +787,76 @@ def test_mannwhitney_matches_python_reference(spark, sf_dir):
             * (float(nn + 1) - float(tie3) / (float(nn) * float(nn - 1)))
         )
         assert got[src] == (n_s, u2, math.floor(z * 1000.0)), src
+
+
+def test_curriculum_shuffle_audit_python_reference(spark, sf_dir):
+    """observed/expected same-source adjacency rates match a python
+    replay of the collected curriculum; n_pairs == n_docs - 1 (the
+    order is a gapless permutation)."""
+    import collections
+
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    row = q.curriculum_shuffle_audit(spark, sf_dir).collect()[0]
+    cur = {
+        r.doc_id: r.train_order
+        for r in q.curriculum_order(spark, sf_dir).collect()
+    }
+    src = {
+        r.doc_id: r.source
+        for r in q.load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    seq = [src[d] for d in sorted(cur, key=cur.get)]
+    n = len(seq)
+    assert row.n_docs == n and row.n_pairs == n - 1
+    same = sum(1 for x, y in zip(seq, seq[1:]) if x == y)
+    assert row.same_pairs == same
+    counts = collections.Counter(seq)
+    sum_nn1 = sum(c * (c - 1) for c in counts.values())
+    assert row.observed_1e6 == same * 1000000 // (n - 1)
+    assert row.expected_1e6 == sum_nn1 * 1000000 // (n * (n - 1))
+    assert row.decorrelated == (
+        row.observed_1e6 <= 2 * row.expected_1e6
+    )
+
+
+def test_order_reconciliation_python_reference(spark, sf_dir):
+    """Header-vs-lines reconciliation matches an exact python replay
+    in integer micro-cents."""
+    import collections
+
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    row = q.order_reconciliation(spark, sf_dir).collect()[0]
+    li = q.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    charge = collections.Counter()
+    for r in li:
+        cents = math.floor(r.l_extendedprice * 100 + 0.5)
+        d = math.floor(r.l_discount * 1000 + 0.5)
+        t = math.floor(r.l_tax * 1000 + 0.5)
+        charge[r.l_orderkey] += cents * (1000 - d) * (1000 + t)
+    orders = q.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    n_childless = n_mismatch = 0
+    max_rel = None
+    for r in orders:
+        total_cents = math.floor(r.o_totalprice * 100 + 0.5)
+        if r.o_orderkey not in charge:
+            n_childless += 1
+            continue
+        diff = abs(charge[r.o_orderkey] - total_cents * 1000000)
+        if diff * 100 > total_cents * 1000000:
+            n_mismatch += 1
+        rel = diff // total_cents
+        max_rel = rel if max_rel is None else max(max_rel, rel)
+    assert (
+        row.n_orders,
+        row.n_childless,
+        row.n_mismatch_1pct,
+        row.max_rel_diff_1e6,
+    ) == (len(orders), n_childless, n_mismatch, max_rel)
