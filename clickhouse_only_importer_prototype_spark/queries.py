@@ -10298,7 +10298,10 @@ def curriculum_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same integer partials."""
     cur = _REGISTRY["curriculum_order"](spark, sf_dir)
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
-    c = cur.join(src, "doc_id").select("train_order", "source")
+    # both sides of the adjacency join consume the ranked frame; persist
+    # the slim (order, source) projection so the two-pass rank chain
+    # (and its bucket-count job) runs once, not twice
+    c = cur.join(src, "doc_id").select("train_order", "source").persist()
     a = c.select(F.col("train_order").alias("i"), F.col("source").alias("src_a"))
     b = c.select(
         (F.col("train_order") - 1).alias("i"), F.col("source").alias("src_b")
@@ -10537,6 +10540,8 @@ _DEFERRED_TO_NEXT_WINDOW = [
     # selection/curriculum/IR-scoring/decomposition classes):
     "token_freq_of_freqs", "mixture_temperature", "lang_chi2_tokens",
     "curriculum_order", "bm25_topdocs", "events_sma_decomposition",
+    "fd_audit", "mannwhitney_quality", "curriculum_shuffle_audit",
+    "order_reconciliation",
 ]
 # Oracled queries rotated OUT this round all hold green rows from
 # rounds 1-3 (that was the rotation criterion), so no ordering among
