@@ -860,3 +860,33 @@ def test_order_reconciliation_python_reference(spark, sf_dir):
         row.n_mismatch_1pct,
         row.max_rel_diff_1e6,
     ) == (len(orders), n_childless, n_mismatch, max_rel)
+
+
+def test_join_cardinality_estimate_python_reference(spark, sf_dir):
+    """The key-sampled estimate matches a python replay (same md5
+    sample, same x10 scale-up) and the true count is the real join
+    size."""
+    import collections
+
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    row = q.join_cardinality_estimate(spark, sf_dir).collect()[0]
+    orders = [
+        r.o_custkey
+        for r in q.load(spark, sf_dir, "orders").select("o_custkey").collect()
+    ]
+    custs = {
+        r.c_custkey
+        for r in q.load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    }
+    true_n = sum(1 for k in orders if k in custs)
+
+    def sampled(k: int) -> bool:
+        h = int(hashlib.md5(f"jce-v1:{k}".encode()).hexdigest()[:15], 16)
+        return h % 100 < 10
+
+    est = 10 * sum(1 for k in orders if k in custs and sampled(k))
+    assert (row.n_true, row.n_est) == (true_n, est)
+    assert row.err_1e4 == abs(est - true_n) * 10000 // true_n
