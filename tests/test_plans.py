@@ -537,3 +537,60 @@ def test_trending_parts_anchor_broadcast_topk(spark, sf_dir):
     plan = _plan(q.trending_parts(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_broadcast_terms_and_topk(spark, sf_dir):
+    # the 3-row term set and 1-row corpus stats broadcast; top-10 is
+    # a TakeOrdered, never a full sort; no cartesian beyond the 1-row
+    # broadcast nested loops
+    plan = _plan(q.bm25_topdocs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_no_single_partition_window(spark, sf_dir):
+    # the global rank must run bucket-partitioned (rank_gapless), not
+    # as one SinglePartition ordered window over the corpus
+    plan = _plan(q.curriculum_order(spark, sf_dir))
+    assert "windowspecdefinition(__bkt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_chi2_windows_are_partitioned(spark, sf_dir):
+    # both windows (token totals, per-lang rank) are PARTITIONED and
+    # run on the vocab-scale frame; lang and grand totals arrive via
+    # broadcast, never an unpartitioned window over the data path
+    plan = _plan(q.lang_chi2_tokens(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "windowspecdefinition(token" in plan
+    assert "windowspecdefinition(lang" in plan
+
+
+def test_shuffle_audit_adjacency_is_equi_join(spark, sf_dir):
+    # adjacency = train_order+1 equi-join: sort-merge or hash join,
+    # never a cartesian or an ordered global window over the corpus
+    plan = _plan(q.curriculum_shuffle_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_order_reconciliation_partial_agg_before_join(spark, sf_dir):
+    # the child rollup folds map-side (partial_sum) before the
+    # orderkey join; scan prunes to the four money columns
+    plan = _formatted(q.order_reconciliation(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    scans = [seg[:250] for seg in plan.split("ReadSchema")[1:]]
+    li = [s for s in scans if "l_extendedprice" in s]
+    assert li and all("l_shipdate" not in s for s in li)
+
+
+def test_join_cardinality_probe_prunes_to_keys(spark, sf_dir):
+    # both scans prune to the single key column; the estimate side
+    # semi-probes the sampled key set
+    plan = _formatted(q.join_cardinality_estimate(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("ReadSchema")[1:]:
+        head = seg[:120]
+        assert "o_totalprice" not in head and "c_name" not in head
