@@ -61,6 +61,13 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _dbl(col: Column) -> Column:
+    """Exact int64 -> double cast (lossless below 2^53) — the building
+    block of row-local IEEE closed forms that must hash bit-identically
+    against the DuckDB oracle's CAST(x AS DOUBLE)."""
+    return col.cast("double")
+
+
 def ORACLE_FLOORDIV(expr: str, width: int) -> str:
     """Floor-division fragment for DuckDB oracles. DuckDB 1.0's integer
     ``//`` truncates toward zero (``-7 // 2 = -3``), same as Spark's
@@ -4803,10 +4810,11 @@ def incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_score",
-    f"""
-    WITH {_SQL_QF_CTES},
+# Shared SQL twin of operators/text.quality_score's integer score (the
+# f/q CTEs on top of the quality-features chain): stated ONCE so the
+# weights can't drift between the quality_score, corpus_datacard, and
+# curriculum oracles.
+_SQL_QSCORE_CTES = f"""{_SQL_QF_CTES},
     f AS (
       SELECT doc_id, n_tokens,
              CAST(floor(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)
@@ -4817,11 +4825,17 @@ def incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     ),
     q AS (
-      SELECT doc_id,
+      SELECT doc_id, n_tokens,
              CAST(5 * stop_rate - 2 * punct_rate - 50 * abs(mtl - 5)
                   + least(n_tokens, 256) AS BIGINT) AS quality_score
       FROM f
-    )
+    )"""
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH {_SQL_QSCORE_CTES}
     SELECT doc_id, quality_score,
            CASE WHEN quality_score >= 2000 THEN 'high'
                 WHEN quality_score >= 800 THEN 'medium'
@@ -8160,26 +8174,14 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_datacard",
     f"""
-    WITH {_SQL_QF_CTES},
-    f AS (
-      SELECT doc_id, n_tokens,
-             CAST(floor(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)
-               AS punct_rate,
-             CAST(floor(1000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT)
-               AS stop_rate,
-             CAST(floor(n_chars / greatest(n_tokens, 1)) AS BIGINT) AS mtl
-      FROM m
-    ),
-    q AS (
-      SELECT doc_id, n_tokens,
-             CAST(5 * stop_rate - 2 * punct_rate - 50 * abs(mtl - 5)
-                  + least(n_tokens, 256) AS BIGINT) AS score
-      FROM f
+    WITH {_SQL_QSCORE_CTES},
+    qd AS (
+      SELECT doc_id, n_tokens, quality_score AS score FROM q
     ),
     b AS (
       SELECT d.doc_id, d.source, md5({_SQL_NORM}) AS fp,
-             q.n_tokens, q.score
-      FROM documents d JOIN q ON d.doc_id = q.doc_id
+             qd.n_tokens, qd.score
+      FROM documents d JOIN qd ON d.doc_id = qd.doc_id
     ),
     s AS (
       SELECT source, COUNT(*) AS n_docs,
@@ -9694,7 +9696,8 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                * 1000) AS BIGINT) AS chi2_milli
       FROM t
       WHERE a >= 5 AND nn - row_t > 0 AND nn - col_l > 0
-            AND a * nn > row_t * col_l
+            AND CAST(a AS DOUBLE) * CAST(nn AS DOUBLE)
+                > CAST(row_t AS DOUBLE) * CAST(col_l AS DOUBLE)
     )
     SELECT lang, token, a AS n_in_lang, chi2_milli
     FROM (
@@ -9724,7 +9727,12 @@ def lang_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale frame (Zipf-bounded, never the corpus), while the lang and
     grand totals fold to broadcast-joined catalog-scale frames — no
     SinglePartition window anywhere on the data path; output is 3
-    rows per language."""
+    rows per language. Bounds: the over-representation guard
+    multiplies in DOUBLE (int64 a*nn would wrap past ~3e9 total
+    tokens); the 'bit-identical' claim needs every cell count below
+    2^53 — past ~9e15 tokens the int->double conversions themselves
+    round (identically on both engines, so the oracle still matches,
+    but the statistic is then approximate)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "lang",
@@ -9743,21 +9751,23 @@ def lang_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(langs), "lang")
         .crossJoin(F.broadcast(nn_df))
     )
-    dbl = lambda col: col.cast("double")  # noqa: E731
-    det = dbl(F.col("a")) * dbl(
+    det = _dbl(F.col("a")) * _dbl(
         F.col("nn") - F.col("row_t") - F.col("col_l") + F.col("a")
-    ) - dbl(F.col("row_t") - F.col("a")) * dbl(F.col("col_l") - F.col("a"))
-    chi2 = (dbl(F.col("nn")) * det * det) / (
-        dbl(F.col("row_t"))
-        * dbl(F.col("nn") - F.col("row_t"))
-        * dbl(F.col("col_l"))
-        * dbl(F.col("nn") - F.col("col_l"))
+    ) - _dbl(F.col("row_t") - F.col("a")) * _dbl(F.col("col_l") - F.col("a"))
+    chi2 = (_dbl(F.col("nn")) * det * det) / (
+        _dbl(F.col("row_t"))
+        * _dbl(F.col("nn") - F.col("row_t"))
+        * _dbl(F.col("col_l"))
+        * _dbl(F.col("nn") - F.col("col_l"))
     )
     x = t.where(
         (F.col("a") >= 5)
         & (F.col("nn") - F.col("row_t") > 0)
         & (F.col("nn") - F.col("col_l") > 0)
-        & (F.col("a") * F.col("nn") > F.col("row_t") * F.col("col_l"))
+        & (
+            _dbl(F.col("a")) * _dbl(F.col("nn"))
+            > _dbl(F.col("row_t")) * _dbl(F.col("col_l"))
+        )
     ).select(
         "lang",
         "token",
@@ -9777,22 +9787,7 @@ def lang_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared SQL twin of the curriculum ranking chain (quality features ->
 # integer quality score -> packed shuffle key -> gapless order), used
 # by the curriculum_order oracle and the shuffle-decorrelation audit.
-_SQL_CURRICULUM_CTES = f"""{_SQL_QF_CTES},
-    f AS (
-      SELECT doc_id, n_tokens,
-             CAST(floor(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)
-               AS punct_rate,
-             CAST(floor(1000 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT)
-               AS stop_rate,
-             CAST(floor(n_chars / greatest(n_tokens, 1)) AS BIGINT) AS mtl
-      FROM m
-    ),
-    q AS (
-      SELECT doc_id,
-             CAST(5 * stop_rate - 2 * punct_rate - 50 * abs(mtl - 5)
-                  + least(n_tokens, 256) AS BIGINT) AS quality_score
-      FROM f
-    ),
+_SQL_CURRICULUM_CTES = f"""{_SQL_QSCORE_CTES},
     k AS (
       SELECT doc_id, quality_score,
              (1048576 - greatest(least(quality_score, 1048576), -1048576))
@@ -9892,13 +9887,13 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (CAST(tf AS DOUBLE)
                      + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
                                              / CAST(avgdl AS DOUBLE)))))
-               * 1000000.0) AS BIGINT) AS term_milli
+               * 1000000.0) AS BIGINT) AS term_micro
       FROM tf
       JOIN terms USING (token)
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN g
     )
-    SELECT doc_id, CAST(SUM(term_milli) AS BIGINT) AS bm25_micro
+    SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS bm25_micro
     FROM scored GROUP BY doc_id
     ORDER BY bm25_micro DESC, doc_id LIMIT 10
     """,
@@ -9945,32 +9940,31 @@ def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    dbl = lambda c: c.cast("double")  # noqa: E731
     joined = (
         tf.join(F.broadcast(terms), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
     )
-    idf = (dbl(F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
-        dbl(F.col("df")) + F.lit(0.5)
+    idf = (_dbl(F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        _dbl(F.col("df")) + F.lit(0.5)
     )
-    sat = (dbl(F.col("tf")) * F.lit(2.2)) / (
-        dbl(F.col("tf"))
+    sat = (_dbl(F.col("tf")) * F.lit(2.2)) / (
+        _dbl(F.col("tf"))
         + F.lit(1.2)
         * (
             F.lit(0.25)
-            + F.lit(0.75) * (dbl(F.col("dl")) / dbl(F.col("avgdl")))
+            + F.lit(0.75) * (_dbl(F.col("dl")) / _dbl(F.col("avgdl")))
         )
     )
     scored = joined.select(
         "doc_id",
         F.floor(idf * sat * F.lit(1000000.0)).cast("long").alias(
-            "term_milli"
+            "term_micro"
         ),
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.sum("term_milli").cast("long").alias("bm25_micro"))
+        .agg(F.sum("term_micro").cast("long").alias("bm25_micro"))
         .orderBy(F.col("bm25_micro").desc(), "doc_id")
         .limit(10)
     )
@@ -10045,16 +10039,17 @@ def events_sma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(-12, 12)
     )
-    tr = dense.select(
-        "event_type",
-        "bucket",
-        "n_events",
-        F.when(
-            F.count("*").over(w) == 25,
-            F.expr("div(sum(n_events) over ("
-                   "partition by event_type order by bucket "
-                   "rows between 12 preceding and 12 following) * 1000, 25)"),
-        ).alias("trend_milli"),
+    tr = (
+        dense.withColumn("__tsum", F.sum("n_events").over(w))
+        .withColumn("__tcnt", F.count("*").over(w))
+        .select(
+            "event_type",
+            "bucket",
+            "n_events",
+            F.when(
+                F.col("__tcnt") == 25, F.expr("div(__tsum * 1000, 25)")
+            ).alias("trend_milli"),
+        )
     )
     det = tr.where(F.col("trend_milli").isNotNull()).withColumn(
         "det_milli", F.col("n_events") * 1000 - F.col("trend_milli")
@@ -10111,25 +10106,50 @@ def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension collapses (c_name -> c_nationkey) before a modeler
     denormalizes on them.
 
-    Scale: each candidate is ONE pair of distinct-counts — map-side
-    partial distinct then a merge; candidates on the same table share
-    the scan. At 100 TB swap COUNT(DISTINCT) for approx HLL partials
-    (profile.hll_distinct_audit's machinery) and confirm only
-    near-ties exactly."""
-    out = None
+    Scale: candidates on the same table fold in ONE agg over one scan
+    (Catalyst Expand fans the pruned rows out per distinct aggregate
+    — one pass, map-side partials), then the 1-row frame explodes to
+    per-candidate rows. At 100 TB swap COUNT(DISTINCT) for approx HLL
+    partials (profile.hll_distinct_audit's machinery) and confirm
+    only near-ties exactly."""
+    by_table: dict[str, list[tuple[str, str]]] = {}
     for t, l, r in _FD_CANDIDATES:
+        by_table.setdefault(t, []).append((l, r))
+    out = None
+    for t, cands in by_table.items():
         d = load(spark, sf_dir, t)
-        one = d.agg(
-            F.countDistinct(l).cast("long").alias("n_lhs"),
-            F.countDistinct(l, r).cast("long").alias("n_pairs"),
-        ).select(
-            F.lit(t).alias("table_name"),
-            F.lit(l).alias("determinant"),
-            F.lit(r).alias("dependent"),
-            "n_lhs",
-            "n_pairs",
-            (F.col("n_pairs") - F.col("n_lhs")).alias("extra_rhs"),
-            (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+        aggs = []
+        for i, (l, r) in enumerate(cands):
+            aggs.append(F.countDistinct(l).cast("long").alias(f"__a{i}"))
+            aggs.append(
+                F.countDistinct(l, r).cast("long").alias(f"__p{i}")
+            )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(l).alias("determinant"),
+                    F.lit(r).alias("dependent"),
+                    F.col(f"__a{i}").alias("n_lhs"),
+                    F.col(f"__p{i}").alias("n_pairs"),
+                )
+                for i, (l, r) in enumerate(cands)
+            ]
+        )
+        one = (
+            d.agg(*aggs)
+            .select(F.lit(t).alias("table_name"), F.explode(entries).alias("e"))
+            .select(
+                "table_name",
+                "e.determinant",
+                "e.dependent",
+                "e.n_lhs",
+                "e.n_pairs",
+            )
+            .select(
+                "*",
+                (F.col("n_pairs") - F.col("n_lhs")).alias("extra_rhs"),
+                (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+            )
         )
         out = one if out is None else out.unionByName(one)
     return out
@@ -10138,7 +10158,9 @@ def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mannwhitney_quality",
     """
-    WITH d AS (SELECT source, n_chars FROM documents),
+    WITH d AS (
+      SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ),
     vals AS (
       SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS m
       FROM d GROUP BY n_chars
@@ -10199,8 +10221,16 @@ def mannwhitney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     median pattern) — the cumsum window runs over distinct n_chars,
     not the corpus; per-(source, value) counts fold map-side; the
     final z is per-source arithmetic against one broadcast 1-row
-    global frame."""
-    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    global frame. NULL n_chars rows are excluded up front (rankless;
+    also pins the ordering contract — Spark sorts NULLS FIRST, DuckDB
+    NULLS LAST). int64 bounds: r2_s <= 2*n_s*N needs N < ~2e9 docs;
+    tie3 needs every tie run m < ~2.1e6 — past either, fold the same
+    partials in DECIMAL(38,0)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .where(F.col("n_chars").isNotNull())
+    )
     vals = d.groupBy("n_chars").agg(F.count("*").cast("long").alias("m"))
     wc = (
         Window.orderBy("n_chars")
@@ -10230,17 +10260,16 @@ def mannwhitney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tie3"),
     )
-    dbl = lambda c: c.cast("double")  # noqa: E731
     j = r.crossJoin(F.broadcast(g))
     u2 = F.col("r2_s") - F.col("n_s") * (F.col("n_s") + 1)
     z = (
-        dbl(u2) - dbl(F.col("n_s") * (F.col("nn") - F.col("n_s")))
+        _dbl(u2) - _dbl(F.col("n_s") * (F.col("nn") - F.col("n_s")))
     ) / F.sqrt(
-        (dbl(F.col("n_s")) * dbl(F.col("nn") - F.col("n_s")) / F.lit(3.0))
+        (_dbl(F.col("n_s")) * _dbl(F.col("nn") - F.col("n_s")) / F.lit(3.0))
         * (
-            dbl(F.col("nn") + 1)
-            - dbl(F.col("tie3"))
-            / (dbl(F.col("nn")) * dbl(F.col("nn") - 1))
+            _dbl(F.col("nn") + 1)
+            - _dbl(F.col("tie3"))
+            / (_dbl(F.col("nn")) * _dbl(F.col("nn") - 1))
         )
     )
     return j.select(
@@ -10448,23 +10477,16 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_cardinality_estimate",
     """
-    WITH keys AS (
-      SELECT DISTINCT o_custkey AS k FROM orders
-    ),
-    samp AS (
-      SELECT k FROM keys
-      WHERE CAST(('0x' || substr(md5('jce-v1:' || CAST(k AS VARCHAR)),
-            1, 15)) AS BIGINT) % 100 < 10
-    ),
-    true_n AS (
+    WITH true_n AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_true
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ),
     est AS (
       SELECT CAST(COUNT(*) AS BIGINT) * 10 AS n_est
       FROM orders o
-      JOIN samp s ON o.o_custkey = s.k
       JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE CAST(('0x' || substr(md5('jce-v1:' ||
+            CAST(o.o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
     )
     SELECT n_true, n_est,
            (abs(n_est - n_true) * 10000) // n_true AS err_1e4
@@ -10482,30 +10504,31 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimator-calibration sibling of quantile_sketch_audit and
     ann_recall_check.
 
-    Scale: the key-domain distinct + the sampled semi-join are both
-    key-partitioned; the probe side never materializes beyond the
-    sampled keys. Deterministic: the md5 key sample is retry- and
-    engine-stable, so the 'estimate' is reproducible — this audits
-    estimator ERROR, not sampling luck."""
+    Scale: the sample predicate is a PURE function of the key, so it
+    applies as a row-local filter at the scan — no key-domain
+    distinct, no extra join; the sampled probe side is 10% of rows
+    before the shuffle. Deterministic: the md5 key sample is retry-
+    and engine-stable, so the 'estimate' is reproducible — this
+    audits estimator ERROR, not sampling luck."""
     o = load(spark, sf_dir, "orders").select("o_custkey")
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    keys = o.select(F.col("o_custkey").alias("k")).distinct()
     h = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit("jce-v1:"), F.col("k").cast("string"))),
+            F.md5(
+                F.concat(F.lit("jce-v1:"), F.col("o_custkey").cast("string"))
+            ),
             1,
             15,
         ),
         16,
         10,
     ).cast("long")
-    samp = keys.where(F.pmod(h, F.lit(100)) < 10)
     true_n = (
         o.join(c, o.o_custkey == c.c_custkey)
         .agg(F.count("*").cast("long").alias("n_true"))
     )
     est = (
-        o.join(samp, o.o_custkey == samp.k)
+        o.where(F.pmod(h, F.lit(100)) < 10)
         .join(c, F.col("o_custkey") == c.c_custkey)
         .agg((F.count("*") * 10).cast("long").alias("n_est"))
     )
