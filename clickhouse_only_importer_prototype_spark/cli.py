@@ -70,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
         help="query mode with -name list: include each query's"
         " one-line description",
     )
+    parser.add_argument(
+        "-oracle", "--oracle", action="store_true",
+        help="query mode: run the query AND its DuckDB oracle on the"
+        " same parquet dir and print the driver-identical match"
+        " verdict (rows / columns / order-insensitive value hash)",
+    )
     args = parser.parse_args(argv)
 
     if args.mode == "query":
@@ -99,6 +105,57 @@ def main(argv: list[str] | None = None) -> int:
             # .explain("formatted") the plan tests pin, without running
             df.explain("formatted")
             return 0
+        if args.oracle:
+            # the hard gate as a first-class surface: the exact
+            # comparison the driver (and tests/test_oracle.py) runs
+            oracles = entry.oracle_sql()
+            if args.name not in oracles:
+                parser.error(f"{args.name!r} is rows-only (no oracle)")
+            import math
+
+            import duckdb
+
+            con = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                    f"'{args.parquet_dir}/{t}.parquet')"
+                )
+
+            def canon(v):
+                if v is None:
+                    return "∅"
+                if isinstance(v, float):
+                    return "NaN" if math.isnan(v) else repr(v)
+                return str(v)
+
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            res = con.execute(oracles[args.name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+
+            def canon_rows(cols, rows):
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                return sorted(
+                    tuple(canon(r[i]) for i in order) for r in rows
+                )
+
+            cols_ok = sorted(s_cols) == sorted(d_cols)
+            rows_ok = len(s_rows) == len(d_rows)
+            hash_ok = canon_rows(s_cols, s_rows) == canon_rows(
+                d_cols, d_rows
+            )
+            print(
+                f"{args.name}: columns={'MATCH' if cols_ok else 'MISMATCH'}"
+                f" rows={'MATCH' if rows_ok else 'MISMATCH'}"
+                f" ({len(s_rows)} vs {len(d_rows)})"
+                f" values={'MATCH' if hash_ok else 'MISMATCH'}"
+            )
+            return 0 if (cols_ok and rows_ok and hash_ok) else 1
         df.show(args.limit, truncate=False)
         logging.basicConfig(
             level=logging.INFO, format="%(levelname)s %(message)s"

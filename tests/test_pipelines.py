@@ -169,3 +169,26 @@ def test_convert_cna_partitioned_matches_per_study(spark, study_tree, tmp_path):
         f"'{single_job}/derived.parquet/*/*/*.parquet', hive_partitioning=true)"
     )
     assert da == db and len(da) == 7
+
+
+def test_cli_query_oracle_mode(spark, sf_dir, capsys):
+    """-oracle runs the registered query AND its DuckDB oracle on the
+    same dir and exits 0 on the driver-identical triple match."""
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark import cli
+
+    rc = cli.main(
+        ["-mode", "query", "-name", "region_rollup",
+         "-parquet-dir", sf_dir, "-oracle"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "columns=MATCH rows=MATCH" in out and "values=MATCH" in out
+
+    # rows-only queries have no oracle: the flag must fail loud
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["-mode", "query", "-name", "ann_cosine_topk_lsh",
+             "-parquet-dir", sf_dir, "-oracle"]
+        )
