@@ -890,3 +890,31 @@ def test_join_cardinality_estimate_python_reference(spark, sf_dir):
     est = 10 * sum(1 for k in orders if k in custs and sampled(k))
     assert (row.n_true, row.n_est) == (true_n, est)
     assert row.err_1e4 == abs(est - true_n) * 10000 // true_n
+
+
+def test_benford_audit_python_reference(spark, sf_dir):
+    """Observed digit counts match a python replay of the integer-cent
+    leading digit; shares sum to ~1e6 and pair with the fixed Benford
+    constants."""
+    import collections
+
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    rows = {r.digit: r for r in q.benford_price_audit(spark, sf_dir).collect()}
+    got = {d: r.n for d, r in rows.items()}
+    prices = q.load(spark, sf_dir, "orders").select("o_totalprice").collect()
+    expect = collections.Counter(
+        int(str(math.floor(r.o_totalprice * 100 + 0.5))[0])
+        for r in prices
+        if r.o_totalprice > 0
+    )
+    assert got == dict(expect)
+    total = sum(got.values())
+    assert all(
+        r.observed_1e6 == r.n * 1000000 // total for r in rows.values()
+    )
+    assert {r.digit: r.benford_1e6 for r in rows.values()} == {
+        d + 1: v for d, v in enumerate(q._BENFORD_1E6)
+    }
+    for r in rows.values():
+        assert r.abs_gap_1e6 == abs(r.observed_1e6 - r.benford_1e6)
