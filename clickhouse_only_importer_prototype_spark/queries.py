@@ -10679,9 +10679,10 @@ _WINDOW_PRIORITY = [
     "token_budget_sample", "split_leakage_audit",
     "incremental_join_delta", "incremental_dedup_delta",
 ]
-# 54 never-gated oracles now exceed the 50-row cap: these four (the
-# final round-4 additions, all green in the pytest oracle gate) are
-# the curated overflow — first in line for the round-5 window.
+# Never-gated oracles exceed the 50-row cap; this list (every
+# round-4 addition past the window, all green in the pytest oracle
+# gate) is the curated overflow — first in line for the round-5
+# window, in registration order.
 _DEFERRED_TO_NEXT_WINDOW = [
     "events_ohlc_hourly", "events_twap_hourly",
     "fuzzy_part_clusters", "quantile_sketch_audit",
