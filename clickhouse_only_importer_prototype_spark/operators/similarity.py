@@ -271,6 +271,7 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float | None = None,
+    train_points_per_centroid: int = 256,
 ) -> np.ndarray:
     """Spherical k-means centroids, trained distributed.
 
@@ -280,57 +281,75 @@ def ivf_train_centroids(
     UDF matmul) + one (cluster, dim-position) sum/count aggregation;
     only C×dim cells ever reach the driver, regardless of corpus size.
 
-    ``train_fraction`` trains on a deterministic hash-based subsample
-    (xxhash64 threshold, stable across partitionings/retries — not
-    ``df.sample``, whose output depends on partitioning). Centroid
-    quality needs ~100-1000 points per centroid, not the corpus: at
-    100 TB you train on a sliver and assign the full corpus once.
+    Training-set sizing: centroid quality needs ~100-1000 points per
+    centroid, not the corpus — at 100 TB you train on a sliver and
+    assign the full corpus once. When ``train_fraction`` is None the
+    sliver is auto-sized to ``n_centroids * train_points_per_centroid``
+    points (one metadata-cheap count picks the fraction); an explicit
+    fraction overrides. Either way the subsample is a deterministic
+    xxhash64 threshold (stable across partitionings/retries — not
+    ``df.sample``, whose output depends on partitioning), and the
+    sliver is persisted so init + every Lloyd pass reuse one scan
+    instead of re-reading the corpus per iteration.
     """
     if train_fraction is not None and not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
-    if train_fraction is not None and train_fraction < 1.0:
+    if train_fraction is None:
+        # parquet count(*) is metadata-only under Spark's row-count
+        # optimization; at worst it is a column-pruned id scan
+        n = df.count()
+        target = n_centroids * train_points_per_centroid
+        train_fraction = 1.0 if n <= target else target / n
+    if train_fraction < 1.0:
         bound = int(train_fraction * (1 << 30))
         df = df.where(
             F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(1 << 30))
             < bound
         )
-    init = (
-        df.select(
-            F.col(id_col).alias("i"),
-            _as_double(vec_col).alias("v"),
-            F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"),
-        )
-        .orderBy("h", "i")
-        .limit(n_centroids)
-        .collect()
-    )
-    if len(init) < n_centroids:
-        raise ValueError(
-            f"need >= {n_centroids} training vectors, got {len(init)} "
-            "(train_fraction too small for this corpus?)"
-        )
-    cents = _normalize_rows(np.array([r["v"] for r in init], dtype=np.float64))
-    for _ in range(iters):
-        assign = _ivf_probe_udf(cents, 1)
-        assigned = df.select(
-            assign(F.col(vec_col))[0].alias("cluster"),
-            _as_double(vec_col).alias("v"),
-        )
-        cells = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    train = df.select(
+        F.col(id_col).alias("i"), _as_double(vec_col).alias("v")
+    ).persist()
+    try:
+        init = (
+            train.select(
+                "i", "v", F.xxhash64(F.lit(seed), F.col("i")).alias("h")
+            )
+            .orderBy("h", "i")
+            .limit(n_centroids)
             .collect()
         )
-        new = cents.copy()  # empty clusters keep their old centroid
-        sums = np.zeros((len(cents), dim))
-        counts = np.zeros(len(cents))
-        for r in cells:
-            sums[r["cluster"], r["pos"]] = r["s"]
-            counts[r["cluster"]] = r["n"]
-        nonempty = counts > 0
-        new[nonempty] = sums[nonempty] / counts[nonempty, None]
-        cents = _normalize_rows(new)
+        if len(init) < n_centroids:
+            raise ValueError(
+                f"need >= {n_centroids} training vectors, got {len(init)} "
+                "(train_fraction too small for this corpus?)"
+            )
+        cents = _normalize_rows(
+            np.array([r["v"] for r in init], dtype=np.float64)
+        )
+        for _ in range(iters):
+            assign = _ivf_probe_udf(cents, 1)
+            assigned = train.select(
+                assign(F.col("v"))[0].alias("cluster"), "v"
+            )
+            cells = (
+                assigned.select(
+                    "cluster", F.posexplode("v").alias("pos", "x")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new = cents.copy()  # empty clusters keep their old centroid
+            sums = np.zeros((len(cents), dim))
+            counts = np.zeros(len(cents))
+            for r in cells:
+                sums[r["cluster"], r["pos"]] = r["s"]
+                counts[r["cluster"]] = r["n"]
+            nonempty = counts > 0
+            new[nonempty] = sums[nonempty] / counts[nonempty, None]
+            cents = _normalize_rows(new)
+    finally:
+        train.unpersist()
     return cents
 
 

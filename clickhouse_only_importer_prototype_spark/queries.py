@@ -2776,8 +2776,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         k=5,
         n_centroids=16,
-        nprobe=4,
-        train_fraction=0.5,  # centroids from a hash-sampled sliver
+        nprobe=4,  # training auto-sizes to ~256 points/centroid
     )
 
 
@@ -2874,7 +2873,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins and the totals — persist so brute force runs once
     truth = sim_ops.cosine_topk_bruteforce(emb, q, k=5).persist()
     ivf = sim_ops.cosine_topk_ivf(
-        emb, q, dim=64, k=5, n_centroids=16, nprobe=4, train_fraction=0.5
+        emb, q, dim=64, k=5, n_centroids=16, nprobe=4
     )
     lsh = sim_ops.cosine_topk_lsh(
         emb, q, dim=64, k=5, n_planes=4, n_tables=16
@@ -4865,8 +4864,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY src_type, dst_type
     )
     SELECT src_type, dst_type, n,
-           (n * 1000000) // SUM(n) OVER (PARTITION BY src_type)
-             AS share_1e6
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY src_type)
+                AS BIGINT) AS share_1e6
     FROM cnt
     """,
 )
@@ -7958,8 +7957,8 @@ def priority_winsorized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n.n_name, r.r_name
     )
     SELECT nation, region, cents,
-           (cents * 1000000) // SUM(cents) OVER (PARTITION BY region)
-             AS share_of_region_1e6
+           CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS share_of_region_1e6
     FROM rev
     """,
 )
@@ -8022,9 +8021,9 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN rn <= (100 * n + 999) // 1000
                          THEN cents ELSE 0 END) AS BIGINT)
              AS top10pct_cents,
-           (SUM(CASE WHEN rn <= (100 * n + 999) // 1000
-                     THEN cents ELSE 0 END) * 1000000)
-             // greatest(SUM(cents), 1) AS share_1e6
+           CAST((SUM(CASE WHEN rn <= (100 * n + 999) // 1000
+                          THEN cents ELSE 0 END) * 1000000)
+                // greatest(SUM(cents), 1) AS BIGINT) AS share_1e6
     FROM r GROUP BY segment
     """,
 )
@@ -8855,7 +8854,7 @@ def _poisson_mult_sql(bucket_expr: str) -> str:
     SELECT CAST(replicate AS BIGINT) AS replicate,
            CAST(SUM(m) AS BIGINT) AS n_resampled,
            CAST(SUM(m * n_chars) AS BIGINT) AS sum_chars,
-           SUM(m * n_chars) // SUM(m) AS mean_chars
+           CAST(SUM(m * n_chars) // SUM(m) AS BIGINT) AS mean_chars
     FROM reps GROUP BY replicate
     """,
 )
@@ -9169,7 +9168,7 @@ def ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10)
     truth = sim_ops.cosine_topk_bruteforce(emb, q, k=5).persist()
     ivf = sim_ops.cosine_topk_ivf(
-        emb, q, dim=64, k=5, n_centroids=16, nprobe=4, train_fraction=0.5
+        emb, q, dim=64, k=5, n_centroids=16, nprobe=4
     )
     lsh = sim_ops.cosine_topk_lsh(
         emb, q, dim=64, k=5, n_planes=4, n_tables=16
@@ -9460,9 +9459,9 @@ def _bpe_oracle(n_merges: int, emit: str = "merges") -> str:
            CAST(SUM(n_lang * length(s.w)) AS BIGINT) AS n_chars,
            CAST(SUM(n_lang * (length(st) - length(replace(st, '/', ''))
                               - 1)) AS BIGINT) AS n_tokens,
-           (SUM(n_lang * length(s.w)) * 1000000)
-             // SUM(n_lang * (length(st) - length(replace(st, '/', ''))
-                              - 1)) AS chars_per_token_1e6
+           CAST((SUM(n_lang * length(s.w)) * 1000000)
+                // SUM(n_lang * (length(st) - length(replace(st, '/', ''))
+                                 - 1)) AS BIGINT) AS chars_per_token_1e6
     FROM wl JOIN s{n_merges} s ON wl.w = s.w
     GROUP BY lang"""
     return "WITH " + ",\n    ".join(ctes) + "\n    " + tail
@@ -9997,7 +9996,7 @@ def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr AS (
       SELECT event_type, bucket, n_events,
              CASE WHEN COUNT(*) OVER w = 25
-                  THEN (SUM(n_events) OVER w * 1000) // 25
+                  THEN CAST((SUM(n_events) OVER w * 1000) // 25 AS BIGINT)
              END AS trend_milli
       FROM dense
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket
@@ -10009,9 +10008,10 @@ def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tr WHERE trend_milli IS NOT NULL
     )
     SELECT event_type, bucket, n_events, trend_milli,
-           SUM(det_milli) OVER s // COUNT(*) OVER s AS seasonal_milli,
-           det_milli - SUM(det_milli) OVER s // COUNT(*) OVER s
-             AS residual_milli
+           CAST(SUM(det_milli) OVER s // COUNT(*) OVER s AS BIGINT)
+             AS seasonal_milli,
+           CAST(det_milli - SUM(det_milli) OVER s // COUNT(*) OVER s
+                AS BIGINT) AS residual_milli
     FROM det
     WINDOW s AS (PARTITION BY event_type, bucket % 24)
     """,
@@ -10623,112 +10623,76 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver records correctness for a bounded prefix of ``queries()``
-# (observed cap: 50 entries — r1 recorded 47/47, r2 exactly the first
-# 50 of 54). With ~100 oracled queries registered, WHICH ones get
-# hard-gate rows is a curated decision, not registration order.
+# (observed cap: 50 entries in every recorded round). With 189 oracled
+# queries registered, WHICH ones get hard-gate rows is a curated
+# decision, not registration order.
 #
-# ROUND-4 ROTATION: rounds 1-3 kept a near-static window, so 33
-# oracled queries (including every round-3 component family's only
-# oracle) had NEVER appeared in any round's CORRECTNESS artifact.
-# This window flips the policy: it is 100% never-gated — the 10
-# previously evidence-starved component families (funnel, cohort,
-# SCD2, snapshot diff, DQ audit, incremental agg, compaction, skew
-# audit, quality classifier, stream-dim join), the adapted TPC-H
-# tail, the family siblings, and ALL 17 round-4 additions. The
-# r1/r2-green "stale" refreshes (q6/q10/q17/q18/rollup/
-# long_to_values) and the thrice-green flagship anchors
-# (q1/training_manifest/minhash_lsh_candidates/stream_stream_join)
-# were both displaced by round-4 additions: they already hold green
-# rows in recorded artifacts, and first-time evidence is the scarcer
-# signal under the 50-row cap. After this round every oracled query
-# has a green driver row in SOME round's artifact. Rotated-out
-# queries keep their r1-r3
-# green rows and stay fully oracle-tested in pytest
+# ROUND-5 ROTATION (draining the deferred backlog): rounds 1-4
+# together put driver rows on 111 of the 189 oracled queries (110
+# green + the since-fixed ``event_transitions`` hash-fail); the other
+# 78 were green in the pytest oracle gate but had never appeared in a
+# driver artifact — tracked honestly in the round-4
+# ``_DEFERRED_TO_NEXT_WINDOW`` list. This window takes the first 49 of
+# that backlog — flagship LLM-pipeline families first
+# (dedup_containment, semantic_dedup, bpe_merges, kmeans_embeddings,
+# pagerank_custsupp, heavy_hitter_bigrams, leakage_safe_split,
+# curriculum_order — the ops a real 100 TB pipeline leans on hardest),
+# then the five queries whose oracle SQL carried the same
+# DuckDB-HUGEINT→float64 dtype landmine that broke event_transitions
+# in r4 (all six now CAST AS BIGINT, pinned by
+# tests/test_oracle.py::test_oracle_dtype_parity), then backlog order —
+# plus ``event_transitions`` itself in slot 1 to re-prove the fixed
+# oracle green under the driver's own pandas materialization (its r4
+# row is red; a green row requires re-gating). 49 rotated + 1 re-proof
+# = the 50-row cap; the 29 still-deferred queries are listed below and
+# remain fully oracle-tested in pytest every run
 # (tests/test_oracle.py runs the identical side-by-side comparison
-# over ALL oracles every run).
+# over ALL oracles). Registry growth is FROZEN until that backlog
+# drains (round-4 verdict #2).
+#
+# Coverage reality (do not overstate): after round 4, 111/189 oracled
+# queries hold a driver row in some CORRECTNESS artifact (110 green);
+# 78 hold none. This window reduces the uncovered count to 29.
 _WINDOW_PRIORITY = [
-    # --- never-gated component families (primary evidence) ---
-    "events_funnel", "events_cohort_retention", "scd2_priority_history",
-    "snapshot_diff_orders", "dq_audit", "incremental_agg_merge",
-    "compaction_plan", "join_skew_audit", "quality_score",
-    "stream_dim_join",
-    # --- new round-4 integration queries ---
-    "events_funnel_anymatch", "scd2_asof_lookup", "incremental_agg_cdc",
-    "skew_routed_join", "cdc_merge_checksum", "events_rolling_counts",
-    "events_gap_filled_hourly",
-    # --- never-gated family siblings ---
-    "chunk_dedup", "dedup_stats", "decontaminate_corpus", "stream_hourly",
-    "stratified_lang_sample", "source_quota_sample",
-    "customer_spend_deciles", "embedding_norm_stats",
-    # --- never-gated adapted TPC-H tail ---
-    "q2_min_cost_supplier", "q4_priority_exists", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q11_important_stock",
-    "q12_priority_lines", "q13_order_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_cnt", "q19_bracket_revenue",
-    "q20_promotion_parts", "q21_waiting_supplier", "q22_idle_balances",
-    # --- round-4 additions with no driver row in ANY round yet
-    # (displacing the r1/r2-green "stale" refreshes: those already
-    # hold green rows in past artifacts, these hold none) ---
-    "event_transitions", "event_paths_top10", "cube_pricing",
-    "fuzzy_part_pairs", "tfidf_top_terms", "price_histogram",
-    # --- late-round-4 additions, no driver row anywhere yet (these
-    # displaced the thrice-green flagship anchors: q1/training_manifest/
-    # minhash_lsh_candidates/stream_stream_join already proved 3-round
-    # continuity in r1-r3 artifacts, while first-time evidence is the
-    # scarcer signal under the 50-row cap) ---
-    "token_budget_sample", "split_leakage_audit",
-    "incremental_join_delta", "incremental_dedup_delta",
-]
-# Never-gated oracles exceed the 50-row cap; this list (every
-# round-4 addition past the window, all green in the pytest oracle
-# gate) is the curated overflow — first in line for the round-5
-# window, in registration order.
-_DEFERRED_TO_NEXT_WINDOW = [
-    "events_ohlc_hourly", "events_twap_hourly",
-    "fuzzy_part_clusters", "quantile_sketch_audit",
+    "event_transitions", "dedup_containment", "semantic_dedup",
+    "bpe_merges", "kmeans_embeddings", "pagerank_custsupp",
+    "heavy_hitter_bigrams", "leakage_safe_split", "curriculum_order",
+    "nation_revenue_share", "customer_concentration", "bootstrap_chars_ci",
+    "bpe_compression", "events_sma_decomposition", "events_ohlc_hourly",
+    "events_twap_hourly", "fuzzy_part_clusters", "quantile_sketch_audit",
     "events_asof_forward", "price_outliers_mad", "stream_ohlc",
-    "source_similarity",
-    # continuation-session additions (graph/iterative-ML/attribution/
-    # chunking/IR/changepoint classes), all green in the pytest oracle
-    # gate, queued behind the 50-row cap:
-    "dedup_containment", "weighted_doc_sample", "attribution_linear",
+    "source_similarity", "weighted_doc_sample", "attribution_linear",
     "grouping_sets_pricing", "schema_evolution_union",
     "funnel_time_to_convert", "vocab_top_tokens", "class_weights",
-    "feature_hashing", "priority_quantile_disc", "semantic_dedup",
-    "shard_assignment_audit", "stream_sliding_counts",
-    "fk_integrity_audit", "priority_winsorized_spend",
-    "nation_revenue_share", "customer_concentration",
-    "pagerank_custsupp", "copurchase_triangles", "kmeans_embeddings",
-    "events_cusum", "doc_chunks", "inverted_index",
-    "attribution_last_touch", "bigram_lm_scores", "copurchase_recs",
-    "metric_correlations", "events_trend_slopes",
-    "graph_bfs_hops", "customer_rfm", "events_gap_interpolated",
-    "events_wau", "ab_test_analysis",
-    "heavy_hitter_bigrams", "source_token_drift",
-    "stream_stream_outer_join", "attribution_position",
-    "corpus_datacard", "contrastive_negatives", "kfold_balance",
-    "split_novelty_rate", "stream_throttle_audit", "attribution_decay",
-    "bpe_merges", "leakage_safe_split", "events_anomaly_zscore",
-    "ann_ranking_quality", "bpe_compression", "weighted_median_price",
-    "events_seasonality_profile", "pagerank_personalized",
-    "corpus_diversity", "embedding_centroid_shift", "bootstrap_chars_ci",
-    "abn_test_chisq", "orders_open_timeline", "trending_parts",
-    "events_interarrival_stats",
-    # post-rotation round-4 additions (smoothing/mixture/feature-
-    # selection/curriculum/IR-scoring/decomposition classes):
-    "token_freq_of_freqs", "mixture_temperature", "lang_chi2_tokens",
-    "curriculum_order", "bm25_topdocs", "events_sma_decomposition",
-    "fd_audit", "mannwhitney_quality", "curriculum_shuffle_audit",
-    "order_reconciliation", "join_cardinality_estimate",
-    "benford_price_audit",
+    "feature_hashing", "priority_quantile_disc", "shard_assignment_audit",
+    "stream_sliding_counts", "fk_integrity_audit",
+    "priority_winsorized_spend", "copurchase_triangles", "events_cusum",
+    "doc_chunks", "inverted_index", "attribution_last_touch",
+    "bigram_lm_scores", "copurchase_recs", "metric_correlations",
+    "events_trend_slopes", "graph_bfs_hops", "customer_rfm",
+    "events_gap_interpolated", "events_wau", "ab_test_analysis",
+    "source_token_drift",
 ]
-# Oracled queries rotated OUT this round all hold green rows from
-# rounds 1-3 (that was the rotation criterion), so no ordering among
-# them affects evidence coverage — they follow the window in
-# registration order. The tail mechanism (pinning redundant-evidence
-# twins last so the cap never displaces a family's only row) is
-# therefore empty this round; re-populate it if a future window again
-# leaves some family single-rowed.
+# Oracled queries with NO driver row in any round's artifact and not
+# in this round's window — the remaining backlog after the round-5
+# rotation (78 -> 29), first in line for the round-6 window, in
+# registration order. All green in the pytest oracle gate.
+_DEFERRED_TO_NEXT_WINDOW = [
+    "stream_stream_outer_join", "attribution_position", "corpus_datacard",
+    "contrastive_negatives", "kfold_balance", "split_novelty_rate",
+    "stream_throttle_audit", "attribution_decay", "events_anomaly_zscore",
+    "ann_ranking_quality", "weighted_median_price",
+    "events_seasonality_profile", "pagerank_personalized",
+    "corpus_diversity", "embedding_centroid_shift", "abn_test_chisq",
+    "orders_open_timeline", "trending_parts", "events_interarrival_stats",
+    "token_freq_of_freqs", "mixture_temperature", "lang_chi2_tokens",
+    "bm25_topdocs", "fd_audit", "mannwhitney_quality",
+    "curriculum_shuffle_audit", "order_reconciliation",
+    "join_cardinality_estimate", "benford_price_audit",
+]
+# Queries rotated OUT this round all hold green rows from rounds 1-4
+# (that was the rotation criterion), so no ordering among them affects
+# evidence coverage — they follow the window in registration order.
 _REDUNDANT_EVIDENCE_TAIL: list[str] = []
 
 

@@ -150,10 +150,10 @@ def test_gate_window_holds_priority_evidence():
         )
         fresh = sum(1 for n in _WINDOW_PRIORITY if n not in gated)
         # ">= 80% never-gated" only holds for the rotation round itself;
-        # once r4's artifact exists those same rows count as gated, so
+        # once r5's artifact exists those same rows count as gated, so
         # pin the enduring invariant instead: full coverage (above) and
         # a window that stays exactly the driver cap
-        if "CORRECTNESS_r04.json" not in os.listdir(repo):
+        if "CORRECTNESS_r05.json" not in os.listdir(repo):
             assert fresh >= 40, f"only {fresh}/50 window rows are fresh"
 
 
@@ -162,3 +162,57 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["n_name", "revenue"]
+
+
+def test_oracle_dtype_parity(spark, sf_dir):
+    """Pandas-dtype parity between DuckDB ``fetchdf`` and the Spark
+    schema, for every oracle — the check the fetchall-based value gate
+    structurally cannot make (round-4 verdict #1).
+
+    The driver compares pandas materializations. DuckDB promotes
+    ``SUM(BIGINT)`` to HUGEINT, and an integer division whose operand
+    is HUGEINT stays HUGEINT — which pandas renders float64 (201913.0)
+    while Spark returns int64 (201913): identical values, mismatched
+    value hash. ``fetchall`` yields Python ints either way, so pytest's
+    value comparison passes while the driver's hash fails (the exact
+    r4 ``event_transitions`` failure). Rules enforced per column:
+      * Spark integral vs DuckDB float with ZERO NaN -> fail (the
+        HUGEINT landmine; NULL-driven promotion shows NaN and promotes
+        BOTH sides consistently, so it is exempt).
+      * Spark float vs DuckDB integral -> fail always (repr(1.0) vs
+        str(1) can never hash-match).
+    DuckDB runs at sf0.001 (dtype is data-scale invariant); the Spark
+    side needs only the analyzed schema — no job for lazy queries.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    integral = {"byte", "short", "int", "integer", "bigint", "long"}
+    floaty = {"float", "double"}
+    qs = entrymod.queries()
+    violations = []
+    for name, sql in entrymod.oracle_sql().items():
+        ddf = con.execute(sql).fetchdf()
+        schema = qs[name](spark, sf_dir).schema
+        for f in schema.fields:
+            s_type = f.dataType.simpleString()
+            dk = ddf[f.name].dtype.kind
+            if s_type in integral and dk == "f":
+                if ddf[f.name].notna().all():
+                    violations.append(
+                        f"{name}.{f.name}: spark {s_type} vs duck "
+                        f"{ddf[f.name].dtype} with no NULLs — wrap the "
+                        "oracle expression in CAST(... AS BIGINT)"
+                    )
+            elif s_type in floaty and dk in "iu":
+                violations.append(
+                    f"{name}.{f.name}: spark {s_type} vs duck "
+                    f"{ddf[f.name].dtype} — integral/float repr can "
+                    "never hash-match"
+                )
+    assert not violations, "\n".join(violations)
