@@ -278,3 +278,219 @@ def synthetic_media(spark, n: int = 8) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real dependency-free codec: binary PPM (P6) — the toy format that turns
+# the decode/feature/resize plumbing into full value oracles (round-4
+# verdict #7). PPM is pure byte-slicing: "P6" magic, whitespace-separated
+# ASCII width/height/maxval (with '#' comments), one whitespace byte, then
+# width*height*3 raw RGB bytes. The stub paths above remain for opaque
+# payloads (real JPEG/PNG would need Pillow, not in this container).
+# --------------------------------------------------------------------------
+
+_PPM_WS = b" \t\r\n"
+
+
+def try_decode_ppm(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a binary PPM (P6) payload -> (width, height, rgb_bytes),
+    or None if the payload is not a well-formed maxval-255 P6 image.
+
+    Full spec parse (whitespace runs + '#' comments in the header), not
+    just the happy path the synthesizer emits — the decoder must hold
+    up against any producer's PPM output.
+    """
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    i, n, toks = 2, len(payload), []
+    while len(toks) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c in _PPM_WS:
+            i += 1
+            continue
+        if c == b"#":
+            j = payload.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+            continue
+        j = i
+        while j < n and payload[j : j + 1] not in _PPM_WS and payload[j : j + 1] != b"#":
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    if len(toks) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    body = payload[i : i + 3 * w * h]
+    if len(body) != 3 * w * h:
+        return None
+    return w, h, body
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Inverse of try_decode_ppm (canonical single-space header)."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length != 3*w*h")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
+
+
+PPM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+        StructField("min_byte", LongType(), True),
+        StructField("max_byte", LongType(), True),
+    ]
+)
+
+
+def ppm_feature_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
+    """Decode PPM payloads and emit integral per-channel pixel stats —
+    the REAL (non-stub) feature-extraction path, mapInPandas over whole
+    arrow batches, fully value-oracled (all int64, no float anywhere).
+
+    ``on_opaque``: 'error' raises NotImplementedError on a non-PPM
+    payload (where Pillow/ffmpeg would run — the honest codec gap for
+    opaque formats); 'skip' drops such rows (the 100 TB posture:
+    quarantine undecodable media, don't fail the job).
+    """
+    import numpy as np
+
+    if on_opaque not in ("error", "skip"):
+        raise ValueError(f"on_opaque must be error|skip: {on_opaque}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PPM_STATS_SCHEMA.fields]
+        for pdf in batches:
+            out: list[list] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec = try_decode_ppm(bytes(p) if p is not None else b"")
+                if dec is None:
+                    if on_opaque == "error":
+                        raise NotImplementedError(
+                            "non-PPM payload: real media codec "
+                            "(Pillow/ffmpeg) not in this container"
+                        )
+                    continue
+                w, h, body = dec
+                arr = np.frombuffer(body, dtype=np.uint8)
+                px = arr.astype(np.int64).reshape(h, w, 3)
+                out.append(
+                    [
+                        int(mid),
+                        w,
+                        h,
+                        w * h,
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(arr.min()),
+                        int(arr.max()),
+                    ]
+                )
+            yield pd.DataFrame(out, columns=cols, dtype="int64")
+
+    return df.mapInPandas(run, PPM_STATS_SCHEMA)
+
+
+PPM_RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", LongType(), False),
+        StructField("out_height", LongType(), False),
+        StructField("n_bytes_in", LongType(), True),
+        StructField("n_bytes_out", LongType(), True),
+        StructField("resized", BinaryType(), True),
+    ]
+)
+
+
+def resize_ppm(
+    df: DataFrame, out_w: int = 4, out_h: int = 4, on_opaque: str = "error"
+) -> DataFrame:
+    """Nearest-neighbor PPM resize, REAL codec end-to-end: decode, a
+    floor-mapped index gather (src_y = oy*h // out_h — the mapping the
+    SQL oracle replicates byte-for-byte), re-encode canonical P6.
+
+    Payload bytes cross the Arrow boundary once per image; at 100 TB
+    the input is pre-filtered to images JVM-side (mime/media_type
+    predicate on the scan) exactly like resize_images above.
+    """
+    import numpy as np
+
+    if on_opaque not in ("error", "skip"):
+        raise ValueError(f"on_opaque must be error|skip: {on_opaque}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "out_width", "out_height", "n_bytes_in", "n_bytes_out"]
+        for pdf in batches:
+            rows: list[list] = []
+            payloads: list[bytes] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p) if p is not None else b""
+                dec = try_decode_ppm(raw)
+                if dec is None:
+                    if on_opaque == "error":
+                        raise NotImplementedError(
+                            "non-PPM payload: real image codec (Pillow) "
+                            "not in this container"
+                        )
+                    continue
+                w, h, body = dec
+                px = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = encode_ppm(
+                    out_w, out_h, px[ys][:, xs].tobytes()
+                )
+                rows.append([int(mid), out_w, out_h, len(raw), len(resized)])
+                payloads.append(resized)
+            out = pd.DataFrame(rows, columns=cols, dtype="int64")
+            out["resized"] = pd.Series(payloads, dtype="object")
+            yield out
+
+    return df.mapInPandas(run, PPM_RESIZED_SCHEMA)
+
+
+def documents_as_ppm_media(df: DataFrame) -> DataFrame:
+    """Synthesize REAL binary PPM (P6) payloads from the documents
+    table, entirely JVM-side: pixel byte i of doc d is (d*31 + i) % 256
+    over an 8 x (1 + n_chars % 13) image — closed-form, so a SQL oracle
+    can recompute every decoded statistic (and every resized byte)
+    without running a codec. Construction is hex-string assembly
+    (transform + lpad(hex) + unhex) concatenated after the ASCII
+    header; no Python touches the bytes until the decoder under test.
+    """
+    h = (F.lit(1) + F.col("n_chars") % 13).cast("long")
+    n_body = (h * 24).cast("int")  # 3 channels x width 8 x height
+    body_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n_body - 1),
+            lambda i: F.lpad(
+                F.hex((F.col("doc_id") * 31 + i.cast("long")) % 256), 2, "0"
+            ),
+        ),
+    )
+    header = F.concat(F.lit("P6\n8 "), h.cast("string"), F.lit("\n255\n"))
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.concat(F.encode(header, "UTF-8"), F.unhex(body_hex)).alias("payload"),
+        F.lit(8).cast("long").alias("width"),
+        h.alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

@@ -2571,48 +2571,91 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("multimodal_features", None)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode + feature extraction over binary payloads
-    (deterministic stub decode — blake2b not in DuckDB => rows-only;
-    pinned by tests/test_multimodal.py).
-
-    The raw operator returns ``features array<float>``; the driver's
-    row canonicalizer cannot hash arrays, so the *registered* query
-    explodes to one (media_id, pos, feat_1e6) row per component with
-    the float int-scaled to a bigint — driver-safe scalars only, the
-    operator itself unchanged."""
-    media = mm_ops.documents_as_media(load(spark, sf_dir, "documents"))
-    feats = mm_ops.extract_features(media)
-    return feats.select(
-        "media_id",
-        "media_type",
-        "n_bytes",
-        F.posexplode("features").alias("pos", "feat"),
-    ).select(
-        "media_id",
-        "media_type",
-        "n_bytes",
-        F.col("pos").cast("long").alias("pos"),
-        F.floor(F.col("feat").cast("double") * 1e6).cast("long").alias("feat_1e6"),
+@register(
+    "multimodal_features",
+    """
+    WITH dims AS (
+      SELECT doc_id, 1 + n_chars % 13 AS h FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.h, u.i, (d.doc_id * 31 + u.i) % 256 AS b
+      FROM dims d, UNNEST(range(0, d.h * 24)) AS u(i)
     )
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(h) * 8 AS BIGINT) AS n_pixels,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN b END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN b END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN b END) AS BIGINT) AS sum_b,
+           CAST(MIN(b) AS BIGINT) AS min_byte,
+           CAST(MAX(b) AS BIGINT) AS max_byte
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode + feature extraction, fully value-oracled:
+    documents synthesize binary PPM (P6) payloads JVM-side (pixel byte
+    i of doc d = (d*31 + i) % 256 over an 8 x (1 + n_chars % 13) image,
+    hex-assembled + unhex — operators/multimodal.documents_as_ppm_media),
+    then operators/multimodal.ppm_feature_stats byte-parses the actual
+    PPM header + raster in mapInPandas and emits integral per-channel
+    pixel statistics. The oracle recomputes every statistic closed-form
+    from the pixel formula — no codec in DuckDB, yet every decoded
+    value is hash-checked. The blake2b-stub path (extract_features)
+    remains for opaque formats, pinned by tests/test_multimodal.py."""
+    media = mm_ops.documents_as_ppm_media(load(spark, sf_dir, "documents"))
+    return mm_ops.ppm_feature_stats(media)
 
 
-@register("multimodal_resize", None)
+_PPM_OUT_HEADER_HEX = "P6\n4 4\n255\n".encode("ascii").hex().upper()
+
+@register(
+    "multimodal_resize",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, 1 + n_chars % 13 AS h FROM documents
+    ),
+    outpx AS (
+      -- j = 3*(oy*4 + ox) + c over the 4x4 RGB output; nearest-neighbor
+      -- floor mapping: src_y = oy*h // 4, src_x = ox*8 // 4
+      SELECT d.doc_id, d.h, u.j,
+             (d.doc_id * 31
+              + 3 * (((u.j // 12) * d.h // 4) * 8 + ((u.j % 12) // 3) * 8 // 4)
+              + u.j % 3) % 256 AS b
+      FROM dims d, UNNEST(range(0, 48)) AS u(j)
+    )
+    SELECT doc_id AS media_id,
+           CAST(4 AS BIGINT) AS out_width,
+           CAST(4 AS BIGINT) AS out_height,
+           CAST(10 + length(CAST(MAX(h) AS VARCHAR)) + 24 * MAX(h) AS BIGINT)
+             AS n_bytes_in,
+           CAST(59 AS BIGINT) AS n_bytes_out,
+           '{_PPM_OUT_HEADER_HEX}'
+             || string_agg(lpad(to_hex(b), 2, '0'), '' ORDER BY j)
+             AS resized_hex
+    FROM outpx GROUP BY doc_id
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas image resize plumbing (stubbed codec, JVM-side
-    image-only pruning before the Arrow hop — blake2b stub => rows-only;
-    pinned by tests/test_multimodal.py). Binary output md5-compressed
-    for driver canonicalization."""
-    media = mm_ops.documents_as_media(load(spark, sf_dir, "documents"))
-    out = mm_ops.resize_images(media, width=64, height=64)
+    """REAL image resize, byte-for-byte value-oracled: decode the
+    synthesized PPM payloads (same formula as multimodal_features),
+    nearest-neighbor gather to 4x4 (src_y = oy*h // 4 — floor mapping),
+    re-encode canonical P6 (operators/multimodal.resize_ppm). The query
+    emits the ENTIRE resized image as uppercase hex; the oracle
+    reconstructs the identical 59 bytes (header + 48 raster bytes)
+    closed-form — a byte-identical cross-engine check of the whole
+    decode->resample->encode path. The blake2b-stub resize
+    (resize_images) remains for opaque formats."""
+    media = mm_ops.documents_as_ppm_media(load(spark, sf_dir, "documents"))
+    out = mm_ops.resize_ppm(media, out_w=4, out_h=4)
     return out.select(
         "media_id",
         "out_width",
         "out_height",
         "n_bytes_in",
         "n_bytes_out",
-        F.md5(F.col("resized")).alias("resized_md5"),
+        F.hex(F.col("resized")).alias("resized_hex"),
     )
 
 

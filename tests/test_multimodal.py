@@ -124,3 +124,108 @@ def test_resize_images_stub_gate(spark):
 
     with pytest.raises(Exception, match="Pillow"):
         resize_images(synthetic_media(spark, 3), decode_stub=False).collect()
+
+
+# ---- real PPM codec (dependency-free decode/resize, round-5) ----
+
+
+def test_ppm_roundtrip_and_spec_parse():
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        encode_ppm,
+        try_decode_ppm,
+    )
+
+    rgb = bytes(range(2 * 3 * 3))  # 3x2 image
+    p = encode_ppm(3, 2, rgb)
+    assert try_decode_ppm(p) == (3, 2, rgb)
+    # spec variants a foreign producer may emit: comments + CRLF runs
+    weird = b"P6 # comment\n#another\n 3\t2 #w h\n255\n" + rgb
+    assert try_decode_ppm(weird) == (3, 2, rgb)
+    # rejects: bad magic, truncated raster, non-255 maxval, junk dims
+    assert try_decode_ppm(b"P5\n3 2\n255\n" + rgb) is None
+    assert try_decode_ppm(encode_ppm(3, 2, rgb)[:-1]) is None
+    assert try_decode_ppm(b"P6\n3 2\n65535\n" + rgb) is None
+    assert try_decode_ppm(b"P6\nx 2\n255\n" + rgb) is None
+    assert try_decode_ppm(b"") is None
+
+
+def test_ppm_feature_stats_real_decode(spark):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        ppm_feature_stats,
+    )
+
+    rgb = bytes([10, 20, 30, 40, 50, 60])  # 2x1: pixels (10,20,30),(40,50,60)
+    rows = [(1, "image", "image/x-portable-pixmap", encode_ppm(2, 1, rgb),
+             2, 1, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    [r] = ppm_feature_stats(df).collect()
+    assert (r.width, r.height, r.n_pixels) == (2, 1, 2)
+    assert (r.sum_r, r.sum_g, r.sum_b) == (50, 70, 90)
+    assert (r.min_byte, r.max_byte) == (10, 60)
+
+
+def test_ppm_feature_stats_opaque_modes(spark):
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        ppm_feature_stats,
+        resize_ppm,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)  # patterned bytes, not PPM
+    with pytest.raises(Exception, match="codec"):
+        ppm_feature_stats(media).collect()
+    assert ppm_feature_stats(media, on_opaque="skip").count() == 0
+    with pytest.raises(Exception, match="codec"):
+        resize_ppm(media).collect()
+    assert resize_ppm(media, on_opaque="skip").count() == 0
+
+
+def test_resize_ppm_matches_numpy_reference(spark):
+    import numpy as np
+
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        resize_ppm,
+        try_decode_ppm,
+    )
+
+    w, h = 7, 5
+    rgb = bytes((i * 11) % 256 for i in range(3 * w * h))
+    df = spark.createDataFrame(
+        [(9, "image", "image/x-portable-pixmap", encode_ppm(w, h, rgb),
+          w, h, None)],
+        MEDIA_SCHEMA,
+    )
+    [r] = resize_ppm(df, out_w=4, out_h=4).collect()
+    ow, oh, body = try_decode_ppm(bytes(r.resized))
+    assert (ow, oh) == (4, 4)
+    src = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(4) * w) // 4
+    assert body == src[ys][:, xs].tobytes()
+    assert r.n_bytes_in == len(encode_ppm(w, h, rgb))
+    assert r.n_bytes_out == len(bytes(r.resized)) == 11 + 48
+
+
+def test_documents_as_ppm_media_payloads_decode(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        documents_as_ppm_media,
+        try_decode_ppm,
+    )
+    from clickhouse_only_importer_prototype_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    for r in documents_as_ppm_media(docs).collect():
+        dec = try_decode_ppm(bytes(r.payload))
+        assert dec is not None, r.media_id
+        w, h, body = dec
+        assert (w, h) == (8, r.height)
+        # JVM hex assembly == the closed-form pixel formula
+        assert body == bytes(
+            (r.media_id * 31 + i) % 256 for i in range(24 * h)
+        )
