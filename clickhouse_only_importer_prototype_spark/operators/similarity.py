@@ -294,11 +294,11 @@ def ivf_train_centroids(
     """
     if train_fraction is not None and not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
+    # parquet count(*) is metadata-only under Spark's row-count
+    # optimization; at worst it is a column-pruned id scan
+    n = df.count()
+    target = n_centroids * train_points_per_centroid
     if train_fraction is None:
-        # parquet count(*) is metadata-only under Spark's row-count
-        # optimization; at worst it is a column-pruned id scan
-        n = df.count()
-        target = n_centroids * train_points_per_centroid
         train_fraction = 1.0 if n <= target else target / n
     if train_fraction < 1.0:
         bound = int(train_fraction * (1 << 30))
@@ -307,17 +307,65 @@ def ivf_train_centroids(
             < bound
         )
     train = df.select(
-        F.col(id_col).alias("i"), _as_double(vec_col).alias("v")
-    ).persist()
-    try:
-        init = (
-            train.select(
-                "i", "v", F.xxhash64(F.lit(seed), F.col("i")).alias("h")
-            )
-            .orderBy("h", "i")
-            .limit(n_centroids)
-            .collect()
+        F.col(id_col).alias("i"),
+        _as_double(vec_col).alias("v"),
+        F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"),
+    )
+    n_train_est = int(train_fraction * n)
+    if n_train_est <= max(4 * target, 65536):
+        return _lloyd_driver(
+            train.collect(), dim, n_centroids, iters
         )
+    return _lloyd_distributed(train, dim, n_centroids, iters)
+
+
+def _lloyd_driver(
+    rows: list, dim: int, n_centroids: int, iters: int
+) -> np.ndarray:
+    """Lloyd iterations over the COLLECTED training sliver — numpy on
+    the driver. The sliver is bounded by construction (~points-per-
+    centroid x centroids vectors, ~2 MB at the defaults, independent of
+    corpus size), so this is sketch-sized driver state, not a corpus
+    collect: the same shape as Misra-Gries rescoring. Versus running
+    each Lloyd pass as Spark jobs this removes ~3 jobs/iteration of
+    pure fixed overhead (pandas-UDF stage launch + shuffle of C x dim
+    cells) — at bench scale that overhead WAS the training time
+    (round-4 verdict #4: 7.4x regression, root-caused to exactly this).
+    Rows are sorted by id for a partitioning-independent sum order.
+    """
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} training vectors, got {len(rows)} "
+            "(train_fraction too small for this corpus?)"
+        )
+    rows = sorted(rows, key=lambda r: r["i"])
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    order = sorted(range(len(rows)), key=lambda k: (rows[k]["h"], rows[k]["i"]))
+    cents = _normalize_rows(mat[order[:n_centroids]].copy())
+    normed = _normalize_rows(mat.copy())
+    for _ in range(iters):
+        sims = normed @ cents.T
+        # stable argsort => ties break on centroid id, matching the UDF
+        clusters = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+        new = cents.copy()  # empty clusters keep their old centroid
+        for c in range(n_centroids):
+            members = mat[clusters == c]
+            if len(members):
+                new[c] = members.sum(axis=0) / len(members)
+        cents = _normalize_rows(new)
+    return cents
+
+
+def _lloyd_distributed(
+    train: DataFrame, dim: int, n_centroids: int, iters: int
+) -> np.ndarray:
+    """Distributed Lloyd for explicitly-oversized training fractions:
+    each iteration is one assignment pass (arrow UDF matmul) + one
+    (cluster, dim-position) sum/count aggregation; only C x dim cells
+    ever reach the driver regardless of training-set size."""
+    train = train.persist()
+    try:
+        init = train.orderBy("h", "i").limit(n_centroids).collect()
         if len(init) < n_centroids:
             raise ValueError(
                 f"need >= {n_centroids} training vectors, got {len(init)} "

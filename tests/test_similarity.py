@@ -119,9 +119,27 @@ def test_ivf_sampled_training_deterministic(spark, embeddings):
     assert len(a) == 25  # 5 queries x top-5
 
 
+def test_lloyd_driver_matches_distributed(spark, embeddings):
+    """The bounded-sliver driver path and the distributed path are the
+    same Lloyd algorithm: identical init (xxhash order), identical
+    stable tie-breaks, so centroids agree to float-sum associativity
+    (pinned tight: the driver path sums members in sorted-id order)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    tr = embeddings.select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.xxhash64(F.lit(42), F.col("vec_id")).alias("h"),
+    )
+    a = similarity._lloyd_driver(tr.collect(), 64, 8, 2)
+    b = similarity._lloyd_distributed(tr, 64, 8, 2)
+    assert np.allclose(a, b, atol=1e-9)
+
+
 def test_ivf_sampled_training_recall(spark, embeddings):
     # pins the recall of the shipped query configuration
-    # (queries.ann_cosine_topk_ivf uses train_fraction=0.5)
+    # (queries.ann_cosine_topk_ivf auto-sizes its training sliver)
     queries = embeddings.where("vec_id < 10")
     exact = similarity.cosine_topk_bruteforce(embeddings, queries, k=5)
     approx = similarity.cosine_topk_ivf(
