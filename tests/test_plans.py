@@ -594,3 +594,36 @@ def test_join_cardinality_probe_prunes_to_keys(spark, sf_dir):
     for seg in plan.split("ReadSchema")[1:]:
         head = seg[:120]
         assert "o_totalprice" not in head and "c_name" not in head
+
+
+def test_ppm_feature_stats_single_scan_no_shuffle(spark, sf_dir):
+    """The PPM decode pipeline is scan -> JVM hex synth -> one
+    mapInPandas: a pure narrow pipeline. One FileScan, zero Exchange —
+    payload bytes cross the Arrow boundary exactly once and nothing
+    shuffles at any scale."""
+    plan = _formatted(q.multimodal_features(spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail section);
+    # count scans in the tree only.
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_ppm_resize_single_scan_no_shuffle(spark, sf_dir):
+    plan = _formatted(q.multimodal_resize(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_containment_packed_frame_cached(spark, sf_dir):
+    """containment_pairs references its packed shingle frame 4x
+    (prefix probe, full index, both verify sides); the persist must
+    show up as InMemoryTableScan reuse, not 4 recomputes of the
+    shingle->df-rank->pack chain (measured 2x query wall at sf0.1)."""
+    df = q.dedup_containment(spark, sf_dir)
+    plan = _formatted(df)
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
