@@ -5566,9 +5566,13 @@ def source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         F.col("source").alias("doc_id"), "text"
     )
+    # referenced 3x (set sizes + both self-join sides, which shuffle
+    # on DIFFERENT keys so no ReusedExchange applies); the persist
+    # runs the explode->distinct once. This per-source vocabulary is
+    # the corpus-reduced frame — tiny next to documents at any scale.
     sh = dedup_ops.shingles(docs, "text", 3).select(
         F.col("doc_id").alias("source"), "shingle"
-    ).distinct()
+    ).distinct().persist()
     sizes = sh.groupBy("source").agg(F.count("*").alias("set_size"))
     a = sh.select(F.col("source").alias("source_a"), "shingle")
     b = sh.select(F.col("source").alias("source_b"), "shingle")
@@ -9883,7 +9887,16 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "quality_score",
         ((qcap - clamped) * F.lit(1 << 32) + h32).alias("ord_key"),
-    )
+    ).persist()
+    # rank_gapless makes three passes over its input (key min/max,
+    # bucket counts, the rank itself); without the persist each pass
+    # re-runs the full tokenize->feature->score text pipeline (~3x the
+    # query wall). The persisted frame is 3 narrow columns — at 100 TB
+    # the natural checkpoint before a global ordering anyway. Analytic
+    # bounds are deliberately NOT passed: the ord_key domain is 2^53
+    # but real quality scores occupy a tiny band, so uniform splits of
+    # the analytic domain would collapse every row into one bucket —
+    # the measured min/max keeps the range buckets even.
     ranked = ids_ops.rank_gapless(
         keyed, ["ord_key", "doc_id"], id_col="train_order"
     )

@@ -618,6 +618,17 @@ def test_ppm_resize_single_scan_no_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan
 
 
+def test_curriculum_keyed_frame_cached(spark, sf_dir):
+    """curriculum_order's keyed frame feeds rank_gapless's three
+    passes (min/max, counts, rank); the persist must appear as
+    InMemoryTableScan reuse or the tokenize->score text pipeline runs
+    3x (measured ~3x the query wall at sf0.1)."""
+    df = q.curriculum_order(spark, sf_dir)
+    plan = _formatted(df)
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
 def test_containment_packed_frame_cached(spark, sf_dir):
     """containment_pairs references its packed shingle frame 4x
     (prefix probe, full index, both verify sides); the persist must
