@@ -15,6 +15,11 @@ Repeatable 10x stress gate (one command, mechanical diff per round):
   python bench.py --sf-dir /tmp/sf10x       # same JSON line at 10x
 ``--sf-dir`` overrides $SPARK_GRAFT_SF_DIR; the default invocation the
 driver uses is unchanged.
+
+Targeted stress runs (e.g. the dedup/ANN families at 100x-1000x
+document scale) subset the registry without touching the default:
+  python bench.py --gen-10x /tmp/sf100x --copies 100
+  python bench.py --sf-dir /tmp/sf100x --only dedup_exact,minhash_lsh_candidates
 """
 
 from __future__ import annotations
@@ -154,12 +159,22 @@ def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "--gen-10x":
         out = argv[1] if len(argv) > 1 else "/tmp/sf10x_synth"
+        copies = 10
+        if "--copies" in argv:
+            copies = int(argv[argv.index("--copies") + 1])
         src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        gen_10x(src, out)
+        gen_10x(src, out, copies=copies)
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(argv) >= 2 and argv[0] == "--sf-dir":
         sf_dir = argv[1]
+        argv = argv[2:]
+    only = None
+    if len(argv) >= 2 and argv[0] == "--only":
+        only = [n.strip() for n in argv[1].split(",") if n.strip()]
+        missing = [n for n in only if n not in HEADLINE]
+        if missing:
+            raise SystemExit(f"--only: unknown queries {missing}")
     spark = get_spark(app_name="cips-bench")
     registry = q.queries()
 
@@ -167,7 +182,7 @@ def main() -> None:
     q.q6_forecast_revenue(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (only if only is not None else HEADLINE):
         fn = registry[name]
         # each query stands alone: operators may persist internal frames,
         # and accumulated caches would skew later queries' timings
@@ -200,7 +215,11 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
+    if only is not None:
+        full_path = None  # targeted run: never clobber the full artifact
     try:
+        if full_path is None:
+            raise OSError
         with open(full_path, "w") as fh:
             json.dump(
                 {
