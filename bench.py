@@ -212,9 +212,15 @@ def main() -> None:
     # (2) print a second, compact line that always fits the tail
     # window: total, query count, the five slowest, and the full-file
     # path so the judge can find (1).
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    default_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    fname = (
+        "BENCH_full.json"
+        if sf_dir == default_sf
+        # non-default dir (e.g. the 10x gate): suffix by dir basename so
+        # a stress run never clobbers the driver-run 1x artifact
+        else f"BENCH_full_{os.path.basename(os.path.normpath(sf_dir))}.json"
     )
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     if only is not None:
         full_path = None  # targeted run: never clobber the full artifact
     try:
