@@ -190,6 +190,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # per-query progress on stderr: long stress runs (100x family
+        # sweeps) need to show WHERE time goes while still running
+        print(f"  [bench] {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
