@@ -141,8 +141,22 @@ def gen_10x(src_dir: str, out_dir: str, copies: int = 10) -> None:
                     w.write_table(out.slice(prev, c - prev))
                     prev = c
         else:
+            # Row groups are the scan-split floor: Spark cannot
+            # parallelize below one row group per task, so size groups
+            # to ~16 MB, not a fixed row count. A fixed 250k rows put
+            # 500k 100x documents into TWO 78 MB groups — 12 of 14
+            # scan tasks empty, every documents query wall-limited by
+            # 2 stragglers (dedup_exact measured 121s; ~8s after this
+            # fix). Mirrors real ingest: large tables ship as many
+            # ~16-128 MB groups across many files.
+            nbytes = max(out.nbytes, 1)
+            rows_per_16mb = max(
+                1024, int(out.num_rows * 16_000_000 / nbytes)
+            )
             pq.write_table(
-                out, f"{out_dir}/{tbl}.parquet", row_group_size=250_000
+                out,
+                f"{out_dir}/{tbl}.parquet",
+                row_group_size=min(250_000, rows_per_16mb),
             )
         print(
             f"  {tbl}: {out.num_rows} rows -> {out_dir}/{tbl}.parquet",
