@@ -1195,7 +1195,11 @@ def containment_pairs(
     if collapse is None:
         collapse = _has_exact_dups(df, text_col)
     if collapse:
-        groups = _exact_groups(df, text_col)
+        # 5 consumers (rep filter, cross-expansion both sides, within-
+        # group both sides): unpersisted, each re-runs the md5 groupBy
+        # + join — measured 8 FileScans on the containment plan. The
+        # (doc_id, rep_id) frame is two slim columns at any scale.
+        groups = _exact_groups(df, text_col).persist()
         sh = shingles(_rep_docs(df, groups), text_col, n)
     else:
         groups = None
