@@ -459,12 +459,81 @@ def cosine_topk_ivf(
     )
 
 
+#: Minimum exact-duplicate fraction at which the embedding
+#: representative collapse pays for its groupBy + expansion joins —
+#: the same measured break-even philosophy as the text family's
+#: ``dedup._COLLAPSE_MIN_DUP_FRAC`` (see that docstring for why the
+#: gate is a ratio, not existence).
+_VEC_COLLAPSE_MIN_DUP_FRAC = 0.05
+
+
+def _vec_fp(vec_col: str) -> Column:
+    """128-bit JVM-side fingerprint of the RAW stored vector: two
+    independently-seeded xxhash64 passes over the array column. A
+    single 64-bit hash risks a silent merge of two different vectors
+    at billion-row scale; two seeds put collisions past 2^-90 for any
+    realistic corpus. Hashing the stored column (not the double cast)
+    keeps the whole fingerprint inside whole-stage codegen."""
+    v = F.col(vec_col)
+    return F.struct(
+        F.xxhash64(F.lit(1), v).alias("h1"),
+        F.xxhash64(F.lit(2), v).alias("h2"),
+    )
+
+
+def _has_exact_dup_vecs(df: DataFrame, vec_col: str) -> bool:
+    """ONE cheap aggregate probing whether the embedding corpus
+    carries enough bitwise-identical vectors for the representative
+    collapse to pay off: count vs approx-count-distinct of the vector
+    fingerprint (map-side HLL partials, one row to the driver).
+
+    Identical vectors are what make the blocked-matmul panels blow up
+    quadratically — a 100-copy group contributes 100x rows to its
+    panel and 4950 all-verify pairs — so the collapse trades one
+    groupBy + slim expansion joins for matmul work that grows with
+    the SQUARE of the dup multiplicity. Skipping is exactly lossless
+    (identical vectors land in the same xxhash block / cluster and
+    pair at cos=1 anyway); the gate only decides cost, mirroring
+    ``dedup._has_exact_dups``."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(_vec_fp(vec_col), rsd=0.02).alias("d"),
+    ).first()
+    n, d = (r["n"] or 0), (r["d"] or 0)
+    return n > 0 and (n - d) >= _VEC_COLLAPSE_MIN_DUP_FRAC * n
+
+
+def _vec_groups(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, rep): every row mapped to the min id sharing its vector
+    fingerprint — the embedding twin of ``dedup._exact_groups``.
+    groupBy-then-join rather than min().over(): the aggregate gets
+    map-side partial combine so the shuffle carries the dup histogram,
+    not the corpus (same argument as the text family)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), _vec_fp(vec_col).alias("__fp")
+    )
+    mins = keyed.groupBy("__fp").agg(F.min("id").alias("rep"))
+    return keyed.join(mins, "__fp").select("id", "rep")
+
+
+def _self_cos_1e6(vec_col: str) -> Column:
+    """floor(1e6 * cos(v, v)) with the EXACT arithmetic shape of the
+    pair rescore (dot/(norm*norm), then *1e6, then floor): identical
+    member vectors must reproduce the uncollapsed path's value bit-
+    for-bit, including the ~1ulp-below-1.0 cases where float rounding
+    makes cos(v,v) floor to 999999."""
+    v = _as_double(vec_col)
+    cos = dot(v, v) / (norm(v) * norm(v))
+    return F.floor(cos * F.lit(1000000.0)).cast("long")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold_1e6: int = 950000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 16,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= threshold), exact.
 
@@ -486,7 +555,59 @@ def embedding_neardup_pairs(
     At 100 TB, stage 1 is the classic blocked similarity join: B(B+1)/2
     independent tasks, each streaming two column panels; n_blocks
     scales with corpus size to bound panel memory.
+
+    ``collapse`` (probe-gated by default, same contract as
+    ``dedup.ngram_jaccard_pairs``): bitwise-identical vectors grow the
+    matmul panels linearly and the panel WORK quadratically — a corpus
+    that is 100 verbatim copies costs 10000x the distinct matmul. When
+    the HLL probe measures enough exact duplication, the matmul runs
+    on one representative per distinct vector and the (by-definition
+    quadratic) output is regenerated with JVM joins: cross pairs carry
+    the rep pair's exact rescored cosine (members ARE the rep's
+    doubles), within-group pairs get the rep's self-cosine computed
+    with the rescore's exact arithmetic shape. Output-equivalent at
+    any dup ratio; pass ``collapse=`` to skip the probe scan.
     """
+    if collapse is None:
+        collapse = _has_exact_dup_vecs(df, vec_col)
+    if collapse:
+        # slim (id, rep) frame, consumed by 4 plans below — persist so
+        # the md5-style groupBy+join runs once, not per consumer
+        groups = _vec_groups(df, id_col, vec_col).persist()
+        reps = df.join(
+            groups.where(F.col("id") == F.col("rep")).select(
+                F.col("id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        rep_pairs = embedding_neardup_pairs(
+            reps, threshold_1e6, id_col, vec_col, n_blocks, collapse=False
+        )
+        ga = groups.select(F.col("rep").alias("doc_a"), F.col("id").alias("ma"))
+        gb = groups.select(F.col("rep").alias("doc_b"), F.col("id").alias("mb"))
+        cross = (
+            rep_pairs.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select(
+                F.least("ma", "mb").alias("doc_a"),
+                F.greatest("ma", "mb").alias("doc_b"),
+                "cos_1e6",
+            )
+        )
+        selfcos = reps.select(
+            F.col(id_col).alias("rep"), _self_cos_1e6(vec_col).alias("cos_1e6")
+        )
+        m1 = groups.select("rep", F.col("id").alias("doc_a"))
+        m2 = groups.select("rep", F.col("id").alias("doc_b"))
+        within = (
+            m1.join(m2, "rep")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .join(selfcos, "rep")
+            .where(F.col("cos_1e6") >= threshold_1e6)
+            .select("doc_a", "doc_b", "cos_1e6")
+        )
+        return cross.unionByName(within)
     # parallel arrays (ids + vectors), NOT an array<struct>: Arrow moves
     # each as one contiguous column and numpy stacks without a Python
     # dict per element — at 20k vectors this is the difference between
@@ -694,6 +815,7 @@ def grouped_neardup_pairs(
     threshold_1e6: int = 420000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Within-group cosine near-dup pairs (cos >= threshold), exact —
     the group-bounded sibling of ``embedding_neardup_pairs`` for
@@ -712,7 +834,68 @@ def grouped_neardup_pairs(
     embedding_neardup_pairs' hash scheme inside the group (panel RAM
     is O(|group| x dim)); at catalog scale a k-means cluster is far
     below that.
+
+    ``collapse``: probe-gated representative collapse for bitwise-
+    identical vectors, the group-bounded twin of
+    ``embedding_neardup_pairs``'s (see there for the cost argument).
+    Fingerprint groups are keyed by (group, vector-hash) so a vector
+    duplicated ACROSS groups never collapses across the group
+    boundary — pairs must not cross groups.
     """
+    if collapse is None:
+        collapse = _has_exact_dup_vecs(df, vec_col)
+    if collapse:
+        grp = F.col(group_col).cast("long")
+        keyed = df.select(
+            grp.alias("grp"),
+            F.col(id_col).alias("id"),
+            _vec_fp(vec_col).alias("__fp"),
+        )
+        mins = keyed.groupBy("grp", "__fp").agg(F.min("id").alias("rep"))
+        # slim (grp, id, rep) frame, 4 consumers — persist (see the
+        # ungrouped twin). ids are unique per the operator contract,
+        # so a rep id alone identifies its (grp, fp) group and the
+        # expansion joins below key on the rep id only.
+        groups = (
+            keyed.join(mins, ["grp", "__fp"])
+            .select("grp", "id", "rep")
+            .persist()
+        )
+        reps = df.join(
+            groups.where(F.col("id") == F.col("rep")).select(
+                F.col("id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        rep_pairs = grouped_neardup_pairs(
+            reps, group_col, threshold_1e6, id_col, vec_col, collapse=False
+        )
+        ga = groups.select(F.col("rep").alias("doc_a"), F.col("id").alias("ma"))
+        gb = groups.select(F.col("rep").alias("doc_b"), F.col("id").alias("mb"))
+        cross = (
+            rep_pairs.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select(
+                F.least("ma", "mb").alias("doc_a"),
+                F.greatest("ma", "mb").alias("doc_b"),
+                "grp",
+                "cos_1e6",
+            )
+        )
+        selfcos = reps.select(
+            F.col(id_col).alias("rep"), _self_cos_1e6(vec_col).alias("cos_1e6")
+        )
+        m1 = groups.select("grp", "rep", F.col("id").alias("doc_a"))
+        m2 = groups.select("rep", F.col("id").alias("doc_b"))
+        within = (
+            m1.join(m2, "rep")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .join(selfcos, "rep")
+            .where(F.col("cos_1e6") >= threshold_1e6)
+            .select("doc_a", "doc_b", "grp", "cos_1e6")
+        )
+        return cross.unionByName(within)
     blocked = df.select(
         F.col(group_col).cast("long").alias("grp"),
         F.col(id_col).alias("id"),

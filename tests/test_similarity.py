@@ -372,3 +372,72 @@ def test_topk_ranking_quality_zero_hit_query_counts_as_zero(spark):
     ).collect()[0]
     assert ok.meets_mrr_floor and ok.meets_ndcg_floor
     assert not bad.meets_mrr_floor and not bad.meets_ndcg_floor
+
+
+def test_embedding_neardup_collapse_equivalence(spark):
+    # heavy verbatim duplication: 8 distinct vectors x 6 copies each —
+    # the probe must fire, and the collapsed output must equal the
+    # uncollapsed blocked-matmul output exactly (values included)
+    rows = []
+    for i in range(8):
+        vec = [float((i * 13 + d * 7) % 11 - 5) for d in range(6)]
+        for c in range(6):
+            rows.append((i * 100 + c, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert similarity._has_exact_dup_vecs(df, "embedding") is True
+    on = sorted(
+        map(
+            tuple,
+            similarity.embedding_neardup_pairs(
+                df, threshold_1e6=500000, collapse=True
+            ).collect(),
+        )
+    )
+    off = sorted(
+        map(
+            tuple,
+            similarity.embedding_neardup_pairs(
+                df, threshold_1e6=500000, collapse=False
+            ).collect(),
+        )
+    )
+    assert on == off and len(on) > 0
+    # every 6-copy group contributes its 15 within pairs at cos ~1
+    assert sum(1 for a, b, c in on if a // 100 == b // 100) == 8 * 15
+
+
+def test_embedding_neardup_collapse_probe_negative(spark):
+    rows = [(i, [float(i), 1.0, float(i % 3)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert similarity._has_exact_dup_vecs(df, "embedding") is False
+
+
+def test_grouped_neardup_collapse_equivalence(spark):
+    # duplicates both WITHIN a group and ACROSS groups: the cross-group
+    # copies must never pair (fingerprint groups are keyed by group)
+    rows = []
+    for i in range(6):
+        vec = [float((i * 5 + d * 3) % 7 - 3) for d in range(4)]
+        for c in range(5):
+            rows.append((i * 100 + c, (i + c) % 2, vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp long, embedding array<float>"
+    )
+    on = sorted(
+        map(
+            tuple,
+            similarity.grouped_neardup_pairs(
+                df, "grp", threshold_1e6=400000, collapse=True
+            ).collect(),
+        )
+    )
+    off = sorted(
+        map(
+            tuple,
+            similarity.grouped_neardup_pairs(
+                df, "grp", threshold_1e6=400000, collapse=False
+            ).collect(),
+        )
+    )
+    assert on == off and len(on) > 0
+    assert all(len(t) == 4 for t in on)
