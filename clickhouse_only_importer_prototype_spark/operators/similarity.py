@@ -734,6 +734,7 @@ def kmeans_assign_int(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Exact-integer Lloyd k-means: the oracle-checkable variant of
     ``ivf_train_centroids`` (which is float spherical k-means, rows-only
@@ -758,6 +759,19 @@ def kmeans_assign_int(
     map-side-combinable (cluster, dim) aggregation collecting only
     k*dim cells to the driver per iteration. The canonical distributed
     Lloyd shape: centroids live driver-side, data stays put.
+
+    ``collapse`` (probe-gated, same family contract as
+    ``embedding_neardup_pairs``): identical QUANTIZED vectors get
+    identical assignments, and the floor-mean update is exactly
+    weight-decomposable — sum/count over members == sum(v*m)/sum(m)
+    over distinct vectors carrying multiplicity m — so on a measured
+    dup-heavy corpus every per-iteration pass (argmin UDF, posexplode,
+    cell agg) runs over the distinct-q frame only and members take
+    their vector's cluster through one final join on q. Grouping keys
+    on q itself (no hash): collision-free, and map-side partial
+    combine shrinks the groupBy shuffle to the dup histogram.
+    Bit-identical output either path; probe-skipped corpora pay one
+    HLL scan.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -770,6 +784,19 @@ def kmeans_assign_int(
     if len(init) < k:
         raise ValueError(f"need >= {k} vectors, got {len(init)}")
     cents: dict[int, list[int]] = {int(r["id"]): list(r["q"]) for r in init}
+    if collapse is None:
+        r = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("q", rsd=0.02).alias("d"),
+        ).first()
+        n, d = (r["n"] or 0), (r["d"] or 0)
+        collapse = n > 0 and (n - d) >= _VEC_COLLAPSE_MIN_DUP_FRAC * n
+    if collapse:
+        work = (
+            base.groupBy("q").agg(F.count(F.lit(1)).alias("__m")).persist()
+        )
+    else:
+        work = base.select("q", F.lit(1).cast("long").alias("__m"))
 
     def _assign_udf(cent_map: dict[int, list[int]]):
         ids = np.array(sorted(cent_map), dtype=np.int64)
@@ -790,10 +817,13 @@ def kmeans_assign_int(
     for _ in range(iters):
         best = _assign_udf(cents)
         cells = (
-            base.select(best(F.col("q")).alias("cluster"), "q")
-            .select("cluster", F.posexplode("q").alias("pos", "v"))
+            work.select(best(F.col("q")).alias("cluster"), "q", "__m")
+            .select("cluster", "__m", F.posexplode("q").alias("pos", "v"))
             .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum(F.col("v") * F.col("__m")).alias("s"),
+                F.sum("__m").alias("n"),
+            )
             .collect()
         )
         nxt: dict[int, list[int]] = {}
@@ -802,8 +832,13 @@ def kmeans_assign_int(
             vec[int(r["pos"])] = int(r["s"]) // int(r["n"])  # Python //: floor
         cents = nxt  # empty clusters drop out, same as the oracle
     best = _assign_udf(cents)
-    # base stays persisted: the caller's action re-reads it for the
-    # final assignment pass (house pattern — small frames ride the LRU)
+    # base/work stay persisted: the caller's action re-reads them for
+    # the final assignment (house pattern — small frames ride the LRU)
+    if collapse:
+        assigned = work.select("q", best(F.col("q")).alias("cluster"))
+        return base.join(assigned, "q").select(
+            F.col("id").alias(id_col), "cluster"
+        )
     return base.select(
         F.col("id").alias(id_col), best(F.col("q")).alias("cluster")
     )

@@ -441,3 +441,29 @@ def test_grouped_neardup_collapse_equivalence(spark):
     )
     assert on == off and len(on) > 0
     assert all(len(t) == 4 for t in on)
+
+
+def test_kmeans_collapse_equivalence(spark):
+    # 12 distinct vectors x 5 copies: weighted distinct-q Lloyd must
+    # reproduce the full-corpus run bit-for-bit (weighted floor-mean
+    # decomposition is exact), including init ids that are non-rep
+    # duplicates of an earlier row
+    rows = []
+    for i in range(12):
+        vec = [float((i * 3 + d * 5) % 9 - 4) / 3.0 for d in range(5)]
+        for c in range(5):
+            rows.append((i + 12 * c, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    on = dict(
+        (r.vec_id, r.cluster)
+        for r in similarity.kmeans_assign_int(
+            df, k=4, iters=2, collapse=True
+        ).collect()
+    )
+    off = dict(
+        (r.vec_id, r.cluster)
+        for r in similarity.kmeans_assign_int(
+            df, k=4, iters=2, collapse=False
+        ).collect()
+    )
+    assert on == off and len(on) == 60
