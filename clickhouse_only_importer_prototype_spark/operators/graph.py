@@ -62,19 +62,27 @@ def pagerank_int(
     dangling mass silently drains — same contract both engines.
 
     Scale: the (possibly expensive) upstream edge build materializes
-    ONCE — arcs are persisted before the degree pass, so the deg agg
-    and the arcs+deg join both read cache, not the source plan. Each
-    iteration then broadcasts the |V|-row rank vector into the cached
-    arc list (zero arc shuffles) + one map-side-combinable
-    groupBy(dst); billion-node graphs flip ``bcast_ranks`` off and get
-    a src-co-partitioned shuffle join instead. Ranks are eagerly
-    localCheckpointed each iteration so lineage (and lost-executor
-    replay) stays O(1) in K.
+    ONCE — arcs are persisted before the degree pass and are the ONLY
+    |E|-scale frame that ever materializes. ``rank div outdeg`` is a
+    per-NODE quantity, so each iteration computes it on the |V|-row
+    vector (ranks ⋈ persisted deg — a node-scale join) and broadcasts
+    the resulting (node, contrib) map into the cached 2-column arc
+    list: zero arc shuffles, no |E|-row arcs+outdeg join or second
+    |E|-scale cache (the previous shape paid both — at a 116M-arc
+    100x stress graph that join alone dominated the 290s wall), then
+    one map-side-combinable groupBy(dst). Billion-node graphs flip
+    ``bcast_ranks`` off and get a src-co-partitioned shuffle join
+    instead. Ranks are eagerly localCheckpointed each iteration so
+    lineage (and lost-executor replay) stays O(1) in K.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     arcs_c = arcs.persist()
-    deg = arcs_c.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # |V|-row frame, consumed every iteration (contrib join) plus the
+    # init select — persist so the |E|-scan groupBy runs once
+    deg = (
+        arcs_c.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    )
     n_nodes = deg.count()  # tiny driver scalar; materializes arcs_c
     # Personalized variant: teleport mass restricted to ``seeds``
     # (single column ``node``) — ranks measure proximity to the seed
@@ -109,10 +117,7 @@ def pagerank_int(
     # fits (catalog-scale graphs; billions of nodes would flip this to
     # a src-co-partitioned shuffle join)
     bcast_ranks = n_nodes <= 5_000_000
-    arcs_deg = arcs_c.join(deg, "src")
-    if not bcast_ranks:
-        arcs_deg = arcs_deg.repartition("src")
-    arcs_deg = arcs_deg.persist()
+    arcs_p = arcs_c if bcast_ranks else arcs_c.repartition("src").persist()
     r0 = PR_SCALE // n_teleport
     if seed_flag is None:
         ranks = deg.select(
@@ -132,12 +137,15 @@ def pagerank_int(
             )
         )
     for _ in range(iterations):
-        r = F.broadcast(ranks) if bcast_ranks else ranks
-        contribs = arcs_deg.join(
-            r, arcs_deg["src"] == r["node"]
-        ).select(
-            F.col("dst").alias("node"),
-            F.expr("rank div outdeg").alias("contrib"),
+        # per-node contribution: rank div outdeg computed ONCE per
+        # node on the |V|-row vector, never per arc
+        per_node = ranks.join(
+            F.broadcast(deg) if bcast_ranks else deg,
+            ranks["node"] == deg["src"],
+        ).select("node", F.expr("rank div outdeg").alias("contrib"))
+        c = F.broadcast(per_node) if bcast_ranks else per_node
+        contribs = arcs_p.join(c, arcs_p["src"] == c["node"]).select(
+            F.col("dst").alias("node"), F.col("contrib")
         )
         damp = contribs.groupBy("node").agg(
             F.expr(f"div({damping_pct} * sum(contrib), 100)").alias("__damp")
@@ -162,7 +170,9 @@ def pagerank_int(
         # lineage is O(1) per iteration and arcs_deg can be released
         # after the loop — the canonical iterative-algorithm shape
         ranks = ranks.localCheckpoint(eager=True)
-    arcs_deg.unpersist()
+    if arcs_p is not arcs_c:
+        arcs_p.unpersist()
+    deg.unpersist()
     arcs_c.unpersist()
     if seed_flag is not None:
         seed_flag.unpersist()

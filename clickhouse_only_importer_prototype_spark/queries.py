@@ -4929,8 +4929,11 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e0").alias("src_type"), F.col("e1").alias("dst_type")
         ).agg(F.count("*").alias("n"))
     )
+    # DECIMAL(38,0) guard: per-transition counts x 1e6 clear int64 only
+    # below ~9.2e12 events per src_type — not a given at log scale
     share = F.expr(
-        "div(n * 1000000, sum(n) over (partition by src_type))"
+        "CAST(div(CAST(n AS DECIMAL(38,0)) * 1000000, "
+        "sum(n) over (partition by src_type)) AS BIGINT)"
     ).alias("share_1e6")
     return cnt.select("src_type", "dst_type", "n", share)
 
@@ -6348,9 +6351,14 @@ def copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "n_ab",
-            F.expr("div(n_ab * n_orders * 1000000, __na * __nb)").alias(
-                "lift_1e6"
-            ),
+            # lift multiplies two linearly-scaling counts (pair count x
+            # corpus orders) — the product grows QUADRATICALLY with
+            # data and clears int64 well before the denominators do:
+            # exact DECIMAL(38,0) div, floor==trunc on counts
+            F.expr(
+                "CAST(div(CAST(n_ab AS DECIMAL(38,0)) * n_orders * "
+                "1000000, CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"
+            ).alias("lift_1e6"),
         )
     )
     w = Window.partitionBy("part_a").orderBy(
@@ -8040,8 +8048,16 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "region",
         "cents",
-        F.expr("div(cents * 1000000, sum(cents) OVER (PARTITION BY region))")
-        .alias("share_of_region_1e6"),
+        # cents*1e6 through DECIMAL(38,0): region-scale cent sums pass
+        # int64 around 9.2e12 cents (~$92B — hit at the 100x stress
+        # gate, ARITHMETIC_OVERFLOW under ANSI). Spark's div on
+        # decimals is exact integral division returning LONG, and
+        # truncation == floor on non-negative revenue, so the DuckDB
+        # HUGEINT oracle still matches bit-for-bit.
+        F.expr(
+            "CAST(div(CAST(cents AS DECIMAL(38,0)) * 1000000, "
+            "sum(cents) OVER (PARTITION BY region)) AS BIGINT)"
+        ).alias("share_of_region_1e6"),
     )
 
 
@@ -8112,10 +8128,12 @@ def customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(top, F.col("cents")).otherwise(0))
         .cast("long")
         .alias("top10pct_cents"),
+        # segment-scale cent sums x 1e6 overflow int64 past ~$92B —
+        # same DECIMAL(38,0) exact-div shape as nation_revenue_share
         F.expr(
-            "div(sum(CASE WHEN rn <= div(100 * n + 999, 1000) "
-            "THEN cents ELSE 0 END) * 1000000, "
-            "greatest(sum(cents), 1))"
+            "CAST(div(CAST(sum(CASE WHEN rn <= div(100 * n + 999, 1000) "
+            "THEN cents ELSE 0 END) AS DECIMAL(38,0)) * 1000000, "
+            "greatest(sum(cents), 1)) AS BIGINT)"
         ).alias("share_1e6"),
     )
 
