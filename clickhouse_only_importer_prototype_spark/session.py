@@ -21,6 +21,34 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: AQE picks the post-shuffle partition count by measured size, but
+#: only DOWN from the initial number — with the initial pinned at 32,
+#: a 100x-scale shuffle (e.g. a 120M-row adjacency join) is forced
+#: into 32 oversized partitions whose join/sort buffers blow the
+#: heap. Giving AQE a high ceiling costs nothing at small scale
+#: (coalesce folds tiny data back to a few partitions) and bounds
+#: per-task volume at large scale — the documented
+#: "set initialPartitionNum high, let AQE coalesce" pattern.
+_AQE_INITIAL_PARTITIONS = "512"
+
+
+def _default_driver_mem() -> str:
+    """Size the local JVM to the box when the env doesn't say:
+    a local[32] 'cluster' on an 8 GiB heap gives each concurrent task
+    ~250 MB — undersized for stress-scale joins (measured: 100x
+    triangle count OOMs). Default to 1/4 of physical RAM clamped to
+    [8g, 48g]; on a real cluster this conf comes from the deployment,
+    not this factory."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(48, max(8, gib // 4))}g"
+    except OSError:
+        pass
+    return "8g"
+
 
 def get_spark(
     app_name: str = "clickhouse-only-importer-prototype-spark",
@@ -47,12 +75,21 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS", _AQE_INITIAL_PARTITIONS
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     if master is None:
