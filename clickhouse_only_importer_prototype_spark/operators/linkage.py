@@ -151,16 +151,35 @@ def blocked_fuzzy_pairs(
             "dist",
         )
     )
+    # Within-group pairs by collect + double explode, NOT a self-join
+    # on __rep: the join's OUTPUT fans out C(group,2)-fold while its
+    # INPUT stays slim, so AQE (which sizes partitions by input bytes)
+    # coalesces it onto a handful of tasks — measured at the 100x
+    # stress gate as one straggler task emitting ~945M pairs (191k
+    # names x C(100,2)). Exploding from a sorted member list does the
+    # same fan-out inside the projection — no shuffle ever carries the
+    # fanned rows — and the explicit repartition (user-specified, so
+    # AQE leaves it alone) spreads the generators. Per-row memory is
+    # O(group size), not O(group size²): the outer posexplode emits
+    # one member per row, the inner explode slices only that member's
+    # tail.
+    n_fan = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    ) * 4
+    members = (
+        groups.groupBy("__rep")
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ms"))
+        .repartition(n_fan)
+    )
     within = (
-        groups.select(F.col("__rep"), F.col("__id").alias("__ma"))
-        .join(
-            groups.select(F.col("__rep"), F.col("__id").alias("__mb")),
-            "__rep",
+        members.select(
+            F.col("__ms"), F.posexplode("__ms").alias("__i", "__ma")
         )
-        .where(F.col("__ma") < F.col("__mb"))
         .select(
             F.col("__ma").alias("id_a"),
-            F.col("__mb").alias("id_b"),
+            F.explode(
+                F.slice(F.col("__ms"), F.col("__i") + F.lit(2), F.size("__ms"))
+            ).alias("id_b"),
             # levenshtein() is IntegerType; matching it directly avoids
             # an analysis pass just to read cross's schema
             F.lit(0).cast("int").alias("dist"),

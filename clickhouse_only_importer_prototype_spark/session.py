@@ -82,6 +82,15 @@ def get_spark(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # persist()ed plans keep their compile-time partitioning unless
+        # this is on — without it the high initial partition count
+        # above leaks 512-task shuffles into every cached frame at
+        # small scale (AQE can otherwise coalesce cached plans too;
+        # cache hits only re-read, so the trade is pure win here)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
