@@ -2970,12 +2970,25 @@ def _stream_twin(
     # and every micro-batch pays per-store overhead (provider init,
     # commit, snapshot) regardless of state volume — at twin scale 32
     # stores cost ~5x the join itself (measured: stream_stream_join
-    # 11.8s -> 2.5s at sf0.1). Pin the STREAM to a small fixed count;
-    # a production deployment sizes this to state volume, not cores,
-    # and the operator semantics are partition-count-invariant (the
-    # oracle equality is the proof). Restored for the batch rollup.
+    # 11.8s -> 2.5s at sf0.1). But a FIXED small count strangles the
+    # per-key Python state functions once the fixture grows (100x
+    # stress: 10M events / ~1M user keys through 8 partitions ran
+    # sessionize at 155s). Size the pin to state volume, exactly as a
+    # production deployment would: one metadata-only row count on the
+    # fixture footer, ~300k rows per state partition, clamped to
+    # [8, cores]. Semantics are partition-count-invariant (the oracle
+    # equality is the proof). Restored for the batch rollup.
+    try:
+        import pyarrow.parquet as _pq
+
+        _rows = _pq.ParquetFile(
+            os.path.join(sf_dir, f"{table}.parquet")
+        ).metadata.num_rows
+    except Exception:
+        _rows = 0
+    stream_parts = max(8, min(os.cpu_count() or 8, _rows // 300_000))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_parts))
     try:
         handle = (
             build(src)
