@@ -170,19 +170,46 @@ _SQL_CHARGE = (
 # --------------------------------------------------------------------------
 
 
+# Exact decimal-string -> double rendering of a scaled-integer sum:
+# one correctly-rounded parse of the exact decimal string, identical
+# on both engines by construction (no decimal division/precision rules
+# anywhere). ip/fp are the integer/fraction longs, width = scale.
+def _SCALED_DOUBLE_SQL(ip: str, fp: str, width: int) -> str:
+    # STRING parses as a type on both engines (Spark rejects bare
+    # VARCHAR; DuckDB accepts STRING as a VARCHAR alias)
+    return (
+        f"CAST(concat(CAST({ip} AS STRING), '.', "
+        f"lpad(CAST({fp} AS STRING), {width}, '0')) AS DOUBLE)"
+    )
+
+
 @register(
     "q1_pricing_summary",
     f"""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 10000) AS BIGINT) AS d4,
+             CAST(round(l_tax * 10000) AS BIGINT) AS t4
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    ),
+    g AS (
+      SELECT l_returnflag, l_linestatus,
+             SUM(qc) AS sq, SUM(pc) AS sp,
+             SUM(pc * (10000 - d4)) AS sr,
+             SUM(pc * (10000 - d4) * (10000 + t4)) AS sch,
+             COUNT(*) AS n
+      FROM c GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-           CAST(CAST(SUM({_SQL_REV}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(SUM({_SQL_CHARGE}) AS VARCHAR) AS DOUBLE) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-    GROUP BY l_returnflag, l_linestatus
+           {_SCALED_DOUBLE_SQL('sq // 100', 'sq % 100', 2)} AS sum_qty,
+           {_SCALED_DOUBLE_SQL('sp // 100', 'sp % 100', 2)} AS sum_base_price,
+           {_SCALED_DOUBLE_SQL('sr // 1000000', 'sr % 1000000', 6)} AS sum_disc_price,
+           {_SCALED_DOUBLE_SQL('sch // 10000000000', 'sch % 10000000000', 10)} AS sum_charge,
+           {_SCALED_DOUBLE_SQL('sq // 100', 'sq % 100', 2)} / n AS avg_qty,
+           n AS count_order
+    FROM g
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,26 +217,65 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-side combine on 6 cells/group × 6 groups — the shuffle
     carries ~groups×partitions rows, independent of input size.
+
+    Arithmetic: exact SCALED-INT64, not decimal. The natural
+    decimal form (price(12,2) × multiplier(14,8) = precision-27
+    intermediates) runs every per-row multiply through Spark's
+    BigDecimal slow path — measured 13.1s for the charge sum alone vs
+    1.7s for the long path over 60M rows. Instead each measure is an
+    exact scale-k integer (cents / per-10^6 revenue / per-10^10
+    charge; the round(x*10^k)-to-BIGINT derivation is this repo's
+    established cross-engine cents convention), the per-row products
+    and sums stay in whole-stage-codegen longs, and the only
+    non-int64-safe quantity — the grand total — is carried as two
+    longs (integer part + fraction part, split per row BEFORE the
+    sum; exact because every term is non-negative). The final double
+    is parsed from the exact decimal string the two longs spell, so
+    both engines round once from the same exact rational — no decimal
+    precision/division rules involved. ANSI overflow bounds (crash,
+    never corruption): per-row charge needs price·(1-d)(1+t) <
+    $9.2e8; fraction sums clear int64 to ~1000x this corpus.
     """
     l = load(spark, sf_dir, "lineitem")
-    qty = _dec("l_quantity")
-    price = _dec("l_extendedprice")
-    rev = _revenue()
-    one = F.lit(1).cast("decimal(6,4)")
-    # fold multipliers first: price(12,2) x ((1-d)(7,4) x (1+t)(7,4))(14,8)
-    # stays exact in both engines (see _SQL_CHARGE comment)
-    charge = price * ((one - _dec("l_discount", 6, 4)) * (one + _dec("l_tax", 6, 4)))
-    return (
-        l.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-01")))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(rev).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
+    pre = l.where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-01"))
+    ).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qc",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc",
+        "CAST(round(l_discount * 10000) AS BIGINT) AS d4",
+        "CAST(round(l_tax * 10000) AS BIGINT) AS t4",
+    ).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "qc",
+        "pc",
+        "pc * (10000 - d4) AS rev6",
+        "pc * (10000 - d4) * (10000 + t4) AS ch10",
+    )
+    agg = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("SUM(qc)").alias("sq"),
+        F.expr("SUM(pc)").alias("sp"),
+        F.expr("SUM(rev6 div 1000000)").alias("sri"),
+        F.expr("SUM(rev6 % 1000000)").alias("srf"),
+        F.expr("SUM(ch10 div 10000000000)").alias("sci"),
+        F.expr("SUM(ch10 % 10000000000)").alias("scf"),
+        F.count("*").alias("n"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        f"{_SCALED_DOUBLE_SQL('sq div 100', 'sq % 100', 2)} AS sum_qty",
+        f"{_SCALED_DOUBLE_SQL('sp div 100', 'sp % 100', 2)} AS sum_base_price",
+        f"""{_SCALED_DOUBLE_SQL(
+            'sri + srf div 1000000', 'srf % 1000000', 6
+        )} AS sum_disc_price""",
+        f"""{_SCALED_DOUBLE_SQL(
+            'sci + scf div 10000000000', 'scf % 10000000000', 10
+        )} AS sum_charge""",
+        f"{_SCALED_DOUBLE_SQL('sq div 100', 'sq % 100', 2)} / n AS avg_qty",
+        "n AS count_order",
     )
 
 
