@@ -230,6 +230,16 @@ def triangle_stats(
     if broadcast_adjacency is None:
         broadcast_adjacency = e.count() <= _ADJ_BROADCAST_MAX_EDGES
     adj = e.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    if not broadcast_adjacency:
+        # shuffle path: two consumers (adj_a, adj_b) on DIFFERENT join
+        # keys — without a persist each branch re-runs the |E|-row
+        # groupBy+collect_list (measured 27s/build on a 119.6M-edge
+        # 100x graph). |V| rows of forward lists ≈ |E| longs total:
+        # the natural checkpoint. On the broadcast path the rebuild is
+        # a small cached-input job and the cache write of array rows
+        # only adds GC pressure — measured net-negative there, so the
+        # persist rides the same measured gate as the broadcast choice
+        adj = adj.persist()
     adj_a = adj.select(F.col("a"), F.col("nbrs").alias("__nbrs_a"))
     adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("__nbrs_b"))
     if broadcast_adjacency:
