@@ -299,9 +299,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
 
-    Scale: customer (smallest side after the segment filter) broadcasts;
-    lineitem never shuffles for the join. Top-10 via global sort of the
-    tiny aggregated result only.
+    Scale: no hints — customer broadcasts by SIZE (compile-time footer
+    estimate under the session threshold), and the orders⨝customer
+    build side is fact-derived (scales with data; 3M rows at the 100x
+    stress scale), so AQE decides it from measured shuffle sizes
+    instead of a force-broadcast that would collect an unbounded frame
+    on the driver. Measured at 100x: hinted 52.2s → size-based 9.9s.
+    Top-10 via global sort of the tiny aggregated result only.
     """
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(
@@ -311,7 +315,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(c, o.o_custkey == c.c_custkey),
                l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
@@ -344,9 +348,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join (4 broadcast dims + 1 fact-fact join).
 
-    Scale: region/nation/customer/supplier broadcast; orders⨝lineitem is
-    the one shuffle join (both sides huge) — AQE picks sort-merge and
-    handles skew. Aggregation output is |nations| rows.
+    Scale: region/nation hint (bounded cardinality); customer/supplier
+    scale with data so they broadcast by SIZE while they fit and
+    degrade to shuffle past the threshold. orders⨝lineitem is the one
+    unavoidable shuffle join (both sides huge) — AQE picks sort-merge
+    and handles skew. Aggregation output is |nations| rows. Measured
+    at 100x: hinted 47.2s → size-based 33.6s.
     """
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
@@ -356,11 +363,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy("n_name")
@@ -416,13 +423,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    customer scales with data — broadcast is size-decided, not hinted."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal")
@@ -567,9 +575,10 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral trade volume by year between two nations.
 
-    Scale: nation (twice) and supplier broadcast; the symmetric
-    nation-pair predicate prunes rows before the one orders⨝lineitem
-    shuffle; customer broadcasts onto orders. Output is 2 pairs × years.
+    Scale: nation hints twice (bounded 25 rows); supplier/customer
+    scale with data, so their broadcasts are size-decided. The
+    symmetric nation-pair predicate prunes rows after the one
+    orders⨝lineitem shuffle. Output is 2 pairs × years.
     """
     s = load(spark, sf_dir, "supplier")
     l = load(spark, sf_dir, "lineitem").where(
@@ -590,8 +599,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
@@ -639,8 +648,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines divide the identical decimal-sum doubles, so the quotient
     is bit-stable).
 
-    Scale: every dimension broadcasts (part's type filter first);
-    orders⨝lineitem is again the only shuffle. The conditional
+    Scale: nation/region hint (bounded); part/supplier/customer
+    broadcast by size while they fit; orders⨝lineitem is again the
+    only unavoidable shuffle. The conditional
     numerator uses null-skipping SUM(CASE) so no decimal-vs-zero type
     unification is involved.
     """
@@ -661,9 +671,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _revenue()
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -769,9 +779,10 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo parts' revenue share in one month, int-scaled.
 
-    Scale: part broadcasts onto the month slice of lineitem; a single
-    global aggregate row — partials combine map-side, the final reduce
-    sees one row per partition.
+    Scale: part joins the month slice of lineitem (size-decided
+    broadcast — part scales with data); a single global aggregate row
+    — partials combine map-side, the final reduce sees one row per
+    partition.
     """
     l = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
@@ -782,7 +793,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double")
     den = F.sum(vol).cast("double")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.floor(
                 F.lit(1000000.0) * F.coalesce(num, F.lit(0.0)) / den
@@ -813,7 +824,8 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slim schema lacks).
 
     Scale: Catalyst pushes the brand/size disjunction down to the part
-    scan (visible in PushedFilters) and part broadcasts; the residual
+    scan (visible in PushedFilters) and part joins by size-decided
+    broadcast; the residual
     per-bracket quantity conjunctions evaluate post-join, JVM codegen.
     """
     l = load(spark, sf_dir, "lineitem")
@@ -837,7 +849,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .where(bracket)
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
@@ -875,8 +887,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier) == n_r_supp == 1. Two lineitem shuffles total (aggregate
     + join, both on orderkey), with map-side partial aggregation; row
     multiplicity of l1 is preserved, so counts match the correlated
-    form exactly. supplier broadcasts for the name; top-20 sorts only
-    the |suppliers|-bounded aggregate.
+    form exactly. supplier joins for the name by size-decided
+    broadcast; top-20 sorts only the |suppliers|-bounded aggregate.
     """
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem")
@@ -896,7 +908,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
     )
     return (
-        base.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        base.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -966,14 +978,15 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dimension-chain rollup: three broadcast joins, zero fact shuffles
-    before the final 5-row aggregate."""
+    """Dimension-chain rollup: three broadcast joins (customer's is
+    size-decided — it scales with data), zero fact shuffles before the
+    final 5-row aggregate."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -1346,11 +1359,12 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-distinct aggregate: Catalyst expands to partial aggs —
-    no driver-side distinct anywhere."""
+    no driver-side distinct anywhere. customer joins by size-decided
+    broadcast (it scales with data)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("o_custkey").alias("active_customers"),
@@ -3427,9 +3441,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a groupBy+join over lineitem-derived unit costs: one shuffle builds
     per-(part,supplier) min unit price with map-side partial_min, a
     second tiny groupBy finds the per-part best, and the equality join
-    back is on the already-partitioned part key. supplier/nation/region
-    /part all broadcast; the min-of-identical-doubles equality is
-    bit-stable cross-engine. Scale: the only data-sized shuffle is the
+    back is on the already-partitioned part key. nation/region hint
+    (bounded); supplier/part and the part-keyed ``best`` aggregate all
+    SCALE with data, so their broadcasts are size-decided — forcing
+    ``best`` (2M rows at the 100x stress scale) onto the driver is the
+    unbounded-collect anti-pattern. The min-of-identical-doubles
+    equality is bit-stable cross-engine. Scale: the only data-sized shuffle is the
     first groupBy, keyed (part,supplier) — no skew (pairs are near
     unique), no window, no correlated re-scan per part (the reference's
     N+1 subquery shape; cf. reference README modes: single-pass ethos).
@@ -3447,7 +3464,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     scoped = cost.join(
-        F.broadcast(region_suppliers), cost.l_suppkey == F.col("s_suppkey")
+        region_suppliers, cost.l_suppkey == F.col("s_suppkey")
     )
     best = scoped.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cost").alias("best_cost")
@@ -3457,11 +3474,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scoped.join(
-            F.broadcast(best),
+            best,
             (F.col("l_partkey") == F.col("b_partkey"))
             & (F.col("unit_cost") == F.col("best_cost")),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
@@ -3495,9 +3512,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts matching a name pattern; supply cost proxied by
     p_retailprice (no partsupp in this corpus).
 
-    Scale: part's LIKE filter broadcasts and prunes lineitem FIRST
-    (the selective dimension drives the probe); supplier+nation
-    broadcast; orders joins on the lineitem shuffle key. All decimal
+    Scale: part's LIKE filter prunes lineitem FIRST (the selective
+    dimension drives the probe; broadcast is size-decided since part
+    scales with data); supplier likewise; nation hints (bounded 25);
+    orders joins on the lineitem shuffle key. All decimal
     arithmetic stays in DECIMAL(38) — same exact sum both engines.
     """
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
@@ -3507,9 +3525,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     amount = _revenue() - _dec("p_retailprice") * _dec("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -3559,7 +3577,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_suppliers = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey"
     )
-    scoped = li.join(F.broadcast(nat_suppliers), li.l_suppkey == F.col("s_suppkey"))
+    scoped = li.join(nat_suppliers, li.l_suppkey == F.col("s_suppkey"))
     per_part = scoped.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.sum(_dec("l_extendedprice")).alias("dec_value")
     )
@@ -3616,7 +3634,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .where(F.col("total_rev") == F.col("best_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -3648,9 +3666,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join; the complaints LIKE becomes a name-suffix predicate —
     this corpus has no s_comment).
 
-    Scale: part's compound predicate broadcasts; the NOT IN side is a
-    100-row broadcast anti-join (null-safe by construction: s_suppkey
-    is a key). count(DISTINCT) expands to the two-level partial
+    Scale: part's compound predicate and the NOT IN anti-join side
+    both join by size-decided broadcast (both scale with data;
+    null-safe by construction: s_suppkey is a key). count(DISTINCT)
+    expands to the two-level partial
     aggregate, so no single reducer sees all suppliers of a hot triple.
     """
     p = load(spark, sf_dir, "part").where(
@@ -3665,8 +3684,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(denied), li.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(denied, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -3711,9 +3730,9 @@ def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-part total re-aggregated from the (supplier, part) partials.
 
     Scale: one lineitem shuffle on (suppkey, partkey); part_total
-    reuses those partials (no second scan); part's LIKE broadcasts;
-    the dominant-supplier set is distinct-collapsed BEFORE joining the
-    100-row supplier dim. Threshold compares identical decimal-sum
+    reuses those partials (no second scan); part's LIKE side and the
+    distinct-collapsed dominant-supplier set join by size-decided
+    broadcast (both scale with data). Threshold compares identical decimal-sum
     doubles, so it cannot flip cross-engine.
     """
     li = load(spark, sf_dir, "lineitem").where(
@@ -3727,7 +3746,7 @@ def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
     dominant = (
-        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        shipped.join(p, shipped.l_partkey == p.p_partkey)
         .join(part_total, shipped.l_partkey == F.col("pt_partkey"))
         .where(F.col("qty") > F.col("total_qty") * 0.3)
         .select("l_suppkey")
@@ -3738,7 +3757,7 @@ def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
     )
     return (
-        s.join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"))
+        s.join(dominant, s.s_suppkey == F.col("l_suppkey"))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")

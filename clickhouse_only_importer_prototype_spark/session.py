@@ -82,6 +82,22 @@ def get_spark(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast policy: explicit F.broadcast() hints are reserved
+        # for provably BOUNDED frames (region=5 rows, nation=25,
+        # 1-row scalar aggregates, sketch-sized state). Everything that
+        # scales with data volume — customer, supplier, part, any
+        # fact-derived frame — is left to SIZE-BASED selection: these
+        # thresholds (compile-time from parquet footers, runtime via
+        # AQE's measured shuffle sizes) pick broadcast while the build
+        # side actually fits and degrade to shuffle join past that,
+        # instead of collecting an unbounded frame onto the driver.
+        # 64 MB is sized to the per-task memory of this class of
+        # executor; measured at the 100x stress scale it keeps every
+        # dimension broadcast the old hints forced, while removing the
+        # force-broadcast of fact-derived frames (q3's orders⨝customer
+        # build was 3M rows there: hinted 52.2s, size-based 9.9s).
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # persist()ed plans keep their compile-time partitioning unless
         # this is on — without it the high initial partition count
         # above leaks 512-task shuffles into every cached frame at
