@@ -72,10 +72,18 @@ def punct_count(col: Column) -> Column:
     ).cast("long")
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Quality-scoring features per document (length / punctuation /
     stopword / word-shape ratios). Ratios are int-scaled per-1000 longs
     to keep cross-engine hashes exact (no float division drift).
+
+    ``keep`` passes named input columns through the projection so
+    pipelines can fuse downstream keys (source, fingerprints) into the
+    single text pass instead of re-deriving them and paying a doc_id
+    self-join — the language_expr fusion pattern. Names must not
+    collide with the feature columns.
     """
     c = F.col(text_col)
     n_chars = F.length(c).cast("long")
@@ -86,6 +94,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     return df.select(
         F.col("doc_id"),
+        *[F.col(k) for k in keep],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         wordpiece_count(c).alias("n_pieces"),
@@ -155,7 +164,12 @@ _LEN_PENALTY = 50
 _TOKEN_CREDIT_CAP = 256
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+    keep_features: tuple[str, ...] = (),
+) -> DataFrame:
     """Model-based quality scoring: a linear classifier over the
     quality_features signals -> (doc_id, quality_score, quality_label).
 
@@ -164,8 +178,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     >= 800 (medium). Row-local integer projection fused onto the
     feature pass — at 100 TB this is the cheap scorer that gates which
     documents ever reach an expensive model scorer.
+
+    ``keep`` passes input columns through (see quality_features);
+    ``keep_features`` additionally retains named feature columns
+    (e.g. ``n_tokens``) in the output, so a caller needing score +
+    volume stats pays ONE text pass and no self-join.
     """
-    f = quality_features(df, text_col)
+    f = quality_features(df, text_col, keep=keep)
     score = (
         F.lit(QUALITY_WEIGHTS["stop_per_1000_tokens"])
         * F.col("stop_per_1000_tokens")
@@ -177,6 +196,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("long")
     return f.select(
         "doc_id",
+        *keep,
+        *keep_features,
         score.alias("quality_score"),
         F.when(score >= 2000, F.lit("high"))
         .when(score >= 800, F.lit("medium"))

@@ -8393,24 +8393,23 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup), so the card's numbers are consistent BY CONSTRUCTION with
     what the curation operators will actually do to the corpus.
 
-    Scale: one doc_id equi-join (feature pass x base projection, both
-    sides co-keyed), two source-keyed folds, and a window over the
-    source x lang count table (slice-scale). Mean quality divides
-    truncation-style (Spark div == DuckDB // on negatives)."""
+    Scale: ONE text pass — the fingerprint and source key ride through
+    the scorer's projection (quality_score's ``keep``/``keep_features``
+    fusion), so there is no doc_id self-join and the corpus is scanned
+    once for the stats fold; then a window over the source x lang
+    count table (slice-scale). Mean quality divides truncation-style
+    (Spark div == DuckDB // on negatives)."""
     d = load(spark, sf_dir, "documents")
-    q = text_ops.quality_score(d)
-    base = d.select(
-        "doc_id",
-        "source",
-        F.md5(text_ops._norm(F.col("text"))).alias("fp"),
-        text_ops.token_count(F.col("text")).alias("n_toks"),
+    q = text_ops.quality_score(
+        d.withColumn("fp", F.md5(text_ops._norm(F.col("text")))),
+        keep=("source", "fp"),
+        keep_features=("n_tokens",),
     )
     s = (
-        base.join(q, "doc_id")
-        .groupBy("source")
+        q.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.count_distinct("fp").alias("n_distinct_docs"),
             F.sum("quality_score").cast("long").alias("__qsum"),
             F.count_if(F.col("quality_score") >= 2000).alias(
