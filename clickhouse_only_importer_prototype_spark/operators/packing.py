@@ -47,9 +47,15 @@ def pack_sequences(
     """
     tc = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     carry = list(carry or [])
+    # three consumers below (key min/max, bucket totals, the ranked
+    # window itself); tokens_col is typically an expensive text
+    # expression (wordpiece_count), so without a persist each pass
+    # re-runs the full tokenize pipeline — the curriculum_order /
+    # rank_gapless pattern. The persisted frame is order key + carry +
+    # one long: the natural checkpoint before a global ordering.
     base = df.select(
         F.col(order_col), *carry, tc.cast("long").alias("n_tokens")
-    )
+    ).persist()
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
