@@ -67,7 +67,12 @@ _TABLES = [
 _COPY_ONLY = {"region", "nation"}  # dimensions: same at every scale
 
 
-def gen_10x(src_dir: str, out_dir: str, copies: int = 10) -> None:
+def gen_10x(
+    src_dir: str,
+    out_dir: str,
+    copies: int = 10,
+    tables: list[str] | None = None,
+) -> None:
     """Deterministic ``copies``x replication of the sf tables.
 
     pyarrow end-to-end (NOT DuckDB: events carries TIMESTAMP(NANOS),
@@ -95,8 +100,15 @@ def gen_10x(src_dir: str, out_dir: str, copies: int = 10) -> None:
         + 1
         for dom, (tbl, col) in _DOMAIN_SOURCE.items()
     }
+    # --tables restricts replication to named tables (the rest copy 1x
+    # verbatim so every query still RUNS against the dir): a 1000x
+    # documents tier shouldn't pay a 600M-row lineitem write it never
+    # reads. Targeted sweeps must then --only the tables' own families.
     for tbl in _TABLES:
         base = pq.read_table(f"{src_dir}/{tbl}.parquet")
+        if tables is not None and tbl not in tables and tbl not in _COPY_ONLY:
+            pq.write_table(base, f"{out_dir}/{tbl}.parquet")
+            continue
         if tbl in _COPY_ONLY:
             out = base
         else:
@@ -176,8 +188,15 @@ def main() -> None:
         copies = 10
         if "--copies" in argv:
             copies = int(argv[argv.index("--copies") + 1])
+        tables = None
+        if "--tables" in argv:
+            tables = [
+                t.strip()
+                for t in argv[argv.index("--tables") + 1].split(",")
+                if t.strip()
+            ]
         src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        gen_10x(src, out, copies=copies)
+        gen_10x(src, out, copies=copies, tables=tables)
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(argv) >= 2 and argv[0] == "--sf-dir":
