@@ -111,31 +111,24 @@ def gen_10x(
             continue
         if tbl in _COPY_ONLY:
             out = base
-        else:
-            shifted = []
-            for i in range(copies):
-                cols = []
-                for name in base.column_names:
-                    col = base.column(name)
-                    dom = _KEY_DOMAINS.get(name)
-                    if dom is not None and i > 0:
-                        col = pc.add(col, i * offsets[dom])
-                    cols.append(col)
-                shifted.append(
-                    pa.table(cols, names=base.column_names)
-                )
-            out = pa.concat_tables(shifted)
-        if tbl == "lineitem":
+        elif tbl == "lineitem":
             # key-sorted ingest with row groups flushed ON orderkey
             # boundaries (~250k rows each): every group edge is a key
             # gap, so surrogate_ids' metadata-only aligned-counts path
-            # runs with full bucket parallelism at 10x
+            # runs with full bucket parallelism at 10x.
+            #
+            # STREAMED, not concat-then-sort: replica i's keys occupy
+            # the disjoint ascending range [i*offset, (i+1)*offset), so
+            # sorting the BASE once and writing shifted replicas in
+            # copy order IS the globally sorted table — O(base) memory
+            # where the old global sort allocated the full tier (a
+            # 600M-row 1000x lineitem would blow the heap).
             import numpy as np
 
-            out = out.sort_by(
+            base = base.sort_by(
                 [("l_orderkey", "ascending"), ("l_linenumber", "ascending")]
             )
-            keys = out.column("l_orderkey").to_numpy()
+            keys = base.column("l_orderkey").to_numpy()
             n = len(keys)
             cuts, pos = [], 0
             while pos + 250_000 < n:
@@ -145,35 +138,93 @@ def gen_10x(
                     cut = nxt  # degenerate single-key run
                 cuts.append(cut)
                 pos = cut
+            bounds = list(zip([0] + cuts, cuts + [n]))
             with pq.ParquetWriter(
-                f"{out_dir}/{tbl}.parquet", out.schema
+                f"{out_dir}/{tbl}.parquet", base.schema
             ) as w:
-                prev = 0
-                for c in cuts + [n]:
-                    w.write_table(out.slice(prev, c - prev))
-                    prev = c
+                buf: list = []
+                brows = 0
+                for i in range(copies):
+                    rep = _shift_replica(base, i, offsets, pa, pc)
+                    if n >= 250_000:
+                        for a, b in bounds:
+                            w.write_table(rep.slice(a, b - a))
+                    else:  # small base: whole replicas are key runs —
+                        # buffer to ~250k so groups aren't base-sized
+                        buf.append(rep)
+                        brows += n
+                        if brows >= 250_000:
+                            w.write_table(pa.concat_tables(buf))
+                            buf, brows = [], 0
+                if buf:
+                    w.write_table(pa.concat_tables(buf))
+            print(
+                f"  {tbl}: {n * copies} rows -> {out_dir}/{tbl}.parquet",
+                file=sys.stderr,
+            )
+            continue
         else:
-            # Row groups are the scan-split floor: Spark cannot
-            # parallelize below one row group per task, so size groups
-            # to ~16 MB, not a fixed row count. A fixed 250k rows put
-            # 500k 100x documents into TWO 78 MB groups — 12 of 14
-            # scan tasks empty, every documents query wall-limited by
-            # 2 stragglers (dedup_exact measured 121s; ~8s after this
-            # fix). Mirrors real ingest: large tables ship as many
-            # ~16-128 MB groups across many files.
-            nbytes = max(out.nbytes, 1)
+            # streamed replica writes, buffered to the ~16 MB row-group
+            # target (row groups are the scan-split floor: a fixed 250k
+            # rows once put 500k 100x documents into TWO 78 MB groups —
+            # 12 of 14 scan tasks empty, dedup_exact 121s -> ~8s after
+            # sizing by bytes). Same O(base) memory bound as lineitem.
+            nbytes = max(base.nbytes, 1)
             rows_per_16mb = max(
-                1024, int(out.num_rows * 16_000_000 / nbytes)
+                1024, int(base.num_rows * 16_000_000 / nbytes)
             )
-            pq.write_table(
-                out,
-                f"{out_dir}/{tbl}.parquet",
-                row_group_size=min(250_000, rows_per_16mb),
+            with pq.ParquetWriter(
+                f"{out_dir}/{tbl}.parquet", base.schema
+            ) as w:
+                buf = []
+                brows = 0
+                for i in range(copies):
+                    buf.append(_shift_replica(base, i, offsets, pa, pc))
+                    brows += base.num_rows
+                    if brows >= rows_per_16mb:
+                        w.write_table(
+                            pa.concat_tables(buf),
+                            row_group_size=rows_per_16mb,
+                        )
+                        buf, brows = [], 0
+                if buf:
+                    w.write_table(
+                        pa.concat_tables(buf), row_group_size=rows_per_16mb
+                    )
+            print(
+                f"  {tbl}: {base.num_rows * copies} rows"
+                f" -> {out_dir}/{tbl}.parquet",
+                file=sys.stderr,
             )
+            continue
+        # copy-only tables (tiny dims): one write, same group sizing
+        nbytes = max(out.nbytes, 1)
+        rows_per_16mb = max(1024, int(out.num_rows * 16_000_000 / nbytes))
+        pq.write_table(
+            out,
+            f"{out_dir}/{tbl}.parquet",
+            row_group_size=min(250_000, rows_per_16mb),
+        )
         print(
             f"  {tbl}: {out.num_rows} rows -> {out_dir}/{tbl}.parquet",
             file=sys.stderr,
         )
+
+
+def _shift_replica(base, i: int, offsets: dict, pa, pc):
+    """Replica ``i`` of a base table: every key column in a known FK
+    domain shifts by i * (domain max + 1); all other columns replicate
+    verbatim. i=0 is the base itself."""
+    if i == 0:
+        return base
+    cols = []
+    for name in base.column_names:
+        col = base.column(name)
+        dom = _KEY_DOMAINS.get(name)
+        if dom is not None:
+            col = pc.add(col, i * offsets[dom])
+        cols.append(col)
+    return pa.table(cols, names=base.column_names)
 
 # Bench every registered query, in registry (gate-priority) order —
 # list built from the live registry so new operators are benched the
