@@ -6445,13 +6445,36 @@ def copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = io.groupBy("p").agg(F.count("*").alias("n"))
     tot = io.agg(F.countDistinct("o").alias("n_orders"))
+    # freq is part-keyed, so it SCALES — but the frame it would
+    # otherwise shuffle against is the quadratic pair table, so a
+    # compile-time SMJ pays the pair shuffle WRITE before AQE can
+    # convert (measured 2x the query wall at 10x). Gate the hint on
+    # the part domain from footer metadata (no scan): |freq| <= |part|,
+    # and 4M (long,long) rows ~ the session's 64 MB broadcast policy.
+    # Past the gate the join degrades to shuffle instead of OOMing.
+    try:
+        n_parts = sum(
+            n for _, _, n in stats.parquet_rowgroup_stats(
+                f"{sf_dir}/part.parquet", "p_partkey"
+            )
+        )
+    except Exception:
+        n_parts = None
+    bcast_freq = (
+        F.broadcast if n_parts is not None and 0 < n_parts <= 4_000_000
+        else (lambda df: df)
+    )
     lift = (
         pairs.join(
-            F.broadcast(freq.select(F.col("p").alias("part_a"), F.col("n").alias("__na"))),
+            bcast_freq(
+                freq.select(F.col("p").alias("part_a"), F.col("n").alias("__na"))
+            ),
             "part_a",
         )
         .join(
-            F.broadcast(freq.select(F.col("p").alias("part_b"), F.col("n").alias("__nb"))),
+            bcast_freq(
+                freq.select(F.col("p").alias("part_b"), F.col("n").alias("__nb"))
+            ),
             "part_b",
         )
         .crossJoin(F.broadcast(tot))
