@@ -638,3 +638,65 @@ def test_containment_packed_frame_cached(spark, sf_dir):
     plan = _formatted(df)
     assert "InMemoryTableScan" in plan
     spark.catalog.clearCache()
+
+
+def test_broadcast_hints_only_on_bounded_frames(spark, sf_dir):
+    """Broadcast-policy pin (round 5): with size-based selection
+    disabled (both thresholds -1), the only BroadcastHashJoins left in
+    a plan are the ones an explicit hint forces — so the count per
+    query IS the hint count, and it must equal the number of provably
+    BOUNDED frames the query hints (region/nation dims, 1-row scalar
+    aggregates, footer-gated flips that fire at fixture scale).
+    A count above the pin means someone re-hinted a frame that scales
+    with data (customer/supplier/part or anything fact-derived) — the
+    driver-OOM anti-pattern the 100x sweep measured at 2-5x the query
+    wall (q3 force-broadcast: 52.2s vs 9.9s size-based)."""
+    # pin = hint sites x subtree multiplicity (an unpersisted subtree
+    # referenced twice, like q2's region-scoped costs, shows its hints
+    # twice). BNLJ rows are the 1-row scalar crossJoins (inequality or
+    # no key); BHJ counts include 1-row hints Catalyst converts to
+    # equi-joins (q15's max) and fixture-scale footer-gated flips
+    # (copurchase_recs' freq).
+    expected_hints = {
+        # no bounded frames -> no hints -> zero forced broadcasts
+        "q3_shipping_priority": (0, 0),
+        "q10_returned_items": (0, 0),
+        "q14_promo_revenue": (0, 0),
+        "q19_bracket_revenue": (0, 0),
+        "q16_supplier_cnt": (0, 0),
+        "q21_waiting_supplier": (0, 0),
+        "segment_distinct_stats": (0, 0),
+        # bounded hints only: nation/region, 1-row scalars
+        "q2_min_cost_supplier": (4, 0),  # (nation + region) x2 subtrees
+        "q5_local_supplier": (2, 0),     # nation + region
+        "q7_nation_volume": (2, 0),      # nation x2
+        "q8_market_share": (3, 0),       # nation x2 + region
+        "q9_product_profit": (1, 0),     # nation
+        "q11_important_stock": (2, 1),   # nation x2 subtrees + 1-row total
+        "q15_top_supplier": (1, 0),      # 1-row max (converted equi-join)
+        "q20_promotion_parts": (1, 0),   # nation
+        "q22_idle_balances": (0, 1),     # 1-row avg (inequality -> BNLJ)
+        "region_rollup": (2, 0),         # nation + region
+        "copurchase_recs": (2, 1),       # gated freq x2 + 1-row total
+    }
+    registry = q.queries()
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prior_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for name, (n_bhj, n_bnlj) in expected_hints.items():
+            plan = _plan(registry[name](spark, sf_dir))
+            got = (
+                plan.count("BroadcastHashJoin"),
+                plan.count("BroadcastNestedLoopJoin"),
+            )
+            assert got == (n_bhj, n_bnlj), (
+                f"{name}: {got} forced broadcasts, policy pins "
+                f"{(n_bhj, n_bnlj)}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", prior_aqe
+        )
