@@ -133,6 +133,11 @@ def _apply_runtime_conf(spark: SparkSession) -> None:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # the broadcast policy (hints = bounded frames only) relies on
+        # size-based selection being generous enough to pick up the
+        # scaling dims while they fit — apply it to reused sessions too
+        ("spark.sql.autoBroadcastJoinThreshold", "64m"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m"),
     ):
         try:
             spark.conf.set(k, v)
