@@ -91,6 +91,11 @@ _RUNTIME_CONF = (
     ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
     ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ("spark.sql.shuffle.partitions", "32"),
+    # broadcast policy: hints mark bounded frames only; scaling dims
+    # rely on size-based selection being generous enough to pick them
+    # up while they fit (see session.py for the 64m rationale)
+    ("spark.sql.autoBroadcastJoinThreshold", "64m"),
+    ("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m"),
 )
 _CONF_APPLIED: set[str] = set()
 
