@@ -341,6 +341,89 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
 
 
+def try_decode_bmp(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse an uncompressed 24-bit BI_RGB BMP -> (width, height,
+    rgb_bytes top-down), or None if the payload is any other BMP
+    flavor (paletted, compressed, 16/32-bpp) or not a BMP at all.
+
+    Handles both row orders (positive height = bottom-up, the common
+    case; negative = top-down) and the 4-byte row stride padding —
+    the parts foreign producers actually vary. Same return contract
+    as try_decode_ppm, so the feature/resize operators are
+    format-agnostic over the two real codecs.
+    """
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40 or len(payload) < 14 + hdr_size:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    ah = -h if top_down else h
+    stride = (3 * w + 3) & ~3
+    if data_off < 14 + hdr_size or len(payload) < data_off + stride * ah:
+        return None
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * ah, offset=data_off
+    ).reshape(ah, stride)[:, : 3 * w]
+    if not top_down:
+        raster = raster[::-1]
+    # BGR -> RGB
+    rgb = raster.reshape(ah, w, 3)[:, :, ::-1]
+    return w, ah, rgb.tobytes()
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Canonical 24-bit BI_RGB BMP (bottom-up, 54-byte headers) from
+    top-down RGB bytes — the inverse of try_decode_bmp."""
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length != 3*w*h")
+    stride = (3 * width + 3) & ~3
+    pad = b"\x00" * (stride - 3 * width)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = px[:, :, ::-1]
+    body = b"".join(
+        bgr[r].tobytes() + pad for r in range(height - 1, -1, -1)
+    )
+    file_size = 54 + len(body)
+    hdr = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + dib + body
+
+
+def try_decode_image(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Dispatch over the real dependency-free codecs (PPM P6, 24-bit
+    BI_RGB BMP) -> (width, height, top-down rgb bytes); None for any
+    payload needing an external codec (Pillow/ffmpeg territory)."""
+    return try_decode_ppm(payload) or try_decode_bmp(payload)
+
+
 PPM_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -376,12 +459,13 @@ def ppm_feature_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
         for pdf in batches:
             out: list[list] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                dec = try_decode_ppm(bytes(p) if p is not None else b"")
+                dec = try_decode_image(bytes(p) if p is not None else b"")
                 if dec is None:
                     if on_opaque == "error":
                         raise NotImplementedError(
-                            "non-PPM payload: real media codec "
-                            "(Pillow/ffmpeg) not in this container"
+                            "payload is neither PPM nor 24-bit BMP: "
+                            "real media codec (Pillow/ffmpeg) not in "
+                            "this container"
                         )
                     continue
                 w, h, body = dec
@@ -440,12 +524,13 @@ def resize_ppm(
             payloads: list[bytes] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p) if p is not None else b""
-                dec = try_decode_ppm(raw)
+                dec = try_decode_image(raw)
                 if dec is None:
                     if on_opaque == "error":
                         raise NotImplementedError(
-                            "non-PPM payload: real image codec (Pillow) "
-                            "not in this container"
+                            "payload is neither PPM nor 24-bit BMP: "
+                            "real image codec (Pillow) not in this "
+                            "container"
                         )
                     continue
                 w, h, body = dec

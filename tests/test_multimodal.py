@@ -229,3 +229,74 @@ def test_documents_as_ppm_media_payloads_decode(spark, sf_dir):
         assert body == bytes(
             (r.media_id * 31 + i) % 256 for i in range(24 * h)
         )
+
+
+def test_bmp_roundtrip_both_row_orders_and_rejects():
+    import numpy as np
+
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        encode_bmp,
+        try_decode_bmp,
+        try_decode_image,
+        try_decode_ppm,
+    )
+
+    w, h = 5, 3  # stride 15 -> padded to 16: exercises row padding
+    rgb = bytes((i * 7) % 256 for i in range(3 * w * h))
+    bmp = encode_bmp(w, h, rgb)
+    assert try_decode_bmp(bmp) == (w, h, rgb)
+    assert try_decode_image(bmp) == (w, h, rgb)
+    assert try_decode_ppm(bmp) is None
+
+    # top-down variant (negative height) must decode to the same rgb
+    neg = bytearray(bmp)
+    neg[22:26] = (-h).to_bytes(4, "little", signed=True)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    flipped = px[::-1].tobytes()
+    got = try_decode_bmp(bytes(neg))
+    assert got is not None and got[2] == flipped
+
+    # rejects: wrong magic, 32-bpp, compressed, truncated raster
+    assert try_decode_bmp(b"XX" + bmp[2:]) is None
+    b32 = bytearray(bmp)
+    b32[28:30] = (32).to_bytes(2, "little")
+    assert try_decode_bmp(bytes(b32)) is None
+    bcmp = bytearray(bmp)
+    bcmp[30:34] = (1).to_bytes(4, "little")
+    assert try_decode_bmp(bytes(bcmp)) is None
+    assert try_decode_bmp(bmp[:-4]) is None
+
+
+def test_feature_stats_format_agnostic(spark):
+    """The same pixels as PPM and as BMP must produce identical
+    integral stats — the operators dispatch over both real codecs."""
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        ppm_feature_stats,
+        resize_ppm,
+        try_decode_ppm,
+    )
+
+    w, h = 6, 4
+    rgb = bytes((i * 13 + 5) % 256 for i in range(3 * w * h))
+    rows = [
+        (1, "image", "image/x-portable-pixmap", encode_ppm(w, h, rgb),
+         w, h, None),
+        (2, "image", "image/bmp", encode_bmp(w, h, rgb), w, h, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    a, b = sorted(
+        ppm_feature_stats(df).collect(), key=lambda r: r.media_id
+    )
+    assert (a.width, a.height, a.sum_r, a.sum_g, a.sum_b, a.min_byte,
+            a.max_byte) == (
+        b.width, b.height, b.sum_r, b.sum_g, b.sum_b, b.min_byte,
+        b.max_byte,
+    )
+    ra, rb = sorted(resize_ppm(df, 2, 2).collect(), key=lambda r: r.media_id)
+    # resize re-encodes canonical P6 regardless of the input format,
+    # so the resized payloads are byte-identical
+    assert bytes(ra.resized) == bytes(rb.resized)
+    assert try_decode_ppm(bytes(ra.resized))[0:2] == (2, 2)
