@@ -918,3 +918,52 @@ def test_benford_audit_python_reference(spark, sf_dir):
     }
     for r in rows.values():
         assert r.abs_gap_1e6 == abs(r.observed_1e6 - r.benford_1e6)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_image_codecs_roundtrip(w, h, data):
+    """Pure-driver codec properties: encode->decode is identity for
+    BOTH real formats at any dims (incl. stride-padding widths), and
+    the dispatch picks the right decoder."""
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        try_decode_bmp,
+        try_decode_image,
+        try_decode_ppm,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+            )
+        )
+    )
+    assert try_decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+    assert try_decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+    assert try_decode_image(encode_ppm(w, h, rgb)) == (w, h, rgb)
+    assert try_decode_image(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+@given(payload=st.binary(max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_image_decoders_total_on_garbage(payload):
+    """Decoders are TOTAL: arbitrary bytes (including truncated headers
+    and magic-prefixed junk) either parse to a well-formed image or
+    return None — never raise. The quarantine path ('skip') depends on
+    this."""
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        try_decode_image,
+    )
+
+    for prefix in (b"", b"P6", b"BM", b"P6\n2 2\n255\n", b"BM" + b"\x00" * 40):
+        out = try_decode_image(prefix + payload)
+        if out is not None:
+            w, h, rgb = out
+            assert w > 0 and h > 0 and len(rgb) == 3 * w * h
