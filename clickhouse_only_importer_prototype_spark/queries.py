@@ -96,6 +96,15 @@ _RUNTIME_CONF = (
     # up while they fit (see session.py for the 64m rationale)
     ("spark.sql.autoBroadcastJoinThreshold", "64m"),
     ("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m"),
+    # runtime bloom-filter pruning at fact scale (see session.py):
+    # q19 at the 600M-row tier 142.5s -> 7.8-16s; sub-1GB scans never
+    # pay a bloom build
+    ("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "256MB"),
+    (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "1GB",
+    ),
 )
 _CONF_APPLIED: set[str] = set()
 

@@ -98,6 +98,26 @@ def get_spark(
         # build was 3M rows there: hinted 52.2s, size-based 9.9s).
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # Runtime bloom-filter join pruning, re-thresholded for the
+        # fact/dim shapes this engine runs: the defaults (creation side
+        # <= 10 MB, application side >= 10 GB) almost never fire —
+        # q19's selective part filter at the 600M-row tier planned a
+        # sort-merge whose 600M-row shuffle write AQE could not undo
+        # (142.5s). With the creation ceiling at 256 MB and the
+        # application floor at 1 GB, the optimizer builds a bloom of
+        # the filtered dim keys and prunes the fact at the SCAN:
+        # measured 142.5s -> 7.8-16s warm. Scans under 1 GB (the whole
+        # 1x/10x bench) never pay a bloom build, so toy-scale plans are
+        # unchanged.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "256MB",
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1GB",
+        )
         # persist()ed plans keep their compile-time partitioning unless
         # this is on — without it the high initial partition count
         # above leaks 512-task shuffles into every cached frame at
