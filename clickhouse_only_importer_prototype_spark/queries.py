@@ -471,10 +471,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
-    per-part aggregate + self-join. Both sides shuffle once on
-    l_partkey (co-partitioned); the aggregate side collapses to one
-    row per part before the join, so the join input is bounded by
-    |parts|, not |lineitem|."""
+    per-part aggregate + self-join. The aggregate side collapses to one
+    row per part before the join, so it is bounded by |parts| — and its
+    compile-time estimate is NOT (it derives from lineitem), so without
+    help the planner picks a sort-merge join that shuffles AND sorts
+    the whole fact side (600M-row tier: 277s measured). Same gate as
+    q2/copurchase_recs: while the part domain (footer row count, no
+    scan) fits the broadcast policy, hint the aggregate broadcast —
+    lineitem never shuffles (127s measured even at a 20M-part forced
+    broadcast). Past the gate, hint shuffle_hash instead: the build
+    side is the |parts|-bounded aggregate split across partitions
+    (KBs per task), and skipping the two 600M-row sorts measured 186s
+    vs SMJ's 277s on the same tier."""
     l = load(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
         (
@@ -482,6 +490,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
         ).alias("qty_cut")
     )
+    try:
+        n_parts = sum(
+            n for _, _, n in stats.parquet_rowgroup_stats(
+                f"{sf_dir}/part.parquet", "p_partkey"
+            )
+        )
+    except Exception:
+        n_parts = None
+    if n_parts is not None and 0 < n_parts <= 4_000_000:
+        per_part = F.broadcast(per_part)
+    else:
+        per_part = per_part.hint("shuffle_hash")
     return (
         l.join(per_part, "l_partkey")
         .where(F.col("l_quantity").cast("double") < F.col("qty_cut"))
