@@ -440,6 +440,16 @@ def rarity_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
     partitions by doc — no global sort anywhere.
     """
     toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    # tf feeds BOTH the df aggregation and the scoring join; column
+    # pruning gives the two subtrees different projections, so
+    # ReusedExchange cannot apply and the explode+groupBy runs twice.
+    # Deliberately NOT persisted (measured at the 5M-doc tier: persist
+    # 174.5s vs recompute 143.5s) — the (doc,term) frame is corpus-
+    # sized, so the cache write plus the codegen break at the
+    # InMemoryTableScan boundary cost more than the second pipelined
+    # pass; contrast curriculum_order, whose persisted frame is three
+    # NARROW columns. On a cluster whose token explode shuffles TBs,
+    # checkpoint tf instead.
     tf = (
         df.select(F.col("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
