@@ -152,3 +152,53 @@ def heavy_hitters(
     rows = out.collect()
     tokens.unpersist()
     return tokens.sparkSession.createDataFrame(rows, schema)
+
+
+def rolling_distinct_estimate(
+    keyed: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    window: int = 7,
+    lg_k: int = 12,
+) -> DataFrame:
+    """(bucket, est): approximate COUNT(DISTINCT key) over the trailing
+    ``window`` buckets ending at each bucket — the sketch-native shape
+    of a rolling-WAU/MAU metric.
+
+    Why a sketch is the only 100 TB shape: the exact rolling distinct
+    count is not decomposable — a (user, day) row must reach EVERY
+    window that covers it, so the exact plan replicates the distinct
+    active-set ``window``-fold and pays one corpus-scale
+    COUNT(DISTINCT) shuffle per replica (queries.events_wau: 700M
+    expanded rows at the 100M-event tier). HLL sketches ARE mergeable,
+    which moves the replication from data rows to sketch digests:
+
+      1. one groupBy(bucket) folds the key stream into ONE Datasketches
+         HLL sketch per bucket (hll_sketch_agg: map-side partial merge,
+         the shuffle carries <= 2^lg_k bytes per bucket per mapper);
+      2. the window replication explodes the per-bucket SKETCH rows —
+         n_buckets x window rows total, metadata-scale regardless of
+         corpus size;
+      3. hll_union_agg + hll_sketch_estimate per window-end bucket.
+
+    Standard error is ~1.04/sqrt(2^lg_k) (~1.6% at the default lg_k=12,
+    a 4 KB sketch); callers pin their own tolerance against an exact
+    twin at gate scale (queries.events_wau_approx asserts 5%).
+
+    Trailing window-end buckets past the data's last bucket are NOT
+    cut here (the caller knows its domain bound); leading partial
+    windows are reported, matching events_wau's contract.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    b = F.col(bucket_col)
+    daily = keyed.groupBy(bucket_col).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("__sk")
+    )
+    ends = daily.select(
+        F.explode(F.sequence(b, b + F.lit(window - 1))).alias(bucket_col),
+        "__sk",
+    )
+    return ends.groupBy(bucket_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("est")
+    )

@@ -100,6 +100,129 @@ def test_winnow_fingerprint_properties(spark):
     assert len(by_doc[3]) == 1
 
 
+# Pure-Python XXH64 (Collet's public-domain algorithm) — the replay
+# oracle for winnow_fingerprint_fast: Spark's xxhash64(string) is
+# XXH64 seed=42 over the UTF-8 bytes (verified bit-exact incl. empty /
+# multi-byte / >32-byte inputs), and DuckDB has no xxhash64, so the
+# rows-only registered query gets its value gate here instead.
+_XXH_MASK = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_MASK
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v = [
+            (seed + _XXH_P1 + _XXH_P2) & _XXH_MASK,
+            (seed + _XXH_P2) & _XXH_MASK,
+            seed & _XXH_MASK,
+            (seed - _XXH_P1) & _XXH_MASK,
+        ]
+        while i + 32 <= n:
+            for k in range(4):
+                lane = int.from_bytes(data[i + 8 * k : i + 8 * k + 8], "little")
+                v[k] = (
+                    _rotl64((v[k] + lane * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1
+                ) & _XXH_MASK
+            i += 32
+        h = (
+            _rotl64(v[0], 1) + _rotl64(v[1], 7)
+            + _rotl64(v[2], 12) + _rotl64(v[3], 18)
+        ) & _XXH_MASK
+        for vk in v:
+            h ^= (_rotl64((vk * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1) & _XXH_MASK
+            h = ((h * _XXH_P1) + _XXH_P4) & _XXH_MASK
+    else:
+        h = (seed + _XXH_P5) & _XXH_MASK
+    h = (h + n) & _XXH_MASK
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((lane * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1) & _XXH_MASK
+        h = ((_rotl64(h, 27) * _XXH_P1) + _XXH_P4) & _XXH_MASK
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h ^= (lane * _XXH_P1) & _XXH_MASK
+        h = ((_rotl64(h, 23) * _XXH_P2) + _XXH_P3) & _XXH_MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _XXH_MASK
+        h = (_rotl64(h, 11) * _XXH_P1) & _XXH_MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_MASK
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_MASK
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_signed(s: str) -> int:
+    h = _xxh64(s.encode("utf-8"))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _winnow_replay(text: str, k: int = 4, w: int = 5) -> set[int]:
+    """Python replay of text.winnow_fingerprints(hash_fn='xxhash64')."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    toks = norm.split(" ")
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [norm]
+    hs = [_xxh64_signed(g) for g in grams]
+    if len(hs) >= w:
+        wins = [min(hs[j : j + w]) for j in range(len(hs) - w + 1)]
+    else:
+        wins = [min(hs)]
+    return set(wins)
+
+
+def test_spark_xxhash64_is_xxh64_seed42(spark):
+    """Pin the replay's foundation: Spark's xxhash64 over strings is
+    XXH64 seed=42 on UTF-8 bytes — empty, short, 4/8-byte-tail, >32
+    byte (vector loop), and multi-byte-codepoint inputs."""
+    vals = ["", "a", "abcd", "abcdefgh", "hello world",
+            "the quick brown fox jumps over the lazy dog and more",
+            "é ü 漢字", "x" * 100]
+    got = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    ).collect()
+    for r in got:
+        assert r.h == _xxh64_signed(r.s), repr(r.s)
+
+
+def test_winnow_xxhash64_replay(spark, sf_dir):
+    """Value gate for winnow_fingerprint_fast (rows-only at the
+    driver): the full winnowing pipeline under the xxhash64 digest
+    matches a pure-Python replay fingerprint-set-for-fingerprint-set
+    over real corpus documents plus the short-doc fallback edge."""
+    docs = _docs(spark, sf_dir).limit(40)
+    extra = spark.createDataFrame(
+        [(100001, "too short"), (100002, ""), (100003, "a  B\t c\nd e f")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    texts = {r.doc_id: r.text for r in df.collect()}
+    fps = text_ops.winnow_fingerprints(df, k=4, w=5, hash_fn="xxhash64")
+    by_doc: dict[int, set[int]] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert set(by_doc) == set(texts)
+    for doc_id, text in texts.items():
+        assert by_doc[doc_id] == _winnow_replay(text), doc_id
+
+
 def test_redact_pii(spark):
     from clickhouse_only_importer_prototype_spark.operators.text import redact_pii
 
