@@ -419,7 +419,54 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
-def rarity_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+# Above this many distinct terms the broadcast dictionary path is off
+# the table: 4M (term, doc_freq) map entries is ~100-200 MB serialized
+# — at the edge of what a 1-row broadcast should carry per executor.
+_RARITY_BROADCAST_VOCAB_MAX = 4_000_000
+
+
+def _sorted_tokens(text_col: str) -> Column:
+    """Sorted non-empty token array of a document — the staging input
+    of _entries_from_sorted. Callers stage it through a select (the
+    array is referenced more than once, so CollapseProject must not
+    inline the split+sort subtree into every reference)."""
+    toks = F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    return F.array_sort(toks)
+
+
+def _entries_from_sorted(st: Column, n: Column) -> Column:
+    """(term, tf) structs from a pre-sorted, pre-staged token array:
+    run starts are the positions where the array changes value."""
+    m = F.greatest(n - 1, F.lit(0))
+    neq = F.zip_with(F.slice(st, 2, m), F.slice(st, 1, m), lambda c, p: c != p)
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.filter(
+            F.transform(neq, lambda x, i: F.when(x, i + 1)),
+            lambda v: v.isNotNull(),
+        ),
+    )
+    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n))
+    run = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.element_at(st, s.cast("int") + 1).alias("term"),
+            (e - s).cast("long").alias("tf"),
+        ),
+    )
+    empty = F.array().cast("array<struct<term:string,tf:bigint>>")
+    return F.when(n == 0, empty).otherwise(run)
+
+
+def rarity_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_vocab_max: int = _RARITY_BROADCAST_VOCAB_MAX,
+) -> DataFrame:
     """Per-document top-k distinguishing terms by a TF-IDF-shaped
     rarity score: (doc_id, term, tf, doc_freq, score_1e6, rank).
 
@@ -432,30 +479,102 @@ def rarity_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
     everywhere (and at 100 TB, determinism under recompute/retry is a
     correctness property). Rank ties break lexicographically by term.
 
-    Scale shape: tokenize+explode is row-local; tf is ONE groupBy on
-    (doc, term); doc_freq is a second groupBy on term over the
-    already-reduced tf frame (not the raw token stream); the join back
-    is on the term key the df side just aggregated by (AQE broadcasts
-    the term dictionary when it is small). The final top-k window
-    partitions by doc — no global sort anywhere.
+    Scale shape (round-6 rewrite, round-5 verdict #4): the (doc, term)
+    frame is the enemy — at the 5M-doc tier it is 116M rows, and BOTH
+    prior shapes paid corpus-scale shuffles over it twice (the window
+    sort alone measured ~270s; persisting it was measured-rejected in
+    r5 at 174.5s vs 143.5s recompute, and a hash-keyed persist+rank()
+    prefilter variant measured 228.5s — rank() degenerates when scores
+    tie heavily). This shape never materializes it:
+
+      * per-doc term counts are ROW-LOCAL (_doc_term_entries:
+        array_sort + run-length over the token array — no explode, no
+        shuffle, pure codegen);
+      * doc_freq explodes only the per-doc DISTINCT term list into a
+        map-side-combinable count whose shuffle carries <= |vocab|
+        rows per mapper; the dfreq frame is persisted (vocab-sized)
+        and counted — that count picks the path;
+      * |vocab| <= _RARITY_BROADCAST_VOCAB_MAX (every measured tier;
+        most real corpora after normalization): dfreq folds into ONE
+        map row, broadcast; scoring + (score DESC, term) top-k run
+        INSIDE each document row (transform + array_sort on structs
+        whose leading field is the negated score) and posexplode emits
+        exactly k rows/doc — the only shuffle in the whole query is
+        the vocab-sized dfreq aggregate;
+      * |vocab| beyond the gate (open-domain web tokens): fall back to
+        the exploded plan — tf groupBy (doc, term), join the persisted
+        dfreq (int-pair keys are pointless there: the join and window
+        dominate), per-doc row_number window. The honest distributed
+        shape when the dictionary genuinely doesn't fit.
+
+    The dfreq persist follows the house caller-owns-unpersist contract
+    (see pack_sequences); it is vocab-bounded, never corpus-sized.
     """
-    toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda t: t != F.lit(""))
-    # tf feeds BOTH the df aggregation and the scoring join; column
-    # pruning gives the two subtrees different projections, so
-    # ReusedExchange cannot apply and the explode+groupBy runs twice.
-    # Deliberately NOT persisted (measured at the 5M-doc tier: persist
-    # 174.5s vs recompute 143.5s) — the (doc,term) frame is corpus-
-    # sized, so the cache write plus the codegen break at the
-    # InMemoryTableScan boundary cost more than the second pipelined
-    # pass; contrast curriculum_order, whose persisted frame is three
-    # NARROW columns. On a cluster whose token explode shuffles TBs,
-    # checkpoint tf instead.
-    tf = (
-        df.select(F.col("doc_id"), F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    staged = df.select(
+        F.col("doc_id"), _sorted_tokens(text_col).alias("__st")
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    staged = staged.select(
+        "doc_id",
+        _entries_from_sorted(F.col("__st"), F.size("__st")).alias("entries"),
+    )
+    # doc_freq needs each doc's DISTINCT terms only — array_distinct +
+    # explode is ~4x cheaper than the run-length entries chain
+    # (measured 13.3s vs 50.7s at the 5M-doc tier), so the expensive
+    # entries expression is evaluated exactly once, in the scoring pass
+    toks = F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    dfreq = (
+        df.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .persist()
+    )
+    n_vocab = dfreq.count()
+    if n_vocab <= broadcast_vocab_max:
+        dmap = dfreq.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "doc_freq"))
+            ).alias("__dmap")
+        )
+
+        def _score(e):
+            # exact int64 floor-div without an expr-only div(): t and
+            # d are positive, t - t%d is exactly divisible, and the
+            # double division of two exact ints whose quotient is an
+            # exact int is correctly rounded to that int (plain
+            # t/d + floor could round a just-below-boundary quotient
+            # UP and break oracle equality)
+            t = e["tf"] * F.lit(1000000)
+            d = F.element_at(F.col("__dmap"), e["term"])
+            return ((t - t % d) / d).cast("long")
+
+        scored = F.transform(
+            F.col("entries"),
+            lambda e: F.struct(
+                (-_score(e)).alias("neg"),
+                e["term"].alias("term"),
+                e["tf"].alias("tf"),
+                F.element_at(F.col("__dmap"), e["term"]).alias("doc_freq"),
+            ),
+        )
+        top = F.slice(F.array_sort(scored), 1, k)
+        return (
+            staged.crossJoin(F.broadcast(dmap))
+            .select("doc_id", F.posexplode(top).alias("pos", "s"))
+            .select(
+                "doc_id",
+                F.col("s.term").alias("term"),
+                F.col("s.tf").alias("tf"),
+                F.col("s.doc_freq").alias("doc_freq"),
+                (-F.col("s.neg")).cast("long").alias("score_1e6"),
+                (F.col("pos") + 1).cast("long").alias("rank"),
+            )
+        )
+    # vocabulary too large for a broadcast map: exploded fallback
+    tf = staged.select(
+        "doc_id", F.explode("entries").alias("e")
+    ).select("doc_id", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
     scored = tf.join(dfreq, "term").select(
         "doc_id",
         "term",

@@ -331,6 +331,30 @@ def test_rarity_top_terms_rank_and_ties(spark):
     assert out[(3, 1)][0] == "apple" and out[(3, 1)][3] == 500_000
 
 
+def test_rarity_top_terms_paths_equal(spark, sf_dir):
+    """The broadcast-map path (vocab fits) and the exploded-window
+    fallback (vocab past the gate) must return identical rows — the
+    gate decides cost, never output (forced by broadcast_vocab_max=0
+    on the same corpus; exercises empty docs and rank ties too)."""
+    from clickhouse_only_importer_prototype_spark.operators.text import (
+        rarity_top_terms,
+    )
+
+    docs = _docs(spark, sf_dir).limit(60).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, "solo"), (900003, "tie tie bie bie")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(extra)
+    fast = {tuple(r) for r in rarity_top_terms(df, k=3).collect()}
+    slow = {
+        tuple(r)
+        for r in rarity_top_terms(df, k=3, broadcast_vocab_max=0).collect()
+    }
+    assert fast == slow
+    assert not any(r[0] == 900001 for r in fast)  # empty doc absent
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from clickhouse_only_importer_prototype_spark.operators.text import (
         chunk_documents,
