@@ -103,12 +103,39 @@ def gen_10x(
     # --tables restricts replication to named tables (the rest copy 1x
     # verbatim so every query still RUNS against the dir): a 1000x
     # documents tier shouldn't pay a 600M-row lineitem write it never
-    # reads. Targeted sweeps must then --only the tables' own families.
+    # reads. Targeted sweeps must then --only the tables' own families
+    # — the _gen_manifest.json written below lets the bench runner
+    # refuse a full run against such a dir (a verbatim fact table's FK
+    # columns stay in the BASE key domain while replicated tables'
+    # keys shift past it, so any cross-family join would silently
+    # return base-only rows: plausible but wrong).
+    replicated: list[str] = []
+    verbatim: list[str] = []
     for tbl in _TABLES:
         base = pq.read_table(f"{src_dir}/{tbl}.parquet")
         if tables is not None and tbl not in tables and tbl not in _COPY_ONLY:
-            pq.write_table(base, f"{out_dir}/{tbl}.parquet")
+            # verbatim 1x copy — same 16 MB row-group sizing and
+            # progress line as the replicated branch (a default-sized
+            # write once landed 500k docs in two 78 MB groups: 12 of
+            # 14 scan tasks empty)
+            verbatim.append(tbl)
+            nbytes = max(base.nbytes, 1)
+            rows_per_16mb = max(
+                1024, int(base.num_rows * 16_000_000 / nbytes)
+            )
+            pq.write_table(
+                base,
+                f"{out_dir}/{tbl}.parquet",
+                row_group_size=rows_per_16mb,
+            )
+            print(
+                f"  {tbl}: {base.num_rows} rows (1x verbatim)"
+                f" -> {out_dir}/{tbl}.parquet",
+                file=sys.stderr,
+            )
             continue
+        if tbl not in _COPY_ONLY:
+            replicated.append(tbl)
         if tbl in _COPY_ONLY:
             out = base
         elif tbl == "lineitem":
@@ -209,6 +236,17 @@ def gen_10x(
             f"  {tbl}: {out.num_rows} rows -> {out_dir}/{tbl}.parquet",
             file=sys.stderr,
         )
+    # manifest: which tables actually scaled (dims in _COPY_ONLY are
+    # scale-invariant by design and never poison joins)
+    with open(f"{out_dir}/_gen_manifest.json", "w") as fh:
+        json.dump(
+            {
+                "copies": copies,
+                "replicated": replicated,
+                "verbatim_1x": verbatim,
+            },
+            fh,
+        )
 
 
 def _shift_replica(base, i: int, offsets: dict, pa, pc):
@@ -259,6 +297,30 @@ def main() -> None:
         missing = [n for n in only if n not in HEADLINE]
         if missing:
             raise SystemExit(f"--only: unknown queries {missing}")
+    # targeted-gen dirs (gen_10x --tables) carry verbatim 1x fact
+    # tables whose FK domains no longer join the replicated tables:
+    # a full run there returns plausible but WRONG (base-only) rows
+    # for every cross-family query, so refuse it; --only runs get a
+    # visible reminder of which tables didn't scale.
+    manifest_path = os.path.join(sf_dir, "_gen_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        verbatim = manifest.get("verbatim_1x", [])
+        if verbatim and only is None:
+            raise SystemExit(
+                f"{sf_dir} was generated with --tables: "
+                f"{verbatim} are 1x verbatim copies whose keys do not "
+                "join the replicated tables. Run with --only over the "
+                "replicated tables' own query families, or regenerate "
+                "without --tables."
+            )
+        if verbatim:
+            print(
+                f"  [bench] WARNING: {sf_dir} is a targeted gen; "
+                f"1x verbatim (non-joinable) tables: {verbatim}",
+                file=sys.stderr,
+            )
     spark = get_spark(app_name="cips-bench")
     registry = q.queries()
 

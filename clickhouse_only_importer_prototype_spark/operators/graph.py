@@ -238,7 +238,9 @@ def triangle_stats(
         # the natural checkpoint. On the broadcast path the rebuild is
         # a small cached-input job and the cache write of array rows
         # only adds GC pressure — measured net-negative there, so the
-        # persist rides the same measured gate as the broadcast choice
+        # persist rides the same measured gate as the broadcast choice.
+        # Lifetime: caller-owns-unpersist (returned frame is lazy) —
+        # long-lived sessions clearCache() after their action
         adj = adj.persist()
     adj_a = adj.select(F.col("a"), F.col("nbrs").alias("__nbrs_a"))
     adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("__nbrs_b"))

@@ -44,6 +44,14 @@ def pack_sequences(
     domain is split uniformly from a min/max pass. ``carry`` columns
     ride through unchanged — cheaper than re-deriving the input subplan
     for a post-hoc join when upstream is an expensive pipeline.
+
+    Cache lifetime: the tokenized base frame is persisted (three
+    consumers below) and the returned frame is lazy, so the persist
+    follows the house caller-owns-unpersist contract — a long-lived
+    session calling this repeatedly should ``spark.catalog.
+    clearCache()`` (or let LRU evict) after its action; bench/gate
+    runs clear between queries. Eagerly unpersisting here would drop
+    the cache before the caller's action ever runs.
     """
     tc = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     carry = list(carry or [])

@@ -8777,7 +8777,9 @@ def split_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle frames then shuffle by shingle for the anti-join (the
     decontamination shape); everything after is distinct-shingle-scale.
     The test-side distinct set feeds both the anti-join and the
-    denominator, so it persists (bounded by distinct trigram count)."""
+    denominator, so it persists (bounded by distinct trigram count;
+    caller-owns-unpersist — the gate/bench clearCache() between
+    queries, long-lived sessions do the same after their action)."""
     d = sampling_ops.hash_split(
         load(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
         weights={"train": 0.9, "val": 0.05, "test": 0.05},

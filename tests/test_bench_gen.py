@@ -44,3 +44,37 @@ def test_gen_10x_replicas_unique_joinable_aligned(tmp_path):
         ).fetchone()[0]
         == 25
     )
+    # full gen: manifest records every fact table as replicated
+    import json
+
+    with open(f"{out}/_gen_manifest.json") as fh:
+        m = json.load(fh)
+    assert m["verbatim_1x"] == [] and m["copies"] == 2
+    assert "lineitem" in m["replicated"] and "nation" not in m["replicated"]
+
+
+def test_gen_10x_targeted_writes_manifest_and_sized_groups(tmp_path):
+    """--tables gens must (a) record the non-joinable verbatim tables
+    in the manifest so the bench runner can refuse cross-family runs,
+    and (b) write the verbatim copies with the same 16 MB row-group
+    sizing as replicated tables (a default-sized copy of a large table
+    lands as a handful of oversized groups — the scan-split straggler
+    the sizing exists to prevent)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "tgt")
+    bench.gen_10x("/root/testdata/sf0.001", out, copies=3, tables=["documents"])
+    with open(f"{out}/_gen_manifest.json") as fh:
+        m = json.load(fh)
+    assert m["replicated"] == ["documents"]
+    assert "lineitem" in m["verbatim_1x"] and "orders" in m["verbatim_1x"]
+    assert "nation" not in m["verbatim_1x"]  # dims are scale-invariant
+    # verbatim copy carries explicit row-group sizing (not the pyarrow
+    # default 1M-row groups): expected rows-per-16MB for the fixture
+    md = pq.ParquetFile(f"{out}/lineitem.parquet").metadata
+    base = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    rows_per_16mb = max(1024, int(base.num_rows * 16_000_000 / max(base.nbytes, 1)))
+    expect_groups = -(-base.num_rows // rows_per_16mb)
+    assert md.num_row_groups == expect_groups

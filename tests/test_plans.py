@@ -680,6 +680,23 @@ def test_broadcast_hints_only_on_bounded_frames(spark, sf_dir):
         "copurchase_recs": (2, 1),       # gated freq x2 + 1-row total
     }
     registry = q.queries()
+    # copurchase_recs' (2, 1) pin assumes its footer gate FIRES at this
+    # fixture (part rows <= 4M flips the freq join to a forced
+    # broadcast); assert the precondition so pointing the fixture at a
+    # larger corpus fails HERE with the real reason, not as a
+    # mysterious hint-count mismatch below.
+    from clickhouse_only_importer_prototype_spark import stats as _stats
+
+    n_parts = sum(
+        n
+        for _, _, n in _stats.parquet_rowgroup_stats(
+            f"{sf_dir}/part.parquet", "p_partkey"
+        )
+    )
+    assert 0 < n_parts <= 4_000_000, (
+        f"fixture part table has {n_parts} rows — copurchase_recs' "
+        "footer gate no longer fires; re-pin its expected hints"
+    )
     prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prior_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
     try:
