@@ -419,6 +419,144 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
+def span_windows(
+    df: DataFrame, text_col: str = "text", n: int = 12
+) -> DataFrame:
+    """(doc_id, pos, span_hash): md5 of every sliding n-token window of
+    the normalized text, 0-based pos. Docs shorter than n tokens emit
+    nothing (they cannot contain an n-token span by definition — unlike
+    winnow_fingerprints' whole-doc fallback, whose job is indexing every
+    doc; this op's job is finding *spans*, so short docs are out of
+    domain).
+
+    The shared scan stage of the exact duplicate-span family (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022): their suffix-array substring dedup finds duplicated
+    spans of ANY length >= L but needs a global suffix sort that does
+    not distribute; fixed-length rolling windows are the standard
+    distributed approximation — a duplicated region of length m >= n
+    shows up as m-n+1 duplicated windows, so nothing longer than n is
+    missed, and coverage (below) reassembles the full region extent
+    from overlapping hits. Same row-local shifted-slice-zip as
+    winnow_fingerprints: no UDF, no shuffle, ~1 digest per token.
+    """
+    staged = df.select(
+        F.col("doc_id"), F.split(_norm(F.col(text_col)), " ").alias("__toks")
+    ).where(F.size("__toks") >= n)
+    toks = F.col("__toks")
+    m = F.size(toks) - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(n)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
+    )
+    return staged.select(
+        "doc_id", F.posexplode(grams).alias("pos", "__g")
+    ).select("doc_id", "pos", F.md5(F.col("__g")).alias("span_hash"))
+
+
+def dup_spans(
+    df: DataFrame, text_col: str = "text", n: int = 12, min_docs: int = 2
+) -> DataFrame:
+    """Exact duplicated n-token spans appearing in >= min_docs DISTINCT
+    documents: (span_hash, n_occurrences, n_docs, first_doc).
+
+    Cross-doc duplication only, by contract: a span repeated within one
+    document is repetition_features' business (boilerplate inside a
+    page), while a span shared across documents is corpus-level
+    contamination — the thing substring dedup removes. n_occurrences
+    still counts every occurrence (including within-doc repeats of a
+    cross-doc span), since that is the row weight a removal pass needs.
+
+    Scale shape: two-stage aggregate — groupBy(span_hash, doc_id) first
+    (the shuffle carries one row per distinct (span, doc), and the
+    partial agg combines within-doc repeats map-side), then the
+    span-level rollup groups rows already partitioned by span_hash
+    prefix. Never a COUNT(DISTINCT) over raw token-volume rows.
+    """
+    w = span_windows(df, text_col, n)
+    per_doc = w.groupBy("span_hash", "doc_id").agg(
+        F.count("*").alias("__c")
+    )
+    return (
+        per_doc.groupBy("span_hash")
+        .agg(
+            F.sum("__c").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame, text_col: str = "text", n: int = 12, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-text budget: what fraction of each doc's
+    tokens sits inside an n-token span that also appears in >= min_docs
+    distinct docs. (doc_id, n_tokens, covered_tokens, coverage_1e6) —
+    one row per document, coverage_1e6 = covered*1e6 div n_tokens.
+
+    This is THE metric a substring-dedup pass reports before deleting
+    anything (Lee et al. 2022 report it as "fraction of tokens removed")
+    and the per-source version is how you find the boilerplate-heavy
+    crawl slice. Overlapping/adjacent duplicated windows must not
+    double-count, so hits per doc are merged gaps-and-islands style:
+    window start positions sorted per doc, a new island opens when a
+    start position clears the running max end by more than one token,
+    and each island contributes max(end)-min(start)+1 tokens.
+
+    Scale shape: one token-volume scan (span_windows), then two
+    shuffles of the hit frame — (1) by span_hash, where a partition
+    window (collect_set over the hash group) filters to duplicated
+    spans WITHOUT the groupBy+semi-join's second shuffle of the full
+    window frame; (2) by doc_id for the island merge, after which the
+    island rollup and the per-doc sum reuse the same partitioning (no
+    further exchange). The doc-length frame joins back by doc_id —
+    sort-merge on the already-doc-partitioned side at worst.
+    """
+    w = span_windows(df, text_col, n)
+    by_span = Window.partitionBy("span_hash")
+    hits = w.withColumn(
+        "__nd", F.size(F.collect_set("doc_id").over(by_span))
+    ).where(F.col("__nd") >= min_docs)
+
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    run_max_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") > F.coalesce(run_max_end, F.lit(-1)) + 1)
+        .cast("long")
+        .alias("__new"),
+    ).withColumn("__island", F.sum("__new").over(by_doc))
+    per_doc = (
+        islands.groupBy("doc_id", "__island")
+        .agg(
+            (F.max("pos") + F.lit(n - 1) - F.min("pos") + 1)
+            .cast("long")
+            .alias("__covered")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__covered").alias("covered_tokens"))
+    )
+    lens = df.select(
+        F.col("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long"))
+    return lens.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        covered.alias("covered_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("div(coalesce(covered_tokens, 0) * 1000000, n_tokens)"))
+        .alias("coverage_1e6"),
+    )
+
+
 # Above this many distinct terms the broadcast dictionary path is off
 # the table: 4M (term, doc_freq) map entries is ~100-200 MB serialized
 # — at the edge of what a 1-row broadcast should carry per executor.

@@ -2696,6 +2696,111 @@ def winnow_fingerprint_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE prefix of the duplicate-span family oracles: every
+# 12-token sliding window of the normalized text, md5-hashed. DuckDB
+# list slicing is 1-based inclusive (toks[i:i+11] = 12 elements);
+# Spark's posexplode pos is 0-based — coverage arithmetic is
+# translation-invariant and detect never emits positions, so the two
+# bases never meet in output.
+_SPAN_WINDOW_SQL = f"""
+    t AS (
+      SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+11], ' ')) AS span_hash
+      FROM t, UNNEST(generate_series(1, len(toks) - 11)) AS u(i)
+      WHERE len(toks) >= 12
+    )
+"""
+
+
+@register(
+    "dup_span_detect",
+    f"""
+    WITH {_SPAN_WINDOW_SQL},
+    pd AS (
+      SELECT span_hash, doc_id, COUNT(*) AS c
+      FROM w GROUP BY 1, 2
+    )
+    SELECT span_hash,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM pd GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated 12-token spans across >= 2 distinct documents
+    (operators/text.dup_spans) — the distributed fixed-window
+    approximation of suffix-array substring dedup (Lee et al. 2022),
+    the one canonical LLM-data dedup mode the family lacked: exact,
+    MinHash-LSH, SimHash, n-gram Jaccard, containment and embedding
+    near-dup all match whole documents; this finds the duplicated
+    REGIONS inside otherwise-distinct documents (license boilerplate,
+    quoted passages, templated headers)."""
+    return text_ops.dup_spans(load(spark, sf_dir, "documents"), n=12)
+
+
+@register(
+    "dup_span_coverage",
+    f"""
+    WITH {_SPAN_WINDOW_SQL},
+    dup AS (
+      SELECT span_hash FROM w
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (span_hash)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 11) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS island_id
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, MAX(pos + 11) - MIN(pos) + 1 AS covered
+      FROM isl2 GROUP BY doc_id, island_id
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS covered_tokens
+      FROM cov GROUP BY 1
+    ),
+    nt AS (
+      SELECT doc_id,
+             CASE WHEN {_SQL_NORM} = '' THEN 0
+                  ELSE CAST(len(string_split({_SQL_NORM}, ' ')) AS BIGINT)
+             END AS n_tokens
+      FROM documents
+    )
+    SELECT n.doc_id, n.n_tokens,
+           COALESCE(p.covered_tokens, 0) AS covered_tokens,
+           CASE WHEN n.n_tokens = 0 THEN 0
+                ELSE COALESCE(p.covered_tokens, 0) * 1000000 // n.n_tokens
+           END AS coverage_1e6
+    FROM nt n LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text budget: fraction of tokens inside a
+    cross-doc duplicated 12-token span (operators/text.
+    dup_span_coverage) — "fraction of tokens removed" from Lee et al.
+    2022, the number a substring-dedup pass reports before deleting
+    anything. Overlapping hits merge gaps-and-islands style so coverage
+    never double-counts."""
+    return text_ops.dup_span_coverage(load(spark, sf_dir, "documents"), n=12)
+
+
 # --------------------------------------------------------------------------
 # Multimodal: binary payload + typed metadata plumbing
 # --------------------------------------------------------------------------
@@ -11071,11 +11176,16 @@ _WINDOW_PRIORITY = [
     "q21_waiting_supplier", "q14_promo_revenue", "q12_priority_lines",
     "q20_promotion_parts",
 ]
-# The deferral backlog is EMPTY as of this rotation: every oracled
-# query registered before round 6 has held a green driver row in some
-# round once this window lands. New queries registered this round and
-# not in the window queue here for the round-7 window.
-_DEFERRED_TO_NEXT_WINDOW: list[str] = []
+# The pre-round-6 deferral backlog is EMPTY as of this rotation: every
+# oracled query registered before round 6 has held a green driver row
+# in some round once this window lands. Queries registered AFTER the
+# round-6 window was pinned queue here for the round-7 window (the
+# duplicate-span family, added mid-round-6 — the window itself stays
+# frozen once curated so re-proof slots keep their meaning).
+_DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "dup_span_detect",
+    "dup_span_coverage",
+]
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects
 # evidence coverage — they follow the window in registration order.

@@ -529,3 +529,101 @@ def test_bpe_excludes_delimiter_bearing_words(spark):
     assert got == _bpe_reference(clean, 2)
     enc_words = {r.word for r in text_ops.bpe_encode(df, 2).collect()}
     assert enc_words == set(clean)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_dup_spans_cross_doc_only(spark):
+    # A 4-token span shared by docs 0 and 1; doc 2 repeats its own
+    # span twice but shares it with nobody -> within-doc repetition is
+    # NOT a duplicated span (that's repetition_features' contract).
+    shared = "alpha beta gamma delta"
+    df = _docs(
+        spark,
+        [
+            f"x1 x2 {shared} x3",
+            f"y1 {shared}",
+            "p q r s p q r s",  # 8 tokens, own 4-gram repeats twice
+        ],
+    )
+    got = {
+        r.span_hash: r
+        for r in text_ops.dup_spans(df, n=4, min_docs=2).collect()
+    }
+    # every window of doc2 appears once in one doc except "p q r s"
+    # (twice, same doc) -> nothing from doc2 qualifies
+    import hashlib
+
+    h = hashlib.md5(shared.encode()).hexdigest()
+    assert h in got
+    assert got[h].n_docs == 2 and got[h].n_occurrences == 2
+    assert got[h].first_doc == 0
+    # doc2's repeated span must not appear
+    h2 = hashlib.md5(b"p q r s").hexdigest()
+    assert h2 not in got
+
+
+def test_dup_spans_counts_within_doc_repeats_of_shared_span(spark):
+    # span appears twice in doc 0 and once in doc 1: n_occurrences=3
+    s = "a b c d"
+    df = _docs(spark, [f"{s} zz {s}", f"qq {s}"])
+    import hashlib
+
+    h = hashlib.md5(s.encode()).hexdigest()
+    got = {
+        r.span_hash: r
+        for r in text_ops.dup_spans(df, n=4, min_docs=2).collect()
+    }
+    assert got[h].n_occurrences == 3 and got[h].n_docs == 2
+
+
+def test_dup_span_coverage_islands_merge(spark):
+    # docs 0/1 share a 6-token run; with n=4 that is 3 overlapping
+    # windows per doc -> ONE island covering exactly 6 tokens, never
+    # 3*4=12. Doc 2 is unique (coverage 0); doc 3 is shorter than n
+    # (no windows at all, coverage 0).
+    run = "m1 m2 m3 m4 m5 m6"
+    df = _docs(
+        spark,
+        [
+            f"u1 u2 {run} u3 u4",  # 10 tokens, 6 covered
+            f"{run} v1",  # 7 tokens, 6 covered
+            "w1 w2 w3 w4 w5 w6 w7 w8",  # unique
+            "s1 s2 s3",  # shorter than n
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in text_ops.dup_span_coverage(df, n=4, min_docs=2).collect()
+    }
+    assert len(got) == 4  # one row per document, always
+    assert (got[0].n_tokens, got[0].covered_tokens) == (10, 6)
+    assert got[0].coverage_1e6 == 600000
+    assert (got[1].n_tokens, got[1].covered_tokens) == (7, 6)
+    assert got[1].coverage_1e6 == 6 * 1000000 // 7
+    assert got[2].covered_tokens == 0 and got[2].coverage_1e6 == 0
+    assert (got[3].n_tokens, got[3].covered_tokens) == (3, 0)
+
+
+def test_dup_span_coverage_disjoint_islands(spark):
+    # two shared runs separated by unique text -> two islands whose
+    # lengths ADD; fully duplicated doc -> coverage exactly 1e6
+    r1, r2 = "a1 a2 a3 a4", "b1 b2 b3 b4"
+    df = _docs(
+        spark,
+        [
+            f"{r1} zz1 zz2 {r2}",  # 10 tokens, 4+4 covered
+            f"{r1} qq1 qq2 {r2}",  # same runs, different middle
+            r1,  # 4 tokens, fully covered
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in text_ops.dup_span_coverage(df, n=4, min_docs=2).collect()
+    }
+    assert (got[0].n_tokens, got[0].covered_tokens) == (10, 8)
+    assert got[2].coverage_1e6 == 1000000
