@@ -490,6 +490,43 @@ def dup_spans(
     )
 
 
+def _dup_islands(
+    df: DataFrame, text_col: str, n: int, min_docs: int
+) -> DataFrame:
+    """(doc_id, __island, __s, __e): maximal merged token-position
+    intervals covered by cross-doc duplicated n-token windows — the
+    shared core of coverage (reports interval lengths) and strip
+    (deletes the intervals). Islands are disjoint and non-adjacent by
+    construction: a window start within one token of the running max
+    end extends the current island, so two islands are always
+    separated by at least one kept token."""
+    w = span_windows(df, text_col, n)
+    by_span = Window.partitionBy("span_hash")
+    hits = w.withColumn(
+        "__nd", F.size(F.collect_set("doc_id").over(by_span))
+    ).where(F.col("__nd") >= min_docs)
+
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    run_max_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "pos",
+            (F.col("pos") > F.coalesce(run_max_end, F.lit(-1)) + 1)
+            .cast("long")
+            .alias("__new"),
+        )
+        .withColumn("__island", F.sum("__new").over(by_doc))
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.max("pos") + F.lit(n - 1)).cast("int").alias("__e"),
+        )
+    )
+
+
 def dup_span_coverage(
     df: DataFrame, text_col: str = "text", n: int = 12, min_docs: int = 2
 ) -> DataFrame:
@@ -516,32 +553,14 @@ def dup_span_coverage(
     further exchange). The doc-length frame joins back by doc_id —
     sort-merge on the already-doc-partitioned side at worst.
     """
-    w = span_windows(df, text_col, n)
-    by_span = Window.partitionBy("span_hash")
-    hits = w.withColumn(
-        "__nd", F.size(F.collect_set("doc_id").over(by_span))
-    ).where(F.col("__nd") >= min_docs)
-
-    by_doc = Window.partitionBy("doc_id").orderBy("pos")
-    run_max_end = F.max(F.col("pos") + F.lit(n - 1)).over(
-        by_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = hits.select(
-        "doc_id",
-        "pos",
-        (F.col("pos") > F.coalesce(run_max_end, F.lit(-1)) + 1)
-        .cast("long")
-        .alias("__new"),
-    ).withColumn("__island", F.sum("__new").over(by_doc))
     per_doc = (
-        islands.groupBy("doc_id", "__island")
-        .agg(
-            (F.max("pos") + F.lit(n - 1) - F.min("pos") + 1)
-            .cast("long")
-            .alias("__covered")
-        )
+        _dup_islands(df, text_col, n, min_docs)
         .groupBy("doc_id")
-        .agg(F.sum("__covered").alias("covered_tokens"))
+        .agg(
+            F.sum(F.col("__e") - F.col("__s") + 1)
+            .cast("long")
+            .alias("covered_tokens")
+        )
     )
     lens = df.select(
         F.col("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
@@ -554,6 +573,70 @@ def dup_span_coverage(
         F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
         .otherwise(F.expr("div(coalesce(covered_tokens, 0) * 1000000, n_tokens)"))
         .alias("coverage_1e6"),
+    )
+
+
+def dup_span_strip(
+    df: DataFrame, text_col: str = "text", n: int = 12, min_docs: int = 2
+) -> DataFrame:
+    """The removal transform that coverage only reports: delete every
+    token sitting inside a cross-doc duplicated n-token span and
+    rebuild the text. (doc_id, n_tokens, removed_tokens, clean_text) —
+    one row per document; untouched docs pass through with
+    removed_tokens = 0, fully-duplicated docs come back with
+    clean_text = ''.
+
+    Removal hits EVERY occurrence, canonical copies included — the
+    published exact-substring-dedup semantics (Lee et al. 2022 cut all
+    occurrences of a duplicated range and note that keeping one copy
+    is an optional variant). Keeping a canonical copy is ill-posed at
+    the island level anyway: an island is the union of many
+    overlapping spans whose "first" documents differ.
+
+    Scale shape: the island frame (one row per merged interval —
+    sparse, duplication-bounded) is collect_list'ed per doc and joined
+    LEFT back to the token arrays, so the rebuild is row-local: a
+    positional filter keeps tokens outside every island. The filter
+    lambda probes the island list per token — O(tokens x islands) per
+    doc, with islands disjoint-and-separated so their count is bounded
+    by min(duplicated regions, tokens/2); the probe list is tiny
+    compared to re-exploding the corpus into (doc, pos, token) rows
+    and anti-joining, which would shuffle token-volume rows a third
+    time."""
+    ivs = (
+        _dup_islands(df, text_col, n, min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__s", "__e"))
+            ).alias("__iv")
+        )
+    )
+    staged = df.select(
+        F.col("doc_id"), F.split(_norm(F.col(text_col)), " ").alias("__toks")
+    ).join(ivs, "doc_id", "left")
+    toks = F.col("__toks")
+    kept = F.when(F.col("__iv").isNull(), toks).otherwise(
+        F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                F.col("__iv"),
+                lambda iv: (i >= iv["__s"]) & (i <= iv["__e"]),
+            ),
+        )
+    )
+    staged = staged.select("doc_id", toks.alias("__toks"), kept.alias("__kept"))
+    n_tokens = F.when(
+        (F.size("__toks") == 1) & (F.element_at("__toks", 1) == ""),
+        F.lit(0),
+    ).otherwise(F.size("__toks"))
+    return staged.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size("__kept")).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
     )
 
 

@@ -2801,6 +2801,76 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.dup_span_coverage(load(spark, sf_dir, "documents"), n=12)
 
 
+@register(
+    "dup_span_strip",
+    f"""
+    WITH {_SPAN_WINDOW_SQL},
+    dup AS (
+      SELECT span_hash FROM w
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (span_hash)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 11) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS island_id
+      FROM isl
+    ),
+    bounds AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos + 11) AS e
+      FROM isl2 GROUP BY doc_id, island_id
+    ),
+    tokpos AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bounds b
+        WHERE b.doc_id = tp.doc_id AND tp.i BETWEEN b.s AND b.e
+      )
+    ),
+    ka AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             COUNT(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    ),
+    raw AS (
+      SELECT doc_id, len(toks) AS raw_n,
+             CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                  ELSE len(toks) END AS n_tokens
+      FROM t
+    )
+    SELECT r.doc_id,
+           CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           CAST(r.raw_n - COALESCE(k.kept_n, 0) AS BIGINT)
+             AS removed_tokens,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM raw r LEFT JOIN ka k USING (doc_id)
+    """,
+)
+def dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal transform completing the duplicate-span family
+    (operators/text.dup_span_strip): delete every token inside a
+    cross-doc duplicated 12-token span and rebuild the text — the
+    actual edit exact-substring dedup performs (all occurrences cut,
+    per the published semantics). detect finds the spans, coverage
+    budgets them, strip applies them; all three share one window-scan
+    stage and the island merge."""
+    return text_ops.dup_span_strip(load(spark, sf_dir, "documents"), n=12)
+
+
 # --------------------------------------------------------------------------
 # Multimodal: binary payload + typed metadata plumbing
 # --------------------------------------------------------------------------
@@ -11185,6 +11255,7 @@ _WINDOW_PRIORITY = [
 _DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dup_span_detect",
     "dup_span_coverage",
+    "dup_span_strip",
 ]
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects

@@ -627,3 +627,53 @@ def test_dup_span_coverage_disjoint_islands(spark):
     }
     assert (got[0].n_tokens, got[0].covered_tokens) == (10, 8)
     assert got[2].coverage_1e6 == 1000000
+
+
+def test_dup_span_strip_removes_all_occurrences(spark):
+    run = "m1 m2 m3 m4 m5 m6"
+    df = _docs(
+        spark,
+        [
+            f"u1 u2 {run} u3 u4",
+            f"{run} v1",
+            "w1 w2 w3 w4",  # untouched
+            "s1",  # shorter than n
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in text_ops.dup_span_strip(df, n=4, min_docs=2).collect()
+    }
+    assert got[0].clean_text == "u1 u2 u3 u4"
+    assert (got[0].n_tokens, got[0].removed_tokens) == (10, 6)
+    assert got[1].clean_text == "v1" and got[1].removed_tokens == 6
+    assert got[2].clean_text == "w1 w2 w3 w4" and got[2].removed_tokens == 0
+    assert got[3].clean_text == "s1" and got[3].removed_tokens == 0
+
+
+def test_dup_span_strip_fully_duplicated_doc_empties(spark):
+    s = "a b c d e"
+    df = _docs(spark, [s, s, f"zz {s} qq"])
+    got = {
+        r.doc_id: r
+        for r in text_ops.dup_span_strip(df, n=5, min_docs=2).collect()
+    }
+    assert got[0].clean_text == "" and got[0].removed_tokens == 5
+    assert got[1].clean_text == ""
+    assert got[2].clean_text == "zz qq" and got[2].removed_tokens == 5
+
+
+def test_dup_span_strip_consistent_with_coverage(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id < 200"
+    )
+    strip = {
+        r.doc_id: r for r in text_ops.dup_span_strip(docs, n=12).collect()
+    }
+    cov = {
+        r.doc_id: r
+        for r in text_ops.dup_span_coverage(docs, n=12).collect()
+    }
+    assert set(strip) == set(cov)
+    for d, r in strip.items():
+        assert r.removed_tokens == cov[d].covered_tokens, d
