@@ -440,8 +440,17 @@ def span_windows(
     from overlapping hits. Same row-local shifted-slice-zip as
     winnow_fingerprints: no UDF, no shuffle, ~1 digest per token.
     """
+    return _span_windows_keyed(df, "doc_id", text_col, n)
+
+
+def _span_windows_keyed(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """span_windows over an arbitrary key column — the collapsed paths
+    window over one row per DISTINCT text keyed by its fingerprint
+    instead of per document."""
     staged = df.select(
-        F.col("doc_id"), F.split(_norm(F.col(text_col)), " ").alias("__toks")
+        F.col(id_col), F.split(_norm(F.col(text_col)), " ").alias("__toks")
     ).where(F.size("__toks") >= n)
     toks = F.col("__toks")
     m = F.size(toks) - F.lit(n - 1)
@@ -452,12 +461,61 @@ def span_windows(
         zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
     )
     return staged.select(
-        "doc_id", F.posexplode(grams).alias("pos", "__g")
-    ).select("doc_id", "pos", F.md5(F.col("__g")).alias("span_hash"))
+        id_col, F.posexplode(grams).alias("pos", "__g")
+    ).select(id_col, "pos", F.md5(F.col("__g")).alias("span_hash"))
+
+
+def _span_fp(text_col: str) -> Column:
+    """Text-group fingerprint for the collapsed span paths: md5 of the
+    NORMALIZED text — two documents with equal norms have identical
+    token arrays, hence identical windows, coverage and strip output.
+    128-bit md5 keeps the grouping collision-safe at corpus scale
+    (the dedup family's exact-group precedent)."""
+    return F.md5(_norm(F.col(text_col)))
+
+
+def _span_text_groups(
+    df: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(stats, members): the collapse structure of the span family.
+    stats = one row per distinct normalized text: (__fp, __t one member
+    text, __m member count, __min_doc) — vocabulary-of-texts-sized.
+    members = (doc_id, __fp), one row per document."""
+    stats = df.groupBy(_span_fp(text_col).alias("__fp")).agg(
+        F.min_by(F.col(text_col), F.col("doc_id")).alias("__t"),
+        F.count("*").alias("__m"),
+        F.min("doc_id").alias("__min_doc"),
+    )
+    members = df.select(
+        F.col("doc_id"), _span_fp(text_col).alias("__fp")
+    )
+    return stats, members
+
+
+def _probe_span_collapse(df: DataFrame, text_col: str) -> bool:
+    """One-aggregate dup-ratio probe (the operators/dedup philosophy,
+    shared break-even constant): collapse only when a meaningful
+    fraction of documents are exact-normalized duplicates."""
+    from clickhouse_only_importer_prototype_spark.operators.dedup import (
+        _COLLAPSE_MIN_DUP_FRAC,
+    )
+
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(
+            F.xxhash64(_norm(F.col(text_col))), rsd=0.02
+        ).alias("d"),
+    ).first()
+    n, d = (r["n"] or 0), (r["d"] or 0)
+    return n > 0 and (n - d) >= _COLLAPSE_MIN_DUP_FRAC * n
 
 
 def dup_spans(
-    df: DataFrame, text_col: str = "text", n: int = 12, min_docs: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 12,
+    min_docs: int = 2,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Exact duplicated n-token spans appearing in >= min_docs DISTINCT
     documents: (span_hash, n_occurrences, n_docs, first_doc).
@@ -474,52 +532,100 @@ def dup_spans(
     partial agg combines within-doc repeats map-side), then the
     span-level rollup groups rows already partitioned by span_hash
     prefix. Never a COUNT(DISTINCT) over raw token-volume rows.
+
+    Duplicate-heavy corpora (``collapse``, default None = probe the
+    dup ratio, the operators/dedup gating philosophy): identical
+    normalized texts contribute identical window sets, so the windows
+    run over one representative per DISTINCT text and the aggregates
+    reweight by group size — n_occurrences = sum(m_g * c_g),
+    n_docs = sum over groups containing the span of m_g, first_doc =
+    min over those groups of the group's min doc_id. A corpus of
+    verbatim copies does ~1/copies of the hash/shuffle work; output is
+    IDENTICAL either way (measured at the 100x verbatim tier:
+    24.97s -> see survey round-6 table).
     """
-    w = span_windows(df, text_col, n)
-    per_doc = w.groupBy("span_hash", "doc_id").agg(
+    if collapse is None:
+        collapse = _probe_span_collapse(df, text_col)
+    if not collapse:
+        w = span_windows(df, text_col, n)
+        per_doc = w.groupBy("span_hash", "doc_id").agg(
+            F.count("*").alias("__c")
+        )
+        return (
+            per_doc.groupBy("span_hash")
+            .agg(
+                F.sum("__c").alias("n_occurrences"),
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+            )
+            .where(F.col("n_docs") >= min_docs)
+        )
+    stats, _ = _span_text_groups(df, text_col)
+    w = _span_windows_keyed(stats, "__fp", "__t", n)
+    per_text = w.groupBy("span_hash", "__fp").agg(
         F.count("*").alias("__c")
     )
     return (
-        per_doc.groupBy("span_hash")
+        per_text.join(stats.select("__fp", "__m", "__min_doc"), "__fp")
+        .groupBy("span_hash")
         .agg(
-            F.sum("__c").alias("n_occurrences"),
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("first_doc"),
+            F.sum(F.col("__c") * F.col("__m")).alias("n_occurrences"),
+            F.sum("__m").alias("n_docs"),
+            F.min("__min_doc").alias("first_doc"),
         )
         .where(F.col("n_docs") >= min_docs)
     )
 
 
-def _dup_islands(
-    df: DataFrame, text_col: str, n: int, min_docs: int
+def _dup_hit_positions(
+    wins: DataFrame, id_col: str, weight: Column, min_docs: int
 ) -> DataFrame:
-    """(doc_id, __island, __s, __e): maximal merged token-position
-    intervals covered by cross-doc duplicated n-token windows — the
-    shared core of coverage (reports interval lengths) and strip
-    (deletes the intervals). Islands are disjoint and non-adjacent by
-    construction: a window start within one token of the running max
-    end extends the current island, so two islands are always
-    separated by at least one kept token."""
-    w = span_windows(df, text_col, n)
+    """(id_col, pos) window positions whose span is duplicated across
+    >= min_docs documents. The distinct-doc count per span is a
+    lag-flag running sum — one sort per span partition, O(1) state per
+    row — NOT collect_set().over(span): a set materialized per ROW is
+    O(group²) memory traffic exactly on the dup-heavy inputs this
+    filter exists for. ``weight`` is what one distinct id_col value
+    counts for: 1 on the per-document path, the text-group member
+    count on the collapsed path."""
+    by_span_sorted = Window.partitionBy("span_hash").orderBy(id_col, "pos")
+    prev = F.lag(id_col).over(by_span_sorted)
+    flagged = wins.withColumn(
+        "__w1",
+        F.when(prev.isNull() | (prev != F.col(id_col)), weight).otherwise(
+            F.lit(0)
+        ),
+    )
     by_span = Window.partitionBy("span_hash")
-    hits = w.withColumn(
-        "__nd", F.size(F.collect_set("doc_id").over(by_span))
-    ).where(F.col("__nd") >= min_docs)
+    return (
+        flagged.withColumn("__nd", F.sum("__w1").over(by_span))
+        .where(F.col("__nd") >= min_docs)
+        .select(id_col, "pos")
+    )
 
-    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+
+def _merge_islands(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id_col, __island, __s, __e): maximal merged token-position
+    intervals from duplicated-window start positions — the shared core
+    of coverage (reports interval lengths) and strip (deletes the
+    intervals). Islands are disjoint and non-adjacent by construction:
+    a window start within one token of the running max end extends the
+    current island, so two islands are always separated by at least
+    one kept token."""
+    by_key = Window.partitionBy(id_col).orderBy("pos")
     run_max_end = F.max(F.col("pos") + F.lit(n - 1)).over(
-        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+        by_key.rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
         hits.select(
-            "doc_id",
+            id_col,
             "pos",
             (F.col("pos") > F.coalesce(run_max_end, F.lit(-1)) + 1)
             .cast("long")
             .alias("__new"),
         )
-        .withColumn("__island", F.sum("__new").over(by_doc))
-        .groupBy("doc_id", "__island")
+        .withColumn("__island", F.sum("__new").over(by_key))
+        .groupBy(id_col, "__island")
         .agg(
             F.min("pos").alias("__s"),
             (F.max("pos") + F.lit(n - 1)).cast("int").alias("__e"),
@@ -527,8 +633,37 @@ def _dup_islands(
     )
 
 
+def _dup_islands(
+    df: DataFrame, text_col: str, n: int, min_docs: int
+) -> DataFrame:
+    """Per-document islands (uncollapsed path): windows over every doc,
+    weight 1 per distinct doc."""
+    w = span_windows(df, text_col, n)
+    hits = _dup_hit_positions(w, "doc_id", F.lit(1), min_docs)
+    return _merge_islands(hits, "doc_id", n)
+
+
+def _dup_islands_collapsed(
+    stats: DataFrame, n: int, min_docs: int
+) -> DataFrame:
+    """Per-distinct-TEXT islands (collapsed path): windows over one
+    representative per normalized text, each distinct text counting
+    its member multiplicity toward the cross-doc gate. Identical
+    texts are distinct documents, so a text group with m >= min_docs
+    members makes every one of its windows duplicated."""
+    w = _span_windows_keyed(stats, "__fp", "__t", n).join(
+        stats.select("__fp", "__m"), "__fp"
+    )
+    hits = _dup_hit_positions(w, "__fp", F.col("__m"), min_docs)
+    return _merge_islands(hits, "__fp", n)
+
+
 def dup_span_coverage(
-    df: DataFrame, text_col: str = "text", n: int = 12, min_docs: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 12,
+    min_docs: int = 2,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Per-document duplicated-text budget: what fraction of each doc's
     tokens sits inside an n-token span that also appears in >= min_docs
@@ -545,39 +680,71 @@ def dup_span_coverage(
     and each island contributes max(end)-min(start)+1 tokens.
 
     Scale shape: one token-volume scan (span_windows), then two
-    shuffles of the hit frame — (1) by span_hash, where a partition
-    window (collect_set over the hash group) filters to duplicated
-    spans WITHOUT the groupBy+semi-join's second shuffle of the full
-    window frame; (2) by doc_id for the island merge, after which the
-    island rollup and the per-doc sum reuse the same partitioning (no
-    further exchange). The doc-length frame joins back by doc_id —
-    sort-merge on the already-doc-partitioned side at worst.
+    shuffles of the hit frame — (1) by span_hash, where a lag-flag
+    running sum counts distinct docs per span in O(1) state per row
+    (see _dup_hit_positions) WITHOUT a groupBy+semi-join second pass
+    over the full window frame; (2) by doc for the island merge, after
+    which the island rollup and the per-doc sum reuse the same
+    partitioning (no further exchange).
+
+    ``collapse`` (None = dup-ratio probe): coverage is a pure function
+    of the normalized text and the global dup-span set, so on
+    dup-heavy corpora everything runs per DISTINCT text (member counts
+    weighting the cross-doc gate) and per-doc rows come from one
+    member->fingerprint join at the end. Identical output, ~1/copies
+    of the token work on verbatim-copy corpora.
     """
-    per_doc = (
-        _dup_islands(df, text_col, n, min_docs)
-        .groupBy("doc_id")
+    if collapse is None:
+        collapse = _probe_span_collapse(df, text_col)
+    covered_of = (
+        F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long"))
+    )
+    out_cols = [
+        "doc_id",
+        "n_tokens",
+        covered_of.alias("covered_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("div(coalesce(covered_tokens, 0) * 1000000, n_tokens)")
+        )
+        .alias("coverage_1e6"),
+    ]
+    if not collapse:
+        per_doc = (
+            _dup_islands(df, text_col, n, min_docs)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("__e") - F.col("__s") + 1)
+                .cast("long")
+                .alias("covered_tokens")
+            )
+        )
+        lens = df.select(
+            F.col("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
+        )
+        return lens.join(per_doc, "doc_id", "left").select(*out_cols)
+    stats, members = _span_text_groups(df, text_col)
+    per_text = (
+        _dup_islands_collapsed(stats, n, min_docs)
+        .groupBy("__fp")
         .agg(
             F.sum(F.col("__e") - F.col("__s") + 1)
             .cast("long")
             .alias("covered_tokens")
         )
     )
-    lens = df.select(
-        F.col("doc_id"), token_count(F.col(text_col)).alias("n_tokens")
-    )
-    covered = F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long"))
-    return lens.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        covered.alias("covered_tokens"),
-        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
-        .otherwise(F.expr("div(coalesce(covered_tokens, 0) * 1000000, n_tokens)"))
-        .alias("coverage_1e6"),
-    )
+    per_fp = stats.select(
+        "__fp", token_count(F.col("__t")).alias("n_tokens")
+    ).join(per_text, "__fp", "left")
+    return members.join(per_fp, "__fp").select(*out_cols)
 
 
 def dup_span_strip(
-    df: DataFrame, text_col: str = "text", n: int = 12, min_docs: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 12,
+    min_docs: int = 2,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """The removal transform that coverage only reports: delete every
     token sitting inside a cross-doc duplicated n-token span and
@@ -602,19 +769,47 @@ def dup_span_strip(
     by min(duplicated regions, tokens/2); the probe list is tiny
     compared to re-exploding the corpus into (doc, pos, token) rows
     and anti-joining, which would shuffle token-volume rows a third
-    time."""
-    ivs = (
-        _dup_islands(df, text_col, n, min_docs)
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("__s", "__e"))
-            ).alias("__iv")
+    time.
+
+    ``collapse`` (None = dup-ratio probe): clean_text is a pure
+    function of the normalized text and the global dup-span set, so on
+    dup-heavy corpora the rebuild runs once per DISTINCT text and
+    per-doc rows come from the member->fingerprint join. Identical
+    output, ~1/copies of the token work on verbatim-copy corpora.
+    """
+    if collapse is None:
+        collapse = _probe_span_collapse(df, text_col)
+    if not collapse:
+        islands = _dup_islands(df, text_col, n, min_docs)
+        base = df.select(
+            F.col("doc_id"),
+            F.split(_norm(F.col(text_col)), " ").alias("__toks"),
         )
+        return _strip_rebuild(base, islands, "doc_id").select(
+            "doc_id", "n_tokens", "removed_tokens", "clean_text"
+        )
+    stats, members = _span_text_groups(df, text_col)
+    islands = _dup_islands_collapsed(stats, n, min_docs)
+    base = stats.select(
+        F.col("__fp"), F.split(_norm(F.col("__t")), " ").alias("__toks")
     )
-    staged = df.select(
-        F.col("doc_id"), F.split(_norm(F.col(text_col)), " ").alias("__toks")
-    ).join(ivs, "doc_id", "left")
+    per_fp = _strip_rebuild(base, islands, "__fp")
+    return members.join(per_fp, "__fp").select(
+        "doc_id", "n_tokens", "removed_tokens", "clean_text"
+    )
+
+
+def _strip_rebuild(
+    base: DataFrame, islands: DataFrame, id_col: str
+) -> DataFrame:
+    """Row-local strip core: LEFT-join collect_list'ed island intervals
+    to staged token arrays keyed by ``id_col`` and rebuild the text by
+    positional filter. Returns (id_col, n_tokens, removed_tokens,
+    clean_text)."""
+    ivs = islands.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("__s", "__e"))).alias("__iv")
+    )
+    staged = base.join(ivs, id_col, "left")
     toks = F.col("__toks")
     kept = F.when(F.col("__iv").isNull(), toks).otherwise(
         F.filter(
@@ -625,13 +820,15 @@ def dup_span_strip(
             ),
         )
     )
-    staged = staged.select("doc_id", toks.alias("__toks"), kept.alias("__kept"))
+    staged = staged.select(
+        id_col, toks.alias("__toks"), kept.alias("__kept")
+    )
     n_tokens = F.when(
         (F.size("__toks") == 1) & (F.element_at("__toks", 1) == ""),
         F.lit(0),
     ).otherwise(F.size("__toks"))
     return staged.select(
-        "doc_id",
+        id_col,
         n_tokens.cast("long").alias("n_tokens"),
         (F.size("__toks") - F.size("__kept")).cast("long").alias(
             "removed_tokens"

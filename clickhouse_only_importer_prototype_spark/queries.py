@@ -2740,7 +2740,11 @@ def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup all match whole documents; this finds the duplicated
     REGIONS inside otherwise-distinct documents (license boilerplate,
     quoted passages, templated headers)."""
-    return text_ops.dup_spans(load(spark, sf_dir, "documents"), n=12)
+    return text_ops.dup_spans(
+        load(spark, sf_dir, "documents"),
+        n=12,
+        collapse=_collapse_gate(sf_dir, "documents"),
+    )
 
 
 @register(
@@ -2798,7 +2802,11 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     2022, the number a substring-dedup pass reports before deleting
     anything. Overlapping hits merge gaps-and-islands style so coverage
     never double-counts."""
-    return text_ops.dup_span_coverage(load(spark, sf_dir, "documents"), n=12)
+    return text_ops.dup_span_coverage(
+        load(spark, sf_dir, "documents"),
+        n=12,
+        collapse=_collapse_gate(sf_dir, "documents"),
+    )
 
 
 @register(
@@ -2868,7 +2876,11 @@ def dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the published semantics). detect finds the spans, coverage
     budgets them, strip applies them; all three share one window-scan
     stage and the island merge."""
-    return text_ops.dup_span_strip(load(spark, sf_dir, "documents"), n=12)
+    return text_ops.dup_span_strip(
+        load(spark, sf_dir, "documents"),
+        n=12,
+        collapse=_collapse_gate(sf_dir, "documents"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -677,3 +677,42 @@ def test_dup_span_strip_consistent_with_coverage(spark, sf_dir):
     assert set(strip) == set(cov)
     for d, r in strip.items():
         assert r.removed_tokens == cov[d].covered_tokens, d
+
+
+def test_dup_span_family_collapse_paths_equal(spark, sf_dir):
+    # dup-heavy corpus: real docs replicated 3x with shifted ids (the
+    # verbatim-copy shape the collapse exists for), plus a whitespace/
+    # case variant that must land in the same normalized-text group
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id < 60")
+        .select("doc_id", "text")
+    )
+    from pyspark.sql import functions as F
+
+    copies = base
+    for i in (1, 2):
+        copies = copies.unionByName(
+            base.select(
+                (F.col("doc_id") + 100000 * i).alias("doc_id"), "text"
+            )
+        )
+    variant = base.where("doc_id < 5").select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"))).alias("text"),
+    )
+    df = copies.unionByName(variant)
+    for fn in (
+        text_ops.dup_spans,
+        text_ops.dup_span_coverage,
+        text_ops.dup_span_strip,
+    ):
+        plain = sorted(
+            tuple(r) for r in fn(df, n=12, collapse=False).collect()
+        )
+        coll = sorted(
+            tuple(r) for r in fn(df, n=12, collapse=True).collect()
+        )
+        assert plain == coll, fn.__name__
+        # the probe must choose collapse on this 2/3-duplicate corpus
+    assert text_ops._probe_span_collapse(df, "text") is True
