@@ -579,3 +579,160 @@ def documents_as_ppm_media(df: DataFrame) -> DataFrame:
         h.alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("b0", LongType(), True),
+        StructField("b1", LongType(), True),
+        StructField("b2", LongType(), True),
+        StructField("b3", LongType(), True),
+    ]
+)
+
+
+def dhash_images(df: DataFrame, on_opaque: str = "error") -> DataFrame:
+    """Perceptual difference-hash (dHash) over the REAL decode path:
+    decode (PPM/BMP codecs above), integer luma gray = (299r + 587g +
+    114b) div 1000, floor-mapped nearest-neighbor resample to a 9x8
+    grid (src_y = oy*h // 8, src_x = ox*w // 9 — the resize_ppm
+    mapping), then bit(oy, ox) = gray[oy][ox+1] > gray[oy][ox] over
+    the 8x8 horizontal comparisons. The standard image near-dup
+    fingerprint: robust to rescaling and light recompression, cheap
+    enough to run at crawl scale.
+
+    Output is the 64-bit hash as FOUR 16-bit bands (b0..b3, bit index
+    oy*8+ox, band j = bits 16j..16j+15, LSB-first within a band):
+    bands are what both consumers key on — exact-dup clustering
+    groups on all four, near-dup candidate generation joins on any
+    one (pigeonhole: two hashes within Hamming distance 3 agree on
+    at least one of 4 bands) — and four small positive ints sidestep
+    every signed-int64 shift hazard a packed 64-bit value has in
+    cross-engine SQL. Integer arithmetic end-to-end: bit-exact
+    reproducible on any engine, any platform.
+    """
+    import numpy as np
+
+    if on_opaque not in ("error", "skip"):
+        raise ValueError(f"on_opaque must be error|skip: {on_opaque}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DHASH_SCHEMA.fields]
+        w16 = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            out: list[list[int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec = try_decode_image(bytes(p) if p is not None else b"")
+                if dec is None:
+                    if on_opaque == "error":
+                        raise NotImplementedError(
+                            "payload is neither PPM nor 24-bit BMP: "
+                            "real media codec (Pillow/ffmpeg) not in "
+                            "this container"
+                        )
+                    continue
+                w, h, body = dec
+                px = (
+                    np.frombuffer(body, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                gray = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = gray[ys][:, xs]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+                out.append(
+                    [int(mid)]
+                    + [int((bits[16 * j : 16 * j + 16] * w16).sum())
+                       for j in range(4)]
+                )
+            yield pd.DataFrame(out, columns=cols, dtype="int64")
+
+    return df.mapInPandas(run, DHASH_SCHEMA)
+
+
+def phash_clusters(hashes: DataFrame) -> DataFrame:
+    """(media_id, b0..b3, cluster_id) — exact-dHash dedup groups over
+    the band frame, cluster_id = min media_id sharing the full 64-bit
+    hash; singletons cluster to themselves (total function, one row
+    per media — manifest-friendly). One map-side-combinable groupBy on
+    the four bands plus the keeper join; distinct-hash frame is
+    bounded by |media|."""
+    keep = hashes.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("media_id").alias("cluster_id")
+    )
+    return hashes.join(keep, ["b0", "b1", "b2", "b3"]).select(
+        "media_id", "b0", "b1", "b2", "b3", "cluster_id"
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate REPRESENTATIVE pairs: (media_a, media_b, hamming,
+    n_media_a, n_media_b) over DISTINCT hashes with 1 <= Hamming
+    distance <= max_hamming, media_a/b = each hash group's min
+    media_id, n_media_* = group sizes (the weight a collapse/review
+    pass needs).
+
+    The house dedup architecture: exact-hash groups collapse FIRST
+    (phash_clusters), near-dup search runs on the distinct-hash frame
+    only — a crawl with a thousand copies of one banner image costs
+    one representative row here, never a member-pair explosion.
+    Candidates come from a banded self-join (posexplode of the four
+    16-bit bands; pigeonhole makes the 4-band join EXACT for
+    max_hamming <= 3 — two hashes differing in <= 3 bits must agree
+    on a full band), then one xor/bit_count verify per candidate.
+
+    max_hamming > 3 would need finer bands (8x8-bit) for exactness;
+    rejected here rather than silently returning a subset.
+    """
+    if not (1 <= max_hamming <= 3):
+        raise ValueError(
+            "4x16-bit banding is pigeonhole-exact only for "
+            f"max_hamming in 1..3, got {max_hamming}"
+        )
+    reps = hashes.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("media_id").alias("rep"), F.count("*").alias("n_media")
+    )
+    banded = reps.select(
+        "rep",
+        "n_media",
+        *[F.col(c) for c in ("b0", "b1", "b2", "b3")],
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+    )
+    left = banded.select(
+        F.col("rep").alias("media_a"),
+        F.col("n_media").alias("n_media_a"),
+        *[F.col(c).alias(f"a{c}") for c in ("b0", "b1", "b2", "b3")],
+        "__bi",
+        "__bv",
+    )
+    right = banded.select(
+        F.col("rep").alias("media_b"),
+        F.col("n_media").alias("n_media_b"),
+        *[F.col(c).alias(f"b{c}") for c in ("b0", "b1", "b2", "b3")],
+        "__bi",
+        "__bv",
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in ("b0", "b1", "b2", "b3")
+    )
+    return (
+        left.join(right, ["__bi", "__bv"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a", "media_b", "n_media_a", "n_media_b",
+            ham.cast("long").alias("hamming"),
+            "ab0", "ab1", "ab2", "ab3", "bb0", "bb1", "bb2", "bb3",
+        )
+        .where((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
+        .select(
+            "media_a", "media_b", "hamming", "n_media_a", "n_media_b"
+        )
+        .distinct()
+    )

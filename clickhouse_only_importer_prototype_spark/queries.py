@@ -3016,6 +3016,110 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE prefix of the perceptual-hash oracles: the dHash band
+# vector recomputed closed-form from the synthesized-PPM pixel formula
+# (pixel byte i of doc d = (d*31 + i) % 256 over an 8 x (1+n_chars%13)
+# image) — integer luma, floor-mapped 9x8 resample, horizontal
+# comparison bits packed LSB-first into four 16-bit bands. The Spark
+# side computes the SAME values by actually decoding the PPM bytes in
+# mapInPandas (operators/multimodal.dhash_images).
+_DHASH_BANDS_SQL = """
+    dims AS (SELECT doc_id, 1 + n_chars % 13 AS h FROM documents),
+    cells AS (
+      SELECT d.doc_id, u.oy, v.ox,
+             ((u.oy * d.h) // 8) AS sy, ((v.ox * 8) // 9) AS sx
+      FROM dims d, UNNEST(range(0, 8)) AS u(oy), UNNEST(range(0, 9)) AS v(ox)
+    ),
+    gray AS (
+      SELECT doc_id, oy, ox,
+             (299 * ((doc_id*31 + 3*(sy*8+sx)) % 256)
+            + 587 * ((doc_id*31 + 3*(sy*8+sx) + 1) % 256)
+            + 114 * ((doc_id*31 + 3*(sy*8+sx) + 2) % 256)) // 1000 AS g
+      FROM cells
+    ),
+    bits AS (
+      SELECT a.doc_id, a.oy*8 + a.ox AS bi,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM gray a
+      JOIN gray b ON a.doc_id = b.doc_id AND a.oy = b.oy AND b.ox = a.ox + 1
+      WHERE a.ox < 8
+    ),
+    bands AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bi//16 = 0 THEN bit * (1 << (bi%16)) END)
+                  AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN bi//16 = 1 THEN bit * (1 << (bi%16)) END)
+                  AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN bi//16 = 2 THEN bit * (1 << (bi%16)) END)
+                  AS BIGINT) AS b2,
+             CAST(SUM(CASE WHEN bi//16 = 3 THEN bit * (1 << (bi%16)) END)
+                  AS BIGINT) AS b3
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "multimodal_phash_clusters",
+    f"""
+    WITH {_DHASH_BANDS_SQL},
+    keep AS (
+      SELECT b0, b1, b2, b3, MIN(doc_id) AS cluster_id
+      FROM bands GROUP BY 1, 2, 3, 4
+    )
+    SELECT h.doc_id AS media_id, h.b0, h.b1, h.b2, h.b3, k.cluster_id
+    FROM bands h JOIN keep k USING (b0, b1, b2, b3)
+    """,
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the REAL decode path, fully
+    value-oracled: the synthesized PPM payloads are byte-decoded in
+    mapInPandas, dHashed (integer luma -> floor-mapped 9x8 resample ->
+    64 horizontal-comparison bits as four 16-bit bands), and exact-hash
+    groups cluster to their min media_id (operators/multimodal.
+    dhash_images + phash_clusters). The oracle recomputes every band
+    closed-form from the pixel formula — the codec-decoded hash and
+    the arithmetic replay must agree bit-for-bit. Extends the
+    multimodal family from plumbing/decode/resize to the actual
+    image-dedup primitive a crawl pipeline runs."""
+    media = mm_ops.documents_as_ppm_media(load(spark, sf_dir, "documents"))
+    return mm_ops.phash_clusters(mm_ops.dhash_images(media))
+
+
+@register(
+    "multimodal_phash_neardup",
+    f"""
+    WITH {_DHASH_BANDS_SQL},
+    reps AS (
+      SELECT b0, b1, b2, b3, MIN(doc_id) AS rep, COUNT(*) AS n_media
+      FROM bands GROUP BY 1, 2, 3, 4
+    )
+    SELECT a.rep AS media_a, b.rep AS media_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS BIGINT) AS hamming,
+           a.n_media AS n_media_a, b.n_media AS n_media_b
+    FROM reps a JOIN reps b ON a.rep < b.rep
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        BETWEEN 1 AND 3
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs at Hamming distance 1-3 between
+    DISTINCT dHashes (operators/multimodal.phash_neardup_pairs) — the
+    house dedup architecture applied to images: exact-hash groups
+    collapse first, the banded self-join runs over representatives
+    only (pigeonhole: <=3 differing bits leave at least one of four
+    16-bit bands equal, so the band join is exact, never a recall
+    trade), and group sizes ride along as the weights a review pass
+    needs. The oracle brute-forces rep x rep with xor/bit_count —
+    correct at fixture scale, exactly what the banding avoids at
+    corpus scale."""
+    media = mm_ops.documents_as_ppm_media(load(spark, sf_dir, "documents"))
+    return mm_ops.phash_neardup_pairs(mm_ops.dhash_images(media))
+
+
 @register(
     "dedup_clusters",
     f"""
@@ -11268,6 +11372,8 @@ _DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dup_span_detect",
     "dup_span_coverage",
     "dup_span_strip",
+    "multimodal_phash_clusters",
+    "multimodal_phash_neardup",
 ]
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects

@@ -300,3 +300,126 @@ def test_feature_stats_format_agnostic(spark):
     # so the resized payloads are byte-identical
     assert bytes(ra.resized) == bytes(rb.resized)
     assert try_decode_ppm(bytes(ra.resized))[0:2] == (2, 2)
+
+
+def _dhash_ref(w, h, rgb):
+    """Pure-Python dHash reference (mirrors dhash_images' contract)."""
+    gray = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            i = 3 * (y * w + x)
+            r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+            row.append((299 * r + 587 * g + 114 * b) // 1000)
+        gray.append(row)
+    ys = [(oy * h) // 8 for oy in range(8)]
+    xs = [(ox * w) // 9 for ox in range(9)]
+    bands = [0, 0, 0, 0]
+    for oy in range(8):
+        for ox in range(8):
+            if gray[ys[oy]][xs[ox + 1]] > gray[ys[oy]][xs[ox]]:
+                bi = oy * 8 + ox
+                bands[bi // 16] |= 1 << (bi % 16)
+    return tuple(bands)
+
+
+def test_dhash_matches_reference_and_both_codecs(spark):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA, dhash_images, encode_bmp, encode_ppm,
+    )
+
+    w, h = 11, 9
+    rgb = bytes((i * 37 + 11) % 256 for i in range(3 * w * h))
+    rows = [
+        (1, "image", "image/x-portable-pixmap", encode_ppm(w, h, rgb),
+         w, h, None),
+        (2, "image", "image/bmp", encode_bmp(w, h, rgb), w, h, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in dhash_images(df).collect()}
+    ref = _dhash_ref(w, h, rgb)
+    assert got[1] == ref == got[2]  # format-agnostic, reference-exact
+
+
+def test_dhash_invariant_under_pixel_doubling(spark):
+    # floor-mapped sampling: floor(floor(2a/8)/2) == floor(a/8), so an
+    # exact 2x nearest-neighbor upscale must produce the IDENTICAL
+    # dHash — the perceptual-robustness property that makes it a
+    # near-dup fingerprint rather than a byte hash.
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA, dhash_images, encode_ppm,
+    )
+
+    w, h = 9, 8
+    rgb = bytes((i * 101 + 7) % 256 for i in range(3 * w * h))
+    up = bytearray()
+    for y in range(2 * h):
+        for x in range(2 * w):
+            i = 3 * ((y // 2) * w + (x // 2))
+            up += rgb[i : i + 3]
+    rows = [
+        (1, "image", "image/x-portable-pixmap", encode_ppm(w, h, rgb),
+         w, h, None),
+        (2, "image", "image/x-portable-pixmap",
+         encode_ppm(2 * w, 2 * h, bytes(up)), 2 * w, 2 * h, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in dhash_images(df).collect()}
+    assert got[1] == got[2]
+
+
+def test_phash_neardup_banding_equals_bruteforce(spark, sf_dir):
+    from itertools import combinations
+
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        dhash_images, documents_as_ppm_media, phash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id < 150"
+    )
+    hashes = dhash_images(documents_as_ppm_media(docs))
+    rows = hashes.collect()
+    reps = {}
+    for r in rows:
+        k = (r.b0, r.b1, r.b2, r.b3)
+        reps.setdefault(k, []).append(r.media_id)
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    want = set()
+    for (ka, ma), (kb, mb) in combinations(
+        sorted((k, sorted(v)) for k, v in reps.items()), 2
+    ):
+        d = ham(ka, kb)
+        if 1 <= d <= 3:
+            a, b = sorted((ma[0], mb[0]))
+            want.add((a, b, d, len(ma) if ma[0] < mb[0] else len(mb),
+                      len(mb) if ma[0] < mb[0] else len(ma)))
+    got = {
+        (r.media_a, r.media_b, r.hamming, r.n_media_a, r.n_media_b)
+        for r in phash_neardup_pairs(hashes).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(hashes, max_hamming=4)
+
+
+def test_dhash_opaque_modes(spark):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA, dhash_images, encode_ppm,
+    )
+
+    rgb = bytes(range(27))
+    rows = [
+        (1, "image", "image/x-portable-pixmap", encode_ppm(3, 3, rgb),
+         3, 3, None),
+        (2, "video", "video/mp4", b"\x00\x00\x00\x18ftypmp42", None,
+         None, 1000),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|neither"):
+        dhash_images(df, on_opaque="error").collect()
+    got = dhash_images(df, on_opaque="skip").collect()
+    assert [r.media_id for r in got] == [1]
