@@ -2743,7 +2743,7 @@ def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.dup_spans(
         load(spark, sf_dir, "documents"),
         n=12,
-        collapse=_collapse_gate(sf_dir, "documents"),
+        collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
 
 
@@ -2805,7 +2805,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.dup_span_coverage(
         load(spark, sf_dir, "documents"),
         n=12,
-        collapse=_collapse_gate(sf_dir, "documents"),
+        collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
 
 
@@ -2879,7 +2879,7 @@ def dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.dup_span_strip(
         load(spark, sf_dir, "documents"),
         n=12,
-        collapse=_collapse_gate(sf_dir, "documents"),
+        collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
 
 
