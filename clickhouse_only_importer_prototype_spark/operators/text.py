@@ -480,12 +480,24 @@ def _span_text_groups(
     """(stats, members): the collapse structure of the span family.
     stats = one row per distinct normalized text: (__fp, __t one member
     text, __m member count, __min_doc) — vocabulary-of-texts-sized.
-    members = (doc_id, __fp), one row per document."""
+    members = (doc_id, __fp), one row per document.
+
+    stats is persist()ed: every collapsed consumer reads it 2-4 times
+    (window source, weight join, length/rebuild base), and without the
+    persist each read re-runs the corpus-scale fingerprint groupBy —
+    measured at the 5M-doc verbatim tier: coverage 32.1s -> 11.8s,
+    strip 23.6s -> 11.1s. The frame is distinct-TEXT-sized (the whole
+    point of the collapse), so the cache footprint is the collapsed
+    corpus, never the expanded one. House caller-owns-unpersist
+    contract (see rarity_top_terms' dfreq): one-shot pipelines let the
+    session LRU reclaim it; long-lived sessions calling these
+    operators repeatedly should unpersist via spark.catalog.clearCache
+    or by re-deriving the handle."""
     stats = df.groupBy(_span_fp(text_col).alias("__fp")).agg(
         F.min_by(F.col(text_col), F.col("doc_id")).alias("__t"),
         F.count("*").alias("__m"),
         F.min("doc_id").alias("__min_doc"),
-    )
+    ).persist()
     members = df.select(
         F.col("doc_id"), _span_fp(text_col).alias("__fp")
     )
