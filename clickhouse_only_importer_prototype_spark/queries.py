@@ -3509,18 +3509,23 @@ def _stream_twin(
         )
         handle.awaitTermination()
         sink = spark.table(name)
-        schema = sink.schema
         # Arrow materialization, not collect(): an outer-join twin's
         # sink holds pairs PLUS every expired null row (~100k at the
         # 10x gate), and row-at-a-time py4j collect was 8x the join
-        # itself; toPandas moves the same rows as Arrow batches
-        pdf = sink.toPandas()
+        # itself. It must be toArrow(), NOT toPandas(): pandas widens
+        # a nullable LongType column holding NULLs to float64, and an
+        # externally-built session without Arrow conversion enabled
+        # then rejects 88.0 for LongType on the rebuild
+        # (FIELD_DATA_TYPE_UNACCEPTABLE_WITH_NAME — the round-6 driver
+        # red). A pyarrow.Table keeps the exact Spark types through
+        # the round-trip on every createDataFrame code path.
+        tbl = sink.toArrow()
         handle.stop()
         spark.catalog.dropTempView(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema)
+    return spark.createDataFrame(tbl)
 
 
 @register(

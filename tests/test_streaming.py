@@ -182,6 +182,36 @@ def test_sliding_type_counts_batch_semantics(spark, sf_dir):
     assert doubled == {t: 2 * c for t, c in raw.items()}
 
 
+def test_stream_twin_nullable_ints_survive_without_arrow(spark, sf_dir):
+    """Round-6 driver red: _stream_twin round-tripped the memory sink
+    through toPandas(), which widens a nullable LongType holding NULLs
+    to float64; the driver's externally-built session (Arrow conversion
+    DISABLED) then hit the row-verification path of createDataFrame and
+    rejected 88.0 for LongType. The fix materializes via toArrow(), so
+    exact Spark types survive every rebuild path. This test pins the
+    driver's code path: Arrow conversion off, OUTER twin (the only one
+    whose sink holds NULL ints), full rebuild + rollup must run."""
+    from clickhouse_only_importer_prototype_spark import queries as q
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df = q._REGISTRY["stream_stream_outer_join"](spark, sf_dir)
+        rows = df.collect()
+    finally:
+        spark.conf.set(key, before)
+    assert rows
+    # the sink schema must come back as exact longs, not doubles
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds["n_pairs"] == "bigint"
+    assert kinds["n_orphan_views"] == "bigint"
+    assert all(isinstance(r.n_pairs, int) for r in rows)
+    # at least one orphan view must exist at this SF or the outer half
+    # of the operator was never exercised
+    assert any(r.n_orphan_views > 0 for r in rows)
+
+
 def test_stream_twin_restores_shuffle_conf_on_failure(spark):
     """_stream_twin pins the stream to 8 state partitions; the session
     conf must come back even when the build fails (a leaked pin would
