@@ -1137,10 +1137,14 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     min_overlap: int = 1,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Corpus minus contaminated docs (anti-join on contamination
-    pairs) — the drop-side twin of contamination_pairs."""
-    hits = contamination_pairs(corpus, bench, text_col, n, min_overlap)
+    pairs) — the drop-side twin of contamination_pairs. ``collapse``
+    passes through to the pair probe (None = measure, False = skip)."""
+    hits = contamination_pairs(
+        corpus, bench, text_col, n, min_overlap, collapse=collapse
+    )
     return corpus.join(hits.select("doc_id").distinct(), "doc_id", "left_anti")
 
 

