@@ -273,7 +273,7 @@ def _shift_replica(base, i: int, offsets: dict, pa, pc):
 HEADLINE = list(q.queries())
 
 
-def _warm_subsystems(spark) -> None:
+def _warm_subsystems(spark, sf_dir=None) -> None:
     """One tiny, data-independent exercise of each lazily-initialized
     runtime subsystem (see call site for the measured cold costs).
     Everything here runs on synthetic range() input so warm-up cost
@@ -302,8 +302,28 @@ def _warm_subsystems(spark) -> None:
     # actual classes the streaming queries load — micro-batch planner,
     # HDFS state store, stream-stream join state handlers. Data cost is
     # negligible at sf0.001; skipped if the tiny fixture is absent.
-    warm_sf = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_sf):
+    # Prefer the smallest sibling fixture of the bench's own sf_dir so
+    # the warm-up works on any machine/layout; $SPARK_GRAFT_WARM_SF
+    # overrides. A skipped warm-up is VISIBLE (the first streaming
+    # query would silently re-absorb ~8s of state-store cold start and
+    # skew cross-environment comparisons).
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+    candidates = [os.environ.get("SPARK_GRAFT_WARM_SF")] + [
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), d)
+        for d in ("sf0.001", "sf0.01")
+    ] + [sf_dir]
+    warm_sf = next((c for c in candidates if c and os.path.isdir(c)), None)
+    if warm_sf is None:
+        print(
+            "  [bench] NOTICE: no fixture dir found for streaming "
+            "warm-up — first streaming query pays state-store cold "
+            "start (~8s)",
+            file=sys.stderr,
+        )
+    else:
         for wq in ("stream_hourly", "stream_stream_join"):
             try:
                 q.queries()[wq](spark, warm_sf).write.format("noop").mode(
@@ -377,7 +397,7 @@ def main() -> None:
     # round), so warm each subsystem once up front and let per-query
     # times mean steady-state cost, round over round.
     q.q6_forecast_revenue(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    _warm_subsystems(spark)
+    _warm_subsystems(spark, sf_dir)
 
     # Best-of-2 per query: this box shows large ASYMMETRIC co-tenant
     # noise — three identical full runs measured 318.8s / 370.6s /

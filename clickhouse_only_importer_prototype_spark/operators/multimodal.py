@@ -835,8 +835,13 @@ def try_decode_wav(payload: bytes) -> tuple[int, int, bytes] | None:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if not fmt_ok or data is None or rate in (None, 0):
         return None
-    if len(data) % 2:
-        data = data[:-1]
+    # truncate to WHOLE FRAMES (block_align = 2 bytes x channels): a
+    # stereo file with a half-frame tail would otherwise decode with a
+    # dangling single-channel sample that shifts channel interleaving
+    # for every downstream consumer
+    block = 2 * channels
+    if len(data) % block:
+        data = data[: (len(data) // block) * block]
     return rate, channels, data
 
 
@@ -876,10 +881,14 @@ def wav_feature_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
     """Decode PCM WAV payloads and emit integral audio features — the
     audio twin of ppm_feature_stats, mapInPandas over whole arrow
     batches, fully value-oracled (all int64): total energy (sum of
-    squared samples — int64-safe to ~8.6e9 samples/file at full
-    scale), strict-sign zero crossings (s_i * s_{i+1} < 0 — the
-    classic cheap voiced/unvoiced + noisiness proxy), sample extrema
-    (clipping audit), exact duration_ms = n*1000 div rate.
+    squared samples over ALL channels — int64-safe to ~8.6e9
+    samples/file at full scale), strict-sign zero crossings on
+    CHANNEL 0 (s_i * s_{i+1} < 0 over consecutive frames — the
+    classic cheap voiced/unvoiced + noisiness proxy; comparing across
+    interleaved channel boundaries would be meaningless for stereo),
+    sample extrema (clipping audit), exact
+    duration_ms = frames * 1000 div rate where frames = n div
+    channels (n_samples counts every channel's samples).
 
     ``on_opaque``: 'error' raises NotImplementedError on non-PCM16
     payloads (where ffmpeg would run); 'skip' quarantines them —
@@ -905,14 +914,20 @@ def wav_feature_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
                 rate, ch, data = dec
                 s = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 n = len(s)
-                zc = int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                frames = n // ch
+                s0 = s[0::ch]  # channel 0 for the crossing count
+                zc = (
+                    int(((s0[:-1] * s0[1:]) < 0).sum())
+                    if len(s0) > 1
+                    else 0
+                )
                 out.append(
                     [
                         int(mid),
                         rate,
                         ch,
                         n,
-                        n * 1000 // rate,
+                        frames * 1000 // rate,
                         int((s * s).sum()),
                         zc,
                         int(s.min()) if n else 0,

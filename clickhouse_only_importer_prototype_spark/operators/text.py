@@ -490,18 +490,42 @@ def _span_text_groups(
     point of the collapse), so the cache footprint is the collapsed
     corpus, never the expanded one. House caller-owns-unpersist
     contract (see rarity_top_terms' dfreq): one-shot pipelines let the
-    session LRU reclaim it; long-lived sessions calling these
-    operators repeatedly should unpersist via spark.catalog.clearCache
-    or by re-deriving the handle."""
+    session LRU reclaim it; long-lived sessions calling the span
+    operators repeatedly release every accumulated stats frame with
+    ``unpersist_span_stats()`` after their terminal action (each call
+    here also registers its handle there)."""
     stats = df.groupBy(_span_fp(text_col).alias("__fp")).agg(
         F.min_by(F.col(text_col), F.col("doc_id")).alias("__t"),
         F.count("*").alias("__m"),
         F.min("doc_id").alias("__min_doc"),
     ).persist()
+    _SPAN_STATS_HANDLES.append(stats)
     members = df.select(
         F.col("doc_id"), _span_fp(text_col).alias("__fp")
     )
     return stats, members
+
+
+_SPAN_STATS_HANDLES: list[DataFrame] = []
+
+
+def unpersist_span_stats() -> int:
+    """Release every stats frame the span family has persisted in this
+    process (round-6 advisory: repeated collapsed dup_span_* calls in a
+    long-lived session would otherwise accumulate cached distinct-text
+    frames until clearCache/LRU eviction). Call after the terminal
+    action of a span pipeline; returns the number released. Safe to
+    call at any time — an in-flight job holding one of these frames
+    just recomputes from source."""
+    n = 0
+    while _SPAN_STATS_HANDLES:
+        h = _SPAN_STATS_HANDLES.pop()
+        try:
+            h.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def _probe_span_collapse(df: DataFrame, text_col: str) -> bool:

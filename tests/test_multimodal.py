@@ -520,6 +520,38 @@ def test_wav_feature_stats_matches_python(spark):
         wav_feature_stats(df, on_opaque="error").collect()
 
 
+def test_wav_stereo_semantics_and_half_frame_tail(spark):
+    """Round-6 advisory: stereo duration must count FRAMES (not
+    interleaved samples), zero crossings must not compare across
+    channel boundaries (channel 0 only), and a half-frame tail must
+    truncate to whole frames in the decoder."""
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_wav, try_decode_wav, wav_feature_stats,
+    )
+
+    # L channel alternates sign every frame (3 crossings); R stays
+    # positive — interleaved ZCR would see 7 sign flips
+    frames = [(100, 50), (-100, 60), (100, 70), (-100, 80)]
+    inter = [v for f in frames for v in f]
+    pcm = b"".join(int(v).to_bytes(2, "little", signed=True) for v in inter)
+    wav = encode_wav(8000, 2, pcm)
+    [r] = wav_feature_stats(
+        spark.createDataFrame(
+            [(1, "audio", "audio/wav", wav, None, None, None)], MEDIA_SCHEMA
+        )
+    ).collect()
+    assert r.n_channels == 2
+    assert r.n_samples == 8  # every channel's samples
+    assert r.duration_ms == 4 * 1000 // 8000  # FRAMES / rate
+    assert r.zero_crossings == 3  # channel 0 only
+    assert r.sum_sq == sum(v * v for v in inter)  # energy: all channels
+    # half-frame tail: one dangling 16-bit word on a stereo file must
+    # truncate to whole frames, not shift interleaving
+    ragged = encode_wav(8000, 2, pcm + (7).to_bytes(2, "little", signed=True))
+    dec = try_decode_wav(ragged)
+    assert dec is not None and dec[2] == pcm
+
+
 def test_documents_as_wav_media_payloads_decode(spark, sf_dir):
     from clickhouse_only_importer_prototype_spark.operators.multimodal import (
         documents_as_wav_media, try_decode_wav,

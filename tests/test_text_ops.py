@@ -716,3 +716,18 @@ def test_dup_span_family_collapse_paths_equal(spark, sf_dir):
         assert plain == coll, fn.__name__
         # the probe must choose collapse on this 2/3-duplicate corpus
     assert text_ops._probe_span_collapse(df, "text") is True
+
+
+def test_unpersist_span_stats_releases_handles(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id < 50"
+    ).select("doc_id", "text")
+    t.unpersist_span_stats()  # clean slate
+    stats, _ = t._span_text_groups(docs, "text")
+    stats.count()
+    assert stats.storageLevel.useMemory
+    assert t.unpersist_span_stats() == 1
+    assert not stats.storageLevel.useMemory
+    assert t.unpersist_span_stats() == 0  # idempotent
