@@ -990,3 +990,437 @@ def documents_as_wav_media(df: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("height"),
         (n * 1000 / 8000).cast("long").alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: real dependency-free RIFF-AVI container walk (frame offsets,
+# sizes, timing — no pixel decode). The honest video analog of
+# try_decode_wav: MJPEG/raw frame BYTES stay opaque (that is ffmpeg
+# territory), but the container structure — where every frame lives,
+# how big it is, when it plays — is pure byte-slicing, which is exactly
+# what a 100 TB frame-extraction pipeline needs to PLAN work: a decode
+# fleet consumes (byte_offset, n_bytes) manifests, never whole files.
+# ---------------------------------------------------------------------------
+
+
+def _u16b(v: int) -> bytes:
+    return int(v).to_bytes(2, "little")
+
+
+def _u32b(v: int) -> bytes:
+    return int(v).to_bytes(4, "little")
+
+
+def encode_avi(
+    us_per_frame: int, width: int, height: int, frames: list[bytes]
+) -> bytes:
+    """Canonical minimal RIFF-AVI container for one MJPG video stream
+    (the encoder twin try_parse_avi round-trips with): LIST hdrl
+    (avih + one strl with strh/strf), LIST movi with one '00dc' chunk
+    per frame (word-aligned), and a full idx1 whose offsets follow the
+    usual convention — relative to the 'movi' fourcc (first chunk at
+    offset 4)."""
+    n = len(frames)
+    max_sz = max((len(f) for f in frames), default=0)
+    avih = (
+        _u32b(us_per_frame) + _u32b(0) + _u32b(0) + _u32b(0x10)  # HASINDEX
+        + _u32b(n) + _u32b(0) + _u32b(1) + _u32b(max_sz)
+        + _u32b(width) + _u32b(height) + _u32b(0) * 4
+    )
+    strh = (
+        b"vids" + b"MJPG" + _u32b(0) + _u16b(0) + _u16b(0) + _u32b(0)
+        + _u32b(us_per_frame) + _u32b(1_000_000)  # scale/rate -> fps
+        + _u32b(0) + _u32b(n) + _u32b(max_sz) + _u32b(0) + _u32b(0)
+        + _u16b(0) + _u16b(0) + _u16b(width) + _u16b(height)  # rcFrame
+    )
+    strf = (
+        _u32b(40) + _u32b(width) + _u32b(height) + _u16b(1) + _u16b(24)
+        + b"MJPG" + _u32b(width * height * 3)
+        + _u32b(0) + _u32b(0) + _u32b(0) + _u32b(0)
+    )
+    strl = b"LIST" + _u32b(4 + 8 + 56 + 8 + 40) + b"strl"
+    strl += b"strh" + _u32b(56) + strh + b"strf" + _u32b(40) + strf
+    hdrl = b"LIST" + _u32b(4 + 8 + 56 + len(strl)) + b"hdrl"
+    hdrl += b"avih" + _u32b(56) + avih + strl
+    chunks = b""
+    idx1 = b""
+    for f in frames:
+        # idx1 offset: position of this chunk's fourcc relative to the
+        # 'movi' fourcc; chunks start right after the 4-byte list type
+        idx1 += b"00dc" + _u32b(0x10) + _u32b(4 + len(chunks)) + _u32b(len(f))
+        chunks += b"00dc" + _u32b(len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+    movi = b"LIST" + _u32b(4 + len(chunks)) + b"movi" + chunks
+    body = b"AVI " + hdrl + movi + b"idx1" + _u32b(len(idx1)) + idx1
+    return b"RIFF" + _u32b(len(body)) + body
+
+
+def _avi_walk_hdrl(p: bytes, pos: int, end: int):
+    """Sub-walk of LIST hdrl -> (avih fields dict | None, strh 'vids'
+    fields dict | None)."""
+    avih = None
+    strh = None
+    while pos + 8 <= end:
+        cid = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > end:
+            return None, None
+        body = p[pos + 8 : pos + 8 + size]
+        if cid == b"avih" and size >= 56:
+            u = lambda o: int.from_bytes(body[o : o + 4], "little")  # noqa: E731
+            avih = {
+                "us_per_frame": u(0),
+                "total_frames": u(16),
+                "width": u(32),
+                "height": u(36),
+            }
+        elif cid == b"LIST" and size >= 4 and body[:4] == b"strl":
+            spos, send = pos + 12, pos + 8 + size
+            while spos + 8 <= send:
+                scid = p[spos : spos + 4]
+                ssize = int.from_bytes(p[spos + 4 : spos + 8], "little")
+                sbody = p[spos + 8 : spos + 8 + ssize]
+                if (
+                    scid == b"strh"
+                    and ssize >= 56
+                    and sbody[:4] == b"vids"
+                    and strh is None
+                ):
+                    strh = {
+                        "scale": int.from_bytes(sbody[20:24], "little"),
+                        "rate": int.from_bytes(sbody[24:28], "little"),
+                        "length": int.from_bytes(sbody[32:36], "little"),
+                    }
+                spos += 8 + ssize + (ssize & 1)
+        pos += 8 + size + (size & 1)
+    return avih, strh
+
+
+def _avi_walk_movi(p: bytes, pos: int, end: int):
+    """Sub-walk of LIST movi -> list of (abs_chunk_pos, size) for video
+    frame chunks ('##dc' compressed / '##db' uncompressed), descending
+    one level into 'rec ' grouping LISTs; None on a truncated chunk."""
+    frames: list[tuple[int, int]] = []
+    while pos + 8 <= end:
+        cid = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > end:
+            return None
+        if cid == b"LIST" and size >= 4 and p[pos + 8 : pos + 12] == b"rec ":
+            sub = _avi_walk_movi(p, pos + 12, pos + 8 + size)
+            if sub is None:
+                return None
+            frames.extend(sub)
+        elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+            frames.append((pos, size))
+        pos += 8 + size + (size & 1)
+    return frames
+
+
+def try_parse_avi(payload: bytes) -> dict | None:
+    """Chunk-walk a RIFF-AVI container -> dict with header timing/dims,
+    per-frame (absolute_data_offset, size, byte_checksum), and an idx1
+    consistency verdict; None for anything that is not a well-formed
+    AVI (a WAV is RIFF too — rejected on the 'AVI ' form type). Frame
+    PIXELS are never decoded — MJPEG entropy decode is ffmpeg
+    territory; the checksum sums the raw chunk bytes so consumers can
+    verify the manifest actually addressed the payload.
+
+    idx1 offsets are accepted in either common convention: relative to
+    the 'movi' fourcc, or absolute file offsets of the chunk header."""
+    p = payload
+    if len(p) < 12 or p[0:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    pos, avih, strh, frames, idx1, movi_fcc = 12, None, None, None, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(p):
+            return None
+        if cid == b"LIST" and size >= 4:
+            ltype = p[pos + 8 : pos + 12]
+            if ltype == b"hdrl":
+                avih, strh = _avi_walk_hdrl(p, pos + 12, pos + 8 + size)
+            elif ltype == b"movi":
+                movi_fcc = pos + 8
+                frames = _avi_walk_movi(p, pos + 12, pos + 8 + size)
+                if frames is None:
+                    return None
+        elif cid == b"idx1":
+            if size % 16:
+                return None
+            idx1 = [
+                (
+                    p[pos + 8 + k : pos + 12 + k],
+                    int.from_bytes(p[pos + 16 + k : pos + 20 + k], "little"),
+                    int.from_bytes(p[pos + 20 + k : pos + 24 + k], "little"),
+                )
+                for k in range(0, size, 16)
+            ]
+        pos += 8 + size + (size & 1)
+    if avih is None or frames is None or not avih["us_per_frame"]:
+        return None
+    out_frames = [
+        (cpos + 8, sz, sum(p[cpos + 8 : cpos + 8 + sz]))
+        for cpos, sz in frames
+    ]
+    idx1_ok = None
+    if idx1 is not None:
+        idx1_ok = int(
+            len(idx1) == len(frames)
+            and all(
+                fcc[2:4] in (b"dc", b"db")
+                and isz == sz
+                and (ioff == cpos - movi_fcc or ioff == cpos)
+                for (fcc, ioff, isz), (cpos, sz) in zip(idx1, frames)
+            )
+        )
+    return {
+        "us_per_frame": avih["us_per_frame"],
+        "width": avih["width"],
+        "height": avih["height"],
+        "hdr_frames": avih["total_frames"],
+        "stream_frames": strh["length"] if strh else None,
+        "frames": out_frames,
+        "idx1_ok": idx1_ok,
+    }
+
+
+AVI_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("us_per_frame", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("total_frame_bytes", LongType(), True),
+        StructField("min_frame_bytes", LongType(), True),
+        StructField("max_frame_bytes", LongType(), True),
+        StructField("header_frames_ok", LongType(), True),
+        StructField("idx1_ok", LongType(), True),
+    ]
+)
+
+AVI_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("byte_offset", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("pts_ms", LongType(), False),
+        StructField("checksum", LongType(), False),
+        StructField("sampled", LongType(), False),
+    ]
+)
+
+
+def _opaque_avi(on_opaque: str) -> None:
+    if on_opaque == "error":
+        raise NotImplementedError(
+            "payload is not a RIFF-AVI container: real video demuxing "
+            "(ffmpeg) not in this container"
+        )
+
+
+def avi_video_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
+    """Parse AVI payloads and emit per-file container stats — all
+    int64, fully value-oracleable: dimensions and frame timing from
+    avih, frame count/size distribution from the movi walk (never
+    trusted from the header: header_frames_ok cross-checks avih
+    total_frames AND strh length against the walked count), and the
+    idx1 verdict. ``on_opaque``: 'error' raises on non-AVI payloads,
+    'skip' quarantines them — the 100 TB posture."""
+    if on_opaque not in ("error", "skip"):
+        raise ValueError(f"on_opaque must be error|skip: {on_opaque}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AVI_STATS_SCHEMA.fields]
+        for pdf in batches:
+            out: list[list[int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                v = try_parse_avi(bytes(p) if p is not None else b"")
+                if v is None:
+                    _opaque_avi(on_opaque)
+                    continue
+                szs = [sz for _, sz, _ in v["frames"]]
+                nf = len(szs)
+                hdr_ok = int(
+                    v["hdr_frames"] == nf
+                    and (v["stream_frames"] in (None, nf))
+                )
+                out.append(
+                    [
+                        int(mid),
+                        v["width"],
+                        v["height"],
+                        nf,
+                        v["us_per_frame"],
+                        nf * v["us_per_frame"] // 1000,
+                        sum(szs),
+                        min(szs) if szs else 0,
+                        max(szs) if szs else 0,
+                        hdr_ok,
+                        v["idx1_ok"] if v["idx1_ok"] is not None else -1,
+                    ]
+                )
+            yield pd.DataFrame(out, columns=cols, dtype="int64")
+
+    return df.mapInPandas(run, AVI_STATS_SCHEMA)
+
+
+def avi_frame_plan(
+    df: DataFrame, sample_stride: int = 3, on_opaque: str = "error"
+) -> DataFrame:
+    """The frame-extraction MANIFEST: one row per video frame with its
+    absolute byte range in the source object, presentation time, a
+    byte checksum (proof the walk addressed the real payload), and a
+    deterministic every-``sample_stride``-th sampling flag — what a
+    downstream decode fleet range-reads instead of whole files. Rows
+    are container METADATA (~30 bytes each), so the explode is
+    manifest-scale, never payload-scale."""
+    if sample_stride < 1:
+        raise ValueError(f"sample_stride must be >= 1: {sample_stride}")
+    if on_opaque not in ("error", "skip"):
+        raise ValueError(f"on_opaque must be error|skip: {on_opaque}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AVI_FRAME_SCHEMA.fields]
+        for pdf in batches:
+            out: list[list[int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                v = try_parse_avi(bytes(p) if p is not None else b"")
+                if v is None:
+                    _opaque_avi(on_opaque)
+                    continue
+                upf = v["us_per_frame"]
+                for i, (off, sz, ck) in enumerate(v["frames"]):
+                    out.append(
+                        [
+                            int(mid),
+                            i,
+                            off,
+                            sz,
+                            i * upf // 1000,
+                            ck,
+                            int(i % sample_stride == 0),
+                        ]
+                    )
+            yield pd.DataFrame(out, columns=cols, dtype="int64")
+
+    return df.mapInPandas(run, AVI_FRAME_SCHEMA)
+
+
+def documents_as_avi_media(df: DataFrame) -> DataFrame:
+    """Synthesize REAL RIFF-AVI containers from the documents table,
+    entirely JVM-side (the video twin of documents_as_wav_media),
+    byte-identical to ``encode_avi`` for the same parameters (pinned
+    by test): doc d carries n = 2 + n_chars % 6 frames of
+    width = 16*(1 + d%3) x height = 8*(1 + n_chars%4) at
+    us_per_frame = 20000 + 5000*(d%5); frame i is
+    16 + 2*((d*7 + 13*i) % 16) bytes, byte j of frame i =
+    (d*31 + 17*i + j) % 256 — every container statistic,
+    frame offset and checksum is recomputable closed-form by a SQL
+    oracle. Hex assembly + unhex, as the WAV/PPM synthesizers do."""
+    d = F.col("doc_id").cast("long")
+    n = (F.lit(2) + F.col("n_chars") % 6).cast("long")
+    upf = (F.lit(20000) + 5000 * (d % 5)).cast("long")
+    width = (16 * (1 + d % 3)).cast("long")
+    height = (8 * (1 + F.col("n_chars") % 4)).cast("long")
+    word = lambda v: F.concat(  # noqa: E731 — LE u16 hex of v < 65536
+        F.lpad(F.hex(v % 256), 2, "0"),
+        F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0"),
+    )
+    dword = lambda v: F.concat(word(v % 65536), word((v / 65536).cast("long")))  # noqa: E731
+    idx = F.sequence(F.lit(0), (n - 1).cast("int"))
+    szs = F.transform(
+        idx, lambda i: (F.lit(16) + 2 * ((d * 7 + 13 * i.cast("long")) % 16))
+    )
+    s_total = F.aggregate(szs, F.lit(0).cast("long"), lambda a, x: a + x)
+    max_sz = F.array_max(szs).cast("long")
+    zero4 = F.lit("00000000")
+    avih_hex = F.concat(
+        dword(upf), zero4, zero4, F.lit("10000000"),  # flags HASINDEX
+        dword(n), zero4, F.lit("01000000"), dword(max_sz),
+        dword(width), dword(height), zero4, zero4, zero4, zero4,
+    )
+    strh_hex = F.concat(
+        F.lit("76696473"), F.lit("4D4A5047"), zero4,  # vids MJPG flags
+        F.lit("00000000"),                            # prio u16 + lang u16
+        zero4, dword(upf), F.lit("40420F00"),         # init, scale, rate=1e6
+        zero4, dword(n), dword(max_sz), zero4, zero4,
+        F.lit("00000000"), word(width), word(height),  # rcFrame
+    )
+    strf_hex = F.concat(
+        F.lit("28000000"), dword(width), dword(height),
+        F.lit("01001800"), F.lit("4D4A5047"),  # planes 1, 24bpp, MJPG
+        dword(width * height * 3), zero4, zero4, zero4, zero4,
+    )
+    hdrl_hex = F.concat(
+        F.lit("4C495354"), F.lit("C0000000"), F.lit("6864726C"),  # LIST 192 hdrl
+        F.lit("61766968"), F.lit("38000000"), avih_hex,           # avih 56
+        F.lit("4C495354"), F.lit("74000000"), F.lit("7374726C"),  # LIST 116 strl
+        F.lit("73747268"), F.lit("38000000"), strh_hex,           # strh 56
+        F.lit("73747266"), F.lit("28000000"), strf_hex,           # strf 40
+    )
+    prefix = lambda i: F.coalesce(  # noqa: E731 — sum of szs[0..i-1]
+        F.aggregate(
+            F.slice(szs, F.lit(1), i), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+        F.lit(0).cast("long"),
+    )
+    chunks_hex = F.concat_ws(
+        "",
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.lit("30306463"),  # '00dc'
+                dword(F.element_at(szs, i + 1).cast("long")),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            (F.element_at(szs, i + 1) - 1).cast("int"),
+                        ),
+                        lambda j: F.lpad(
+                            F.hex(
+                                (d * 31 + 17 * i.cast("long") + j.cast("long"))
+                                % 256
+                            ),
+                            2,
+                            "0",
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    idx1_hex = F.concat_ws(
+        "",
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.lit("30306463"), F.lit("10000000"),  # '00dc', AVIIF_KEYFRAME
+                dword(F.lit(4).cast("long") + 8 * i.cast("long") + prefix(i)),
+                dword(F.element_at(szs, i + 1).cast("long")),
+            ),
+        ),
+    )
+    movi_sz = (F.lit(4) + 8 * n + s_total).cast("long")
+    riff_sz = (F.lit(224) + 24 * n + s_total).cast("long")
+    payload_hex = F.concat(
+        F.lit("52494646"), dword(riff_sz), F.lit("41564920"),  # RIFF .. 'AVI '
+        hdrl_hex,
+        F.lit("4C495354"), dword(movi_sz), F.lit("6D6F7669"),  # LIST .. movi
+        chunks_hex,
+        F.lit("69647831"), dword(16 * n), idx1_hex,            # idx1
+    )
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.lit("video/x-msvideo").alias("mime"),
+        F.unhex(payload_hex).alias("payload"),
+        width.alias("width"),
+        height.alias("height"),
+        (n * upf / 1000).cast("long").alias("duration_ms"),
+    )

@@ -574,3 +574,144 @@ def test_documents_as_wav_media_payloads_decode(spark, sf_dir):
         s0 = u0 - 65536 if u0 >= 32768 else u0
         got0 = int.from_bytes(data[0:2], "little", signed=True)
         assert got0 == s0
+
+
+def test_avi_codec_roundtrip_and_container_walk():
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        encode_avi, encode_wav, try_parse_avi,
+    )
+
+    frames = [bytes((7 * i + j) % 256 for j in range(sz))
+              for i, sz in enumerate([20, 3, 46, 16])]  # odd size -> pad
+    avi = encode_avi(33333, 32, 16, frames)
+    v = try_parse_avi(avi)
+    assert v is not None
+    assert (v["us_per_frame"], v["width"], v["height"]) == (33333, 32, 16)
+    assert v["hdr_frames"] == 4 and v["stream_frames"] == 4
+    assert [sz for _, sz, _ in v["frames"]] == [20, 3, 46, 16]
+    assert [ck for _, _, ck in v["frames"]] == [sum(f) for f in frames]
+    assert v["idx1_ok"] == 1
+    for (off, sz, _), f in zip(v["frames"], frames):
+        assert avi[off : off + sz] == f  # offsets are ABSOLUTE
+    assert v["frames"][0][0] == 232  # fixed header prefix
+
+    # idx1 in the other common convention (absolute chunk offsets)
+    alt = bytearray(avi)
+    movi_fcc = avi.index(b"movi")
+    idx1_at = avi.index(b"idx1")
+    for k, (cpos, _sz) in enumerate(
+        (off - 8, sz) for off, sz, _ in v["frames"]
+    ):
+        p = idx1_at + 8 + 16 * k + 8
+        alt[p : p + 4] = int(cpos).to_bytes(4, "little")
+    assert try_parse_avi(bytes(alt))["idx1_ok"] == 1
+    # corrupted idx1 size entry -> flagged inconsistent, not rejected
+    bad = bytearray(avi)
+    bad[idx1_at + 8 + 12 : idx1_at + 8 + 16] = (999).to_bytes(4, "little")
+    assert try_parse_avi(bytes(bad))["idx1_ok"] == 0
+
+    # 'rec ' grouping LIST inside movi parses one level down
+    inner = b"00dc" + (4).to_bytes(4, "little") + b"WXYZ"
+    rec = b"LIST" + (4 + len(inner)).to_bytes(4, "little") + b"rec " + inner
+    hdr_end = movi_fcc + 4
+    grouped = (
+        avi[:hdr_end]
+        + rec
+        + avi[hdr_end:]
+    )
+    grouped = bytearray(grouped)
+    # fix movi LIST size and RIFF size for the insertion
+    movi_sz = int.from_bytes(avi[movi_fcc - 4 : movi_fcc], "little")
+    grouped[movi_fcc - 4 : movi_fcc] = (movi_sz + len(rec)).to_bytes(4, "little")
+    riff_sz = int.from_bytes(avi[4:8], "little")
+    grouped[4:8] = (riff_sz + len(rec)).to_bytes(4, "little")
+    vg = try_parse_avi(bytes(grouped))
+    assert [sz for _, sz, _ in vg["frames"]] == [4, 20, 3, 46, 16]
+    assert vg["idx1_ok"] == 0  # index no longer matches the walk
+
+    # rejects: a WAV is RIFF but not AVI; truncation; malformed idx1;
+    # headerless RIFF-AVI
+    assert try_parse_avi(encode_wav(8000, 1, b"\x01\x00" * 8)) is None
+    assert try_parse_avi(avi[: len(avi) - 5]) is None
+    assert try_parse_avi(b"") is None
+    assert try_parse_avi(b"RIFF\x04\x00\x00\x00AVI ") is None
+    odd_idx = bytearray(avi)
+    odd_idx[idx1_at + 4 : idx1_at + 8] = (15).to_bytes(4, "little")
+    assert try_parse_avi(bytes(odd_idx)) is None
+
+    # empty video: headers parse, zero frames, consistent empty index
+    v0 = try_parse_avi(encode_avi(1000, 8, 8, []))
+    assert v0["frames"] == [] and v0["hdr_frames"] == 0 and v0["idx1_ok"] == 1
+
+
+def test_documents_as_avi_media_byte_identical_to_encoder(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        documents_as_avi_media, encode_avi,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id % 17 = 0"
+    )
+    meta = {r.doc_id: r.n_chars for r in docs.collect()}
+    for r in documents_as_avi_media(docs).collect():
+        d, nch = r.media_id, meta[r.media_id]
+        n = 2 + nch % 6
+        frames = [
+            bytes(
+                (d * 31 + 17 * i + j) % 256
+                for j in range(16 + 2 * ((d * 7 + 13 * i) % 16))
+            )
+            for i in range(n)
+        ]
+        exp = encode_avi(
+            20000 + 5000 * (d % 5), 16 * (1 + d % 3), 8 * (1 + nch % 4), frames
+        )
+        assert bytes(r.payload) == exp, d
+        assert r.media_type == "video" and r.duration_ms == n * (
+            20000 + 5000 * (d % 5)
+        ) // 1000
+
+
+def test_avi_stats_and_frame_plan_real_walk(spark):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA, avi_frame_plan, avi_video_stats, encode_avi,
+    )
+
+    frames = [b"\x01\x02\x03\x04", b"\xff" * 10, b"Q" * 6]
+    avi = encode_avi(40000, 16, 8, frames)
+    # header lies about the frame count -> header_frames_ok must drop
+    lied = bytearray(avi)
+    avih_at = avi.index(b"avih")
+    lied[avih_at + 8 + 16 : avih_at + 8 + 20] = (9).to_bytes(4, "little")
+    rows = [
+        (1, "video", "video/x-msvideo", avi, None, None, None),
+        (2, "video", "video/mp4", b"\x00\x00\x00 ftypisom", None, None, None),
+        (3, "video", "video/x-msvideo", bytes(lied), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in avi_video_stats(df, on_opaque="skip").collect()}
+    assert sorted(got) == [1, 3]
+    r = got[1]
+    assert (r.n_frames, r.total_frame_bytes, r.min_frame_bytes,
+            r.max_frame_bytes) == (3, 20, 4, 10)
+    assert r.duration_ms == 3 * 40000 // 1000 and r.header_frames_ok == 1
+    assert got[3].header_frames_ok == 0 and got[3].n_frames == 3
+
+    plan = avi_frame_plan(df, sample_stride=2, on_opaque="skip")
+    p = [r for r in plan.collect() if r.media_id == 1]
+    assert [r.frame_idx for r in p] == [0, 1, 2]
+    assert [r.n_bytes for r in p] == [4, 10, 6]
+    assert [r.checksum for r in p] == [10, 2550, ord("Q") * 6]
+    assert [r.pts_ms for r in p] == [0, 40, 80]
+    assert [r.sampled for r in p] == [1, 0, 1]
+    for r in p:
+        assert avi[r.byte_offset : r.byte_offset + r.n_bytes] == frames[r.frame_idx]
+
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="NotImplementedError|not a RIFF-AVI"):
+        avi_video_stats(df, on_opaque="error").collect()
+    with _pt.raises(ValueError, match="sample_stride"):
+        avi_frame_plan(df, sample_stride=0)
+    with _pt.raises(ValueError, match="on_opaque"):
+        avi_video_stats(df, on_opaque="quarantine")
