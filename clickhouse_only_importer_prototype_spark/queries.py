@@ -11501,71 +11501,63 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries registered, WHICH ones get hard-gate rows is a curated
 # decision, not registration order.
 #
-# ROUND-6 ROTATION (backlog -> zero): after round 5, 160/190 oracled
-# queries held a green driver row in some CORRECTNESS artifact; the
-# 29-query round-5 deferral list below was the entire remainder, plus
-# ``multimodal_features``/``multimodal_resize`` whose only driver rows
-# were stale round-2 ``no_oracle`` artifacts predating their round-5
-# conversion to full value/byte-identical oracles. This window:
-#   * slots 1-29: the complete round-5 backlog, in its recorded order —
-#     after this round EVERY oracled query has held a green driver row
-#     in some round (the rows-only ANN paths excepted, by design);
-#   * slots 30-31: the two multimodal queries, re-gated under their
-#     real oracles for the first time;
-#   * slot 32: ``events_wau_approx`` — new this round (registry
-#     unfrozen by the backlog drain), the HLL-sketch twin of
-#     events_wau, oracle-pinned audit-style (round-5 verdict #3);
-#   * slots 33-50: re-proofs of the queries whose PLANS changed most in
-#     rounds 5-6, so the driver re-certifies them post-rewrite:
-#     tfidf_top_terms (round-6 hash-keyed single-pass rewrite),
-#     semantic_dedup / kmeans_embeddings / embedding_neardup (round-6
-#     footer-gated dup probes), then the TPC-H queries rewritten by the
-#     round-5 broadcast-policy overhaul / bloom re-threshold / q17
-#     aggregate-broadcast gate, and the two copurchase queries whose
-#     persist/broadcast gates were rebuilt in round 5.
+# ROUND-7 ROTATION: slots 1-9 are every oracled query without a green
+# driver row — the round-6 red ``stream_stream_outer_join`` (re-proven
+# after the _stream_twin toArrow fix; round-6 verdict #1), the six
+# round-6 additions deferred when that window froze (dup_span family,
+# phash pair, audio — verdict #2), and the two NEW round-7 video
+# queries (AVI container walk, verdict #6). The rest of the window
+# re-certifies whatever round 7 touched, then rotates the stalest
+# evidence forward:
+#   * slots 10-17: ALL stream twins — every one rides the rewritten
+#     _stream_twin materialization (toArrow, nullable-int-preserving),
+#     so the fix is re-proven across the whole family, not just the
+#     query that crashed;
+#   * slots 18-27: the queries whose dup-ratio probes gained the
+#     _collapse_gate footer pre-gate this round (verdict #3:
+#     bigram_lm_scores first, then the dedup/decontamination/leakage
+#     probe sites) — gating must never change results, so each goes
+#     back through the hard gate;
+#   * slots 28-50: re-proofs ordered by STALEST green evidence — the
+#     ten queries whose last green row is round 2, then the oldest
+#     round-3 rows (reference-parity pivots/melt included via
+#     long_to_values_rebuild; events/dedup/CDC flagships).
 # Rows-only entries never take window slots (their driver check is
 # weaker by construction; see _ordered_names) — ``winnow_fingerprint_
 # fast`` is pinned by a pure-Python XXH64 replay in pytest instead.
 _WINDOW_PRIORITY = [
-    # -- round-5 deferral backlog, drained in full (29) --
-    "stream_stream_outer_join", "attribution_position", "corpus_datacard",
-    "contrastive_negatives", "kfold_balance", "split_novelty_rate",
-    "stream_throttle_audit", "attribution_decay", "events_anomaly_zscore",
-    "ann_ranking_quality", "weighted_median_price",
-    "events_seasonality_profile", "pagerank_personalized",
-    "corpus_diversity", "embedding_centroid_shift", "abn_test_chisq",
-    "orders_open_timeline", "trending_parts", "events_interarrival_stats",
-    "token_freq_of_freqs", "mixture_temperature", "lang_chi2_tokens",
-    "bm25_topdocs", "fd_audit", "mannwhitney_quality",
-    "curriculum_shuffle_audit", "order_reconciliation",
-    "join_cardinality_estimate", "benford_price_audit",
-    # -- first driver gating under the round-5 value oracles (2) --
-    "multimodal_features", "multimodal_resize",
-    # -- new this round (1) --
-    "events_wau_approx",
-    # -- post-rewrite re-proofs (18) --
-    "tfidf_top_terms", "semantic_dedup", "kmeans_embeddings",
-    "embedding_neardup", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q17_small_quantity_revenue", "q19_bracket_revenue",
-    "copurchase_recs", "copurchase_triangles", "q5_local_supplier",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q21_waiting_supplier", "q14_promo_revenue", "q12_priority_lines",
-    "q20_promotion_parts",
-]
-# The pre-round-6 deferral backlog is EMPTY as of this rotation: every
-# oracled query registered before round 6 has held a green driver row
-# in some round once this window lands. Queries registered AFTER the
-# round-6 window was pinned queue here for the round-7 window (the
-# duplicate-span family, added mid-round-6 — the window itself stays
-# frozen once curated so re-proof slots keep their meaning).
-_DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    "dup_span_detect",
-    "dup_span_coverage",
-    "dup_span_strip",
-    "multimodal_phash_clusters",
-    "multimodal_phash_neardup",
+    # -- never-green: round-6 red + round-6 deferrals + new round-7 (9) --
+    "stream_stream_outer_join",
+    "dup_span_detect", "dup_span_coverage", "dup_span_strip",
+    "multimodal_phash_clusters", "multimodal_phash_neardup",
     "multimodal_audio_features",
+    "multimodal_video_stats", "multimodal_video_frame_plan",
+    # -- stream-twin harness rewrite re-proofs (8) --
+    "stream_hourly", "stream_sessionize", "stream_dim_join",
+    "stream_stream_join", "stream_ohlc", "stream_sliding_counts",
+    "stream_throttle_audit", "ingest_dedup",
+    # -- footer-gated dup-probe re-proofs (10) --
+    "bigram_lm_scores", "dedup_ngram_jaccard", "dedup_clusters",
+    "decontamination_hits", "minhash_lsh_candidates",
+    "simhash_signatures", "decontaminate_corpus", "fuzzy_part_pairs",
+    "dedup_containment", "leakage_safe_split",
+    # -- stalest-evidence re-proofs: round-2 rows (10) --
+    "corpus_hash_sample", "events_hourly", "long_to_values_rebuild",
+    "multimodal_frame_plan", "q10_returned_items", "q18_large_orders",
+    "q6_forecast_revenue", "rollup_region_nation", "text_repetition",
+    "top_trigrams",
+    # -- stalest-evidence re-proofs: oldest round-3 rows (13) --
+    "anti_join_idle_customers", "cdc_merge_orders", "corpus_curation",
+    "dedup_exact", "dedup_simhash_pairs", "doc_fingerprint",
+    "domain_mixture", "embedding_quantize", "events_asof_join",
+    "events_interval_join", "events_json_extract", "events_pivot_counts",
+    "events_sessionize",
 ]
+# EMPTY this rotation: the round-6 deferrals and both round-7 video
+# queries all fit the round-7 window above. Queries registered AFTER a
+# window is pinned queue here for the next rotation (the window itself
+# stays frozen once curated so re-proof slots keep their meaning).
+_DEFERRED_TO_NEXT_WINDOW: list[str] = []
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects
 # evidence coverage — they follow the window in registration order.
