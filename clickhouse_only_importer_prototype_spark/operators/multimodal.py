@@ -1424,3 +1424,45 @@ def documents_as_avi_media(df: DataFrame) -> DataFrame:
         height.alias("height"),
         (n * upf / 1000).cast("long").alias("duration_ms"),
     )
+
+
+def scene_cut_candidates(
+    frames: DataFrame, threshold_permille: int = 300
+) -> DataFrame:
+    """Shot-boundary CANDIDATES from compressed-frame size spikes — the
+    classic decode-free MJPEG heuristic: intra-coded frame size tracks
+    visual complexity, so a large relative jump against the previous
+    frame flags a likely scene change worth sending to the (expensive)
+    pixel-level verifier. Input is the avi_frame_plan manifest; the
+    window shuffles MANIFEST rows only (~30 bytes/frame), never
+    payloads. All-integer: a frame is a candidate when
+    abs(sz - prev) * 1000 >= threshold_permille * prev (prev > 0).
+    abs_delta_permille uses abs-first floor-div so Spark and SQL
+    oracles agree on every row (signed floor-vs-trunc never enters)."""
+    from pyspark.sql import Window
+
+    if threshold_permille < 1:
+        raise ValueError(
+            f"threshold_permille must be >= 1: {threshold_permille}"
+        )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    delta = F.abs(F.col("n_bytes") - F.col("prev_bytes"))
+    return (
+        frames.select("media_id", "frame_idx", "pts_ms", "n_bytes")
+        .withColumn("prev_bytes", F.lag("n_bytes").over(w))
+        .where(
+            F.col("prev_bytes").isNotNull()
+            & (F.col("prev_bytes") > 0)
+            & (delta * 1000 >= threshold_permille * F.col("prev_bytes"))
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            "pts_ms",
+            "prev_bytes",
+            "n_bytes",
+            F.expr(
+                "div(abs(n_bytes - prev_bytes) * 1000, prev_bytes)"
+            ).alias("abs_delta_permille"),
+        )
+    )

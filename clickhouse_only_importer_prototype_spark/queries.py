@@ -3279,6 +3279,112 @@ def multimodal_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_scene_cuts",
+    f"""
+    WITH {_AVI_FRAMES_SQL},
+    lagd AS (
+      SELECT doc_id, i, upf, sz,
+             LAG(sz) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM fr
+    )
+    SELECT doc_id AS media_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * upf // 1000 AS BIGINT) AS pts_ms,
+           CAST(prev AS BIGINT) AS prev_bytes,
+           CAST(sz AS BIGINT) AS n_bytes,
+           CAST(abs(sz - prev) * 1000 // prev AS BIGINT)
+             AS abs_delta_permille
+    FROM lagd
+    WHERE prev IS NOT NULL AND prev > 0
+      AND abs(sz - prev) * 1000 >= 300 * prev
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free shot-boundary candidates — the classic production
+    heuristic for compressed video: intra-coded (MJPEG) frame size
+    tracks visual complexity, so a >=30% relative size jump against
+    the previous frame flags a likely scene change, and only THOSE
+    frames' byte ranges go to the expensive pixel-level verifier
+    (operators/multimodal.scene_cut_candidates over the avi_frame_plan
+    manifest). The window shuffles manifest metadata only (~30 bytes/
+    frame) — at 100 TB of video the payloads never move. All-integer
+    (abs-first floor-div), so the oracle's LAG replay over the
+    closed-form frame sizes must agree on every candidate row."""
+    media = mm_ops.documents_as_avi_media(load(spark, sf_dir, "documents"))
+    return mm_ops.scene_cut_candidates(
+        mm_ops.avi_frame_plan(media), threshold_permille=300
+    )
+
+
+@register(
+    "multimodal_quarantine_audit",
+    """
+    WITH med AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS corrupt
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(1 - corrupt) AS BIGINT) AS n_decoded,
+           CAST(SUM(corrupt) AS BIGINT) AS n_quarantined,
+           CAST(SUM(corrupt) * 1000000 // COUNT(*) AS BIGINT)
+             AS quarantine_ppm
+    FROM med GROUP BY source
+    """,
+)
+def multimodal_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for undecodable media — the query every
+    100 TB ingest runs next to its decode pass: how much of each
+    source failed the codec, without ever aborting the job (the batch
+    twin of the TSV `_corrupt_record` quarantine, applied to binary
+    payloads). Every 10th doc's AVI payload is deterministically
+    truncated to 20 bytes (a torn upload); `avi_video_stats(on_opaque=
+    'skip')` quarantines them, and the audit LEFT-anti-accounts the
+    skipped media back to their source via one broadcast-sized
+    aggregate per source — decoded + quarantined counts and an exact
+    integer ppm rate. The oracle knows exactly which payloads were
+    corrupted (doc_id % 10), so the skip path itself — not just the
+    happy path — is value-checked end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    media = mm_ops.documents_as_avi_media(docs).withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 10 == 0,
+            F.substring(F.col("payload"), 1, 20),
+        ).otherwise(F.col("payload")),
+    )
+    decoded = mm_ops.avi_video_stats(media, on_opaque="skip")
+    per_media = (
+        media.select("media_id")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("media_id"), "source"
+            ),
+            "media_id",
+        )
+        .join(
+            decoded.select("media_id", F.lit(1).alias("ok")),
+            "media_id",
+            "left",
+        )
+    )
+    return per_media.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(F.when(F.col("ok").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_decoded"),
+        F.sum(F.when(F.col("ok").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.expr(
+            "div(sum(case when ok is null then 1 else 0 end) * 1000000,"
+            " count(*))"
+        ).alias("quarantine_ppm"),
+    )
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE toks AS (
@@ -11501,24 +11607,26 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries registered, WHICH ones get hard-gate rows is a curated
 # decision, not registration order.
 #
-# ROUND-7 ROTATION: slots 1-9 are every oracled query without a green
+# ROUND-7 ROTATION: slots 1-11 are every oracled query without a green
 # driver row — the round-6 red ``stream_stream_outer_join`` (re-proven
 # after the _stream_twin toArrow fix; round-6 verdict #1), the six
 # round-6 additions deferred when that window froze (dup_span family,
-# phash pair, audio — verdict #2), and the two NEW round-7 video
-# queries (AVI container walk, verdict #6). The rest of the window
+# phash pair, audio — verdict #2), and the three NEW round-7 video
+# queries (AVI container walk + scene-cut candidates, verdict #6)
+# plus the media quarantine audit that value-checks the skip path.
+# The rest of the window
 # re-certifies whatever round 7 touched, then rotates the stalest
 # evidence forward:
-#   * slots 10-17: ALL stream twins — every one rides the rewritten
+#   * slots 12-19: ALL stream twins — every one rides the rewritten
 #     _stream_twin materialization (toArrow, nullable-int-preserving),
 #     so the fix is re-proven across the whole family, not just the
 #     query that crashed;
-#   * slots 18-27: the queries whose dup-ratio probes gained the
+#   * slots 20-29: the queries whose dup-ratio probes gained the
 #     _collapse_gate footer pre-gate this round (verdict #3:
 #     bigram_lm_scores first, then the dedup/decontamination/leakage
 #     probe sites) — gating must never change results, so each goes
 #     back through the hard gate;
-#   * slots 28-50: re-proofs ordered by STALEST green evidence — the
+#   * slots 30-50: re-proofs ordered by STALEST green evidence — the
 #     ten queries whose last green row is round 2, then the oldest
 #     round-3 rows (reference-parity pivots/melt included via
 #     long_to_values_rebuild; events/dedup/CDC flagships).
@@ -11526,12 +11634,13 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker by construction; see _ordered_names) — ``winnow_fingerprint_
 # fast`` is pinned by a pure-Python XXH64 replay in pytest instead.
 _WINDOW_PRIORITY = [
-    # -- never-green: round-6 red + round-6 deferrals + new round-7 (9) --
+    # -- never-green: round-6 red + round-6 deferrals + new round-7 (11) --
     "stream_stream_outer_join",
     "dup_span_detect", "dup_span_coverage", "dup_span_strip",
     "multimodal_phash_clusters", "multimodal_phash_neardup",
     "multimodal_audio_features",
     "multimodal_video_stats", "multimodal_video_frame_plan",
+    "multimodal_video_scene_cuts", "multimodal_quarantine_audit",
     # -- stream-twin harness rewrite re-proofs (8) --
     "stream_hourly", "stream_sessionize", "stream_dim_join",
     "stream_stream_join", "stream_ohlc", "stream_sliding_counts",
@@ -11546,12 +11655,11 @@ _WINDOW_PRIORITY = [
     "multimodal_frame_plan", "q10_returned_items", "q18_large_orders",
     "q6_forecast_revenue", "rollup_region_nation", "text_repetition",
     "top_trigrams",
-    # -- stalest-evidence re-proofs: oldest round-3 rows (13) --
+    # -- stalest-evidence re-proofs: oldest round-3 rows (11) --
     "anti_join_idle_customers", "cdc_merge_orders", "corpus_curation",
     "dedup_exact", "dedup_simhash_pairs", "doc_fingerprint",
     "domain_mixture", "embedding_quantize", "events_asof_join",
-    "events_interval_join", "events_json_extract", "events_pivot_counts",
-    "events_sessionize",
+    "events_interval_join", "events_pivot_counts",
 ]
 # EMPTY this rotation: the round-6 deferrals and both round-7 video
 # queries all fit the round-7 window above. Queries registered AFTER a

@@ -715,3 +715,32 @@ def test_avi_stats_and_frame_plan_real_walk(spark):
         avi_frame_plan(df, sample_stride=0)
     with _pt.raises(ValueError, match="on_opaque"):
         avi_video_stats(df, on_opaque="quarantine")
+
+
+def test_scene_cut_candidates_matches_reference(spark):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA, avi_frame_plan, encode_avi, scene_cut_candidates,
+    )
+
+    # sizes: 100 -> 129 (29%: below) -> 168 (30.2%: cut) -> 84 (50%:
+    # cut) -> 84 (0%: no)
+    frames = [b"a" * 100, b"b" * 129, b"c" * 168, b"d" * 84, b"e" * 84]
+    avi = encode_avi(40000, 16, 8, frames)
+    df = spark.createDataFrame(
+        [(1, "video", "video/x-msvideo", avi, None, None, None)], MEDIA_SCHEMA
+    )
+    got = scene_cut_candidates(
+        avi_frame_plan(df), threshold_permille=300
+    ).orderBy("frame_idx").collect()
+    assert [(r.frame_idx, r.prev_bytes, r.n_bytes) for r in got] == [
+        (2, 129, 168), (3, 168, 84),
+    ]
+    assert [r.abs_delta_permille for r in got] == [
+        (168 - 129) * 1000 // 129, (168 - 84) * 1000 // 168,
+    ]
+    assert [r.pts_ms for r in got] == [80, 120]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold_permille"):
+        scene_cut_candidates(avi_frame_plan(df), threshold_permille=0)
