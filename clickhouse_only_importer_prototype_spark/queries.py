@@ -5801,13 +5801,21 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked_fuzzy_pairs,
     )
 
+    # NO footer pre-gate here, deliberately (round-7 measurement): the
+    # _collapse_gate heuristic — "below 100k rows the probe job costs
+    # more than collapse can save" — is tuned for LINEAR-cost consumers
+    # (embedding matmuls, bigram folds). This operator's gated work is
+    # the QUADRATIC in-block DP, so collapse pays at ANY scale once the
+    # dup ratio clears the probe threshold: forcing collapse off via the
+    # gate measured 2.74s vs 0.98s probed at sf0.1 (20k parts, heavily
+    # duplicated names). Let the operator's own dup-ratio probe decide.
     out = blocked_fuzzy_pairs(
         load(spark, sf_dir, "part"),
         id_col="p_partkey",
         text_col="p_name",
         block_cols=["p_size"],
         max_dist=3,
-        collapse=_collapse_gate(sf_dir, "part"),
+        collapse=None,
     )
     return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
