@@ -7951,6 +7951,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the naive all-pairs inverted index; the engine path is
     asymmetric prefix filtering + size pruning + exact verification
     (the same lossless-pruning contract as dedup_ngram_jaccard)."""
+    # Footer pre-gate AUDITED round 7 (after the fuzzy_part_pairs
+    # finding): although this consumer is quadratic-class like fuzzy,
+    # a controlled same-session A/B at sf0.1 measured gate-off 4.94s /
+    # probe 6.09s / collapse-forced 5.25s best-of-2 — the documents
+    # fixture's dup ratio does not reward the collapse here, so the
+    # probe job is pure overhead at toy scale and the gate stands.
+    # (fuzzy_part_pairs went the other way: 0.98s probed vs 2.74s
+    # gated-off, because part names repeat heavily at every scale.)
     return dedup_ops.containment_pairs(
         load(spark, sf_dir, "documents"),
         n=3,
