@@ -1012,19 +1012,28 @@ def _u32b(v: int) -> bytes:
 
 
 def encode_avi(
-    us_per_frame: int, width: int, height: int, frames: list[bytes]
+    us_per_frame: int,
+    width: int,
+    height: int,
+    frames: list[bytes],
+    audio: list[bytes] | None = None,
 ) -> bytes:
-    """Canonical minimal RIFF-AVI container for one MJPG video stream
+    """Canonical minimal RIFF-AVI container for one MJPG video stream —
+    optionally with a second PCM audio stream whose '01wb' chunks
+    interleave 1:1 after each video frame (classic muxer layout) —
     (the encoder twin try_parse_avi round-trips with): LIST hdrl
-    (avih + one strl with strh/strf), LIST movi with one '00dc' chunk
-    per frame (word-aligned), and a full idx1 whose offsets follow the
-    usual convention — relative to the 'movi' fourcc (first chunk at
-    offset 4)."""
+    (avih + one strl per stream), LIST movi with word-aligned chunks,
+    and a full idx1 over EVERY stream chunk in container order, offsets
+    in the usual convention — relative to the 'movi' fourcc (first
+    chunk at offset 4)."""
     n = len(frames)
+    if audio is not None and len(audio) != n:
+        raise ValueError("audio chunks must interleave 1:1 with frames")
     max_sz = max((len(f) for f in frames), default=0)
     avih = (
         _u32b(us_per_frame) + _u32b(0) + _u32b(0) + _u32b(0x10)  # HASINDEX
-        + _u32b(n) + _u32b(0) + _u32b(1) + _u32b(max_sz)
+        + _u32b(n) + _u32b(0) + _u32b(2 if audio is not None else 1)
+        + _u32b(max_sz)
         + _u32b(width) + _u32b(height) + _u32b(0) * 4
     )
     strh = (
@@ -1040,15 +1049,38 @@ def encode_avi(
     )
     strl = b"LIST" + _u32b(4 + 8 + 56 + 8 + 40) + b"strl"
     strl += b"strh" + _u32b(56) + strh + b"strf" + _u32b(40) + strf
+    if audio is not None:
+        a_strh = (
+            b"auds" + _u32b(0) + _u32b(0) + _u16b(0) + _u16b(0) + _u32b(0)
+            + _u32b(1) + _u32b(8000)  # scale/rate: 8 kHz sample clock
+            + _u32b(0) + _u32b(sum(len(a) for a in audio) // 2)  # samples
+            + _u32b(max((len(a) for a in audio), default=0))
+            + _u32b(0) + _u32b(2)  # sample_size: PCM16 mono block
+            + _u16b(0) * 4
+        )
+        a_strf = (  # WAVEFORMATEX, PCM16 mono 8 kHz, no cbSize
+            _u16b(1) + _u16b(1) + _u32b(8000) + _u32b(16000)
+            + _u16b(2) + _u16b(16)
+        )
+        strl += b"LIST" + _u32b(4 + 8 + 56 + 8 + 16) + b"strl"
+        strl += b"strh" + _u32b(56) + a_strh + b"strf" + _u32b(16) + a_strf
     hdrl = b"LIST" + _u32b(4 + 8 + 56 + len(strl)) + b"hdrl"
     hdrl += b"avih" + _u32b(56) + avih + strl
     chunks = b""
     idx1 = b""
-    for f in frames:
+    for i, f in enumerate(frames):
         # idx1 offset: position of this chunk's fourcc relative to the
         # 'movi' fourcc; chunks start right after the 4-byte list type
         idx1 += b"00dc" + _u32b(0x10) + _u32b(4 + len(chunks)) + _u32b(len(f))
         chunks += b"00dc" + _u32b(len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+        if audio is not None:
+            a = audio[i]
+            idx1 += (
+                b"01wb" + _u32b(0x10) + _u32b(4 + len(chunks)) + _u32b(len(a))
+            )
+            chunks += (
+                b"01wb" + _u32b(len(a)) + a + (b"\x00" if len(a) & 1 else b"")
+            )
     movi = b"LIST" + _u32b(4 + len(chunks)) + b"movi" + chunks
     body = b"AVI " + hdrl + movi + b"idx1" + _u32b(len(idx1)) + idx1
     return b"RIFF" + _u32b(len(body)) + body
@@ -1096,10 +1128,11 @@ def _avi_walk_hdrl(p: bytes, pos: int, end: int):
 
 
 def _avi_walk_movi(p: bytes, pos: int, end: int):
-    """Sub-walk of LIST movi -> list of (abs_chunk_pos, size) for video
-    frame chunks ('##dc' compressed / '##db' uncompressed), descending
-    one level into 'rec ' grouping LISTs; None on a truncated chunk."""
-    frames: list[tuple[int, int]] = []
+    """Sub-walk of LIST movi -> list of (fourcc, abs_chunk_pos, size)
+    for stream chunks in container order — video ('##dc' compressed /
+    '##db' uncompressed) AND audio ('##wb') — descending one level into
+    'rec ' grouping LISTs; None on a truncated chunk."""
+    chunks: list[tuple[bytes, int, int]] = []
     while pos + 8 <= end:
         cid = p[pos : pos + 4]
         size = int.from_bytes(p[pos + 4 : pos + 8], "little")
@@ -1109,11 +1142,11 @@ def _avi_walk_movi(p: bytes, pos: int, end: int):
             sub = _avi_walk_movi(p, pos + 12, pos + 8 + size)
             if sub is None:
                 return None
-            frames.extend(sub)
-        elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
-            frames.append((pos, size))
+            chunks.extend(sub)
+        elif cid[2:4] in (b"dc", b"db", b"wb") and cid[:2].isdigit():
+            chunks.append((cid, pos, size))
         pos += 8 + size + (size & 1)
-    return frames
+    return chunks
 
 
 def try_parse_avi(payload: bytes) -> dict | None:
@@ -1130,7 +1163,7 @@ def try_parse_avi(payload: bytes) -> dict | None:
     p = payload
     if len(p) < 12 or p[0:4] != b"RIFF" or p[8:12] != b"AVI ":
         return None
-    pos, avih, strh, frames, idx1, movi_fcc = 12, None, None, None, None, None
+    pos, avih, strh, chunks, idx1, movi_fcc = 12, None, None, None, None, None
     while pos + 8 <= len(p):
         cid = p[pos : pos + 4]
         size = int.from_bytes(p[pos + 4 : pos + 8], "little")
@@ -1142,8 +1175,8 @@ def try_parse_avi(payload: bytes) -> dict | None:
                 avih, strh = _avi_walk_hdrl(p, pos + 12, pos + 8 + size)
             elif ltype == b"movi":
                 movi_fcc = pos + 8
-                frames = _avi_walk_movi(p, pos + 12, pos + 8 + size)
-                if frames is None:
+                chunks = _avi_walk_movi(p, pos + 12, pos + 8 + size)
+                if chunks is None:
                     return None
         elif cid == b"idx1":
             if size % 16:
@@ -1157,21 +1190,29 @@ def try_parse_avi(payload: bytes) -> dict | None:
                 for k in range(0, size, 16)
             ]
         pos += 8 + size + (size & 1)
-    if avih is None or frames is None or not avih["us_per_frame"]:
+    if avih is None or chunks is None or not avih["us_per_frame"]:
         return None
     out_frames = [
         (cpos + 8, sz, sum(p[cpos + 8 : cpos + 8 + sz]))
-        for cpos, sz in frames
+        for cid, cpos, sz in chunks
+        if cid[2:4] in (b"dc", b"db")
     ]
+    out_audio = [
+        (cpos + 8, sz, sum(p[cpos + 8 : cpos + 8 + sz]))
+        for cid, cpos, sz in chunks
+        if cid[2:4] == b"wb"
+    ]
+    # the index covers EVERY stream chunk in container order (audio
+    # included) — entry fourcc must match the chunk's own
     idx1_ok = None
     if idx1 is not None:
         idx1_ok = int(
-            len(idx1) == len(frames)
+            len(idx1) == len(chunks)
             and all(
-                fcc[2:4] in (b"dc", b"db")
+                ifcc == cid
                 and isz == sz
                 and (ioff == cpos - movi_fcc or ioff == cpos)
-                for (fcc, ioff, isz), (cpos, sz) in zip(idx1, frames)
+                for (ifcc, ioff, isz), (cid, cpos, sz) in zip(idx1, chunks)
             )
         )
     return {
@@ -1181,6 +1222,11 @@ def try_parse_avi(payload: bytes) -> dict | None:
         "hdr_frames": avih["total_frames"],
         "stream_frames": strh["length"] if strh else None,
         "frames": out_frames,
+        "audio": out_audio,
+        "kinds": b"".join(
+            b"v" if cid[2:4] in (b"dc", b"db") else b"a"
+            for cid, _, _ in chunks
+        ),
         "idx1_ok": idx1_ok,
     }
 
@@ -1465,4 +1511,214 @@ def scene_cut_candidates(
                 "div(abs(n_bytes - prev_bytes) * 1000, prev_bytes)"
             ).alias("abs_delta_permille"),
         )
+    )
+
+
+AV_DEMUX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_video_frames", LongType(), True),
+        StructField("n_audio_chunks", LongType(), True),
+        StructField("video_bytes", LongType(), True),
+        StructField("audio_bytes", LongType(), True),
+        StructField("video_checksum", LongType(), True),
+        StructField("audio_checksum", LongType(), True),
+        StructField("interleave_ok", LongType(), True),
+        StructField("idx1_ok", LongType(), True),
+    ]
+)
+
+
+def avi_av_demux(df: DataFrame, on_opaque: str = "error") -> DataFrame:
+    """Per-STREAM accounting over interleaved A/V containers — the
+    demux audit a multimodal ingest runs before splitting modalities
+    into their own pipelines: video and audio chunk counts/bytes/
+    checksums from one container walk, plus an interleave verdict
+    (1 = strict v,a,v,a alternation with equal counts — the layout a
+    well-muxed file has and a seek-friendly consumer expects; 0 =
+    present but irregular; -1 = no audio stream) and the idx1 verdict
+    (the index must cover EVERY stream chunk in container order).
+    Byte totals are what the per-modality extraction jobs get sized
+    by; checksums prove both streams' bytes were actually addressed."""
+    if on_opaque not in ("error", "skip"):
+        raise ValueError(f"on_opaque must be error|skip: {on_opaque}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AV_DEMUX_SCHEMA.fields]
+        for pdf in batches:
+            out: list[list[int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                v = try_parse_avi(bytes(p) if p is not None else b"")
+                if v is None:
+                    _opaque_avi(on_opaque)
+                    continue
+                nv, na = len(v["frames"]), len(v["audio"])
+                if na == 0:
+                    inter = -1
+                else:
+                    inter = int(v["kinds"] == b"va" * nv and nv == na)
+                out.append(
+                    [
+                        int(mid),
+                        nv,
+                        na,
+                        sum(sz for _, sz, _ in v["frames"]),
+                        sum(sz for _, sz, _ in v["audio"]),
+                        sum(ck for _, _, ck in v["frames"]),
+                        sum(ck for _, _, ck in v["audio"]),
+                        inter,
+                        v["idx1_ok"] if v["idx1_ok"] is not None else -1,
+                    ]
+                )
+            yield pd.DataFrame(out, columns=cols, dtype="int64")
+
+    return df.mapInPandas(run, AV_DEMUX_SCHEMA)
+
+
+def documents_as_av_media(df: DataFrame) -> DataFrame:
+    """Synthesize REAL two-stream RIFF-AVI containers (MJPG video +
+    PCM audio, '00dc'/'01wb' chunks interleaved 1:1) from documents,
+    JVM-side, byte-identical to ``encode_avi(..., audio=...)`` for the
+    same parameters (pinned by test). Video formulas are identical to
+    documents_as_avi_media; audio chunk i of doc d is
+    8 + 2*((d*3 + 7*i) % 8) bytes with byte j = (d*13 + 5*i + j) % 256
+    — every demux statistic is SQL-recomputable closed-form."""
+    d = F.col("doc_id").cast("long")
+    n = (F.lit(2) + F.col("n_chars") % 6).cast("long")
+    upf = (F.lit(20000) + 5000 * (d % 5)).cast("long")
+    width = (16 * (1 + d % 3)).cast("long")
+    height = (8 * (1 + F.col("n_chars") % 4)).cast("long")
+    word = lambda v: F.concat(  # noqa: E731
+        F.lpad(F.hex(v % 256), 2, "0"),
+        F.lpad(F.hex((v / 256).cast("long") % 256), 2, "0"),
+    )
+    dword = lambda v: F.concat(word(v % 65536), word((v / 65536).cast("long")))  # noqa: E731
+    idx = F.sequence(F.lit(0), (n - 1).cast("int"))
+    szs = F.transform(
+        idx, lambda i: (F.lit(16) + 2 * ((d * 7 + 13 * i.cast("long")) % 16))
+    )
+    aszs = F.transform(
+        idx, lambda i: (F.lit(8) + 2 * ((d * 3 + 7 * i.cast("long")) % 8))
+    )
+    s_total = F.aggregate(szs, F.lit(0).cast("long"), lambda a, x: a + x)
+    a_total = F.aggregate(aszs, F.lit(0).cast("long"), lambda a, x: a + x)
+    max_sz = F.array_max(szs).cast("long")
+    max_asz = F.array_max(aszs).cast("long")
+    zero4 = F.lit("00000000")
+    avih_hex = F.concat(
+        dword(upf), zero4, zero4, F.lit("10000000"),
+        dword(n), zero4, F.lit("02000000"), dword(max_sz),  # 2 streams
+        dword(width), dword(height), zero4, zero4, zero4, zero4,
+    )
+    strh_hex = F.concat(
+        F.lit("76696473"), F.lit("4D4A5047"), zero4,
+        F.lit("00000000"),
+        zero4, dword(upf), F.lit("40420F00"),
+        zero4, dword(n), dword(max_sz), zero4, zero4,
+        F.lit("00000000"), word(width), word(height),
+    )
+    strf_hex = F.concat(
+        F.lit("28000000"), dword(width), dword(height),
+        F.lit("01001800"), F.lit("4D4A5047"),
+        dword(width * height * 3), zero4, zero4, zero4, zero4,
+    )
+    a_strh_hex = F.concat(
+        F.lit("61756473"), zero4, zero4,            # 'auds', handler, flags
+        F.lit("00000000"),                          # prio + lang
+        zero4, F.lit("01000000"), F.lit("401F0000"),  # init, scale 1, rate 8k
+        zero4, dword((a_total / 2).cast("long")),   # start, length (samples)
+        dword(max_asz), zero4, F.lit("02000000"),   # sugbuf, quality, ssize
+        F.lit("0000000000000000"),                  # rcFrame
+    )
+    a_strf_hex = F.lit("01000100401F0000803E000002001000")  # PCM16 mono 8k
+    hdrl_hex = F.concat(
+        F.lit("4C495354"), F.lit("24010000"), F.lit("6864726C"),  # LIST 292
+        F.lit("61766968"), F.lit("38000000"), avih_hex,
+        F.lit("4C495354"), F.lit("74000000"), F.lit("7374726C"),  # strl 116
+        F.lit("73747268"), F.lit("38000000"), strh_hex,
+        F.lit("73747266"), F.lit("28000000"), strf_hex,
+        F.lit("4C495354"), F.lit("5C000000"), F.lit("7374726C"),  # strl 92
+        F.lit("73747268"), F.lit("38000000"), a_strh_hex,
+        F.lit("73747266"), F.lit("10000000"), a_strf_hex,
+    )
+    # combined prefix: sum over j < i of (16 + sz_j + asz_j)
+    prefix = lambda i: F.coalesce(  # noqa: E731
+        F.aggregate(
+            F.slice(F.zip_with(szs, aszs, lambda a, b: a + b + 16), F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+        F.lit(0).cast("long"),
+    )
+    byte_hex = lambda base, i, j: F.lpad(F.hex((base + j.cast("long")) % 256), 2, "0")  # noqa: E731
+    chunks_hex = F.concat_ws(
+        "",
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.lit("30306463"),
+                dword(F.element_at(szs, i + 1).cast("long")),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), (F.element_at(szs, i + 1) - 1).cast("int")
+                        ),
+                        lambda j: byte_hex(
+                            d * 31 + 17 * i.cast("long"), i, j
+                        ),
+                    ),
+                ),
+                F.lit("30317762"),  # '01wb'
+                dword(F.element_at(aszs, i + 1).cast("long")),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            (F.element_at(aszs, i + 1) - 1).cast("int"),
+                        ),
+                        lambda j: byte_hex(
+                            d * 13 + 5 * i.cast("long"), i, j
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    idx1_hex = F.concat_ws(
+        "",
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.lit("30306463"), F.lit("10000000"),
+                dword(F.lit(4).cast("long") + prefix(i)),
+                dword(F.element_at(szs, i + 1).cast("long")),
+                F.lit("30317762"), F.lit("10000000"),
+                dword(
+                    F.lit(12).cast("long")
+                    + prefix(i)
+                    + F.element_at(szs, i + 1).cast("long")
+                ),
+                dword(F.element_at(aszs, i + 1).cast("long")),
+            ),
+        ),
+    )
+    movi_sz = (F.lit(4) + 16 * n + s_total + a_total).cast("long")
+    riff_sz = (F.lit(324) + 48 * n + s_total + a_total).cast("long")
+    payload_hex = F.concat(
+        F.lit("52494646"), dword(riff_sz), F.lit("41564920"),
+        hdrl_hex,
+        F.lit("4C495354"), dword(movi_sz), F.lit("6D6F7669"),
+        chunks_hex,
+        F.lit("69647831"), dword(32 * n), idx1_hex,
+    )
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.lit("video/x-msvideo").alias("mime"),
+        F.unhex(payload_hex).alias("payload"),
+        width.alias("width"),
+        height.alias("height"),
+        (n * upf / 1000).cast("long").alias("duration_ms"),
     )

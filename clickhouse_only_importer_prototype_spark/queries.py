@@ -3317,6 +3317,56 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_av_demux",
+    """
+    WITH d AS (SELECT doc_id, 2 + n_chars % 6 AS n FROM documents),
+    fr AS (
+      SELECT d.doc_id, u.i,
+             16 + 2 * ((d.doc_id * 7 + 13 * u.i) % 16) AS vsz,
+             8 + 2 * ((d.doc_id * 3 + 7 * u.i) % 8) AS asz
+      FROM d, UNNEST(range(0, d.n)) AS u(i)
+    ),
+    vck AS (
+      SELECT f.doc_id, SUM((f.doc_id * 31 + 17 * f.i + u.j) % 256) AS c
+      FROM fr f, UNNEST(range(0, f.vsz)) AS u(j) GROUP BY f.doc_id
+    ),
+    ack AS (
+      SELECT f.doc_id, SUM((f.doc_id * 13 + 5 * f.i + u.j) % 256) AS c
+      FROM fr f, UNNEST(range(0, f.asz)) AS u(j) GROUP BY f.doc_id
+    )
+    SELECT f.doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_video_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_audio_chunks,
+           CAST(SUM(f.vsz) AS BIGINT) AS video_bytes,
+           CAST(SUM(f.asz) AS BIGINT) AS audio_bytes,
+           CAST(MAX(v.c) AS BIGINT) AS video_checksum,
+           CAST(MAX(a.c) AS BIGINT) AS audio_checksum,
+           CAST(1 AS BIGINT) AS interleave_ok,
+           CAST(1 AS BIGINT) AS idx1_ok
+    FROM fr f JOIN vck v USING (doc_id) JOIN ack a USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+)
+def multimodal_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-STREAM demux accounting over REAL two-stream containers —
+    what a multimodal ingest runs before splitting modalities into
+    their own pipelines: documents synthesize genuine interleaved A/V
+    RIFF-AVI files JVM-side (MJPG '00dc' + PCM '01wb' chunks 1:1, two
+    strl headers, idx1 over every chunk of BOTH streams in container
+    order — operators/multimodal.documents_as_av_media, pinned
+    byte-identical to encode_avi(audio=...) by test), then operators/
+    multimodal.avi_av_demux walks each container ONCE and emits
+    per-stream chunk counts, byte totals (what the per-modality
+    extraction jobs get sized by), raw-byte checksums for both
+    streams, the strict-alternation interleave verdict a seek-friendly
+    consumer expects, and the whole-index idx1 verdict. The oracle
+    recomputes every statistic closed-form from the synthesis
+    formulas."""
+    media = mm_ops.documents_as_av_media(load(spark, sf_dir, "documents"))
+    return mm_ops.avi_av_demux(media)
+
+
+@register(
     "multimodal_quarantine_audit",
     """
     WITH med AS (
@@ -11623,26 +11673,27 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries registered, WHICH ones get hard-gate rows is a curated
 # decision, not registration order.
 #
-# ROUND-7 ROTATION: slots 1-11 are every oracled query without a green
+# ROUND-7 ROTATION: slots 1-12 are every oracled query without a green
 # driver row — the round-6 red ``stream_stream_outer_join`` (re-proven
 # after the _stream_twin toArrow fix; round-6 verdict #1), the six
 # round-6 additions deferred when that window froze (dup_span family,
 # phash pair, audio — verdict #2), and the three NEW round-7 video
 # queries (AVI container walk + scene-cut candidates, verdict #6)
-# plus the media quarantine audit that value-checks the skip path.
+# plus the media quarantine audit (value-checks the skip path) and
+# the two-stream A/V demux.
 # The rest of the window
 # re-certifies whatever round 7 touched, then rotates the stalest
 # evidence forward:
-#   * slots 12-19: ALL stream twins — every one rides the rewritten
+#   * slots 13-20: ALL stream twins — every one rides the rewritten
 #     _stream_twin materialization (toArrow, nullable-int-preserving),
 #     so the fix is re-proven across the whole family, not just the
 #     query that crashed;
-#   * slots 20-29: the queries whose dup-ratio probes gained the
+#   * slots 21-30: the queries whose dup-ratio probes gained the
 #     _collapse_gate footer pre-gate this round (verdict #3:
 #     bigram_lm_scores first, then the dedup/decontamination/leakage
 #     probe sites) — gating must never change results, so each goes
 #     back through the hard gate;
-#   * slots 30-50: re-proofs ordered by STALEST green evidence — the
+#   * slots 31-50: re-proofs ordered by STALEST green evidence — the
 #     ten queries whose last green row is round 2, then the oldest
 #     round-3 rows (reference-parity pivots/melt included via
 #     long_to_values_rebuild; events/dedup/CDC flagships).
@@ -11650,13 +11701,14 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker by construction; see _ordered_names) — ``winnow_fingerprint_
 # fast`` is pinned by a pure-Python XXH64 replay in pytest instead.
 _WINDOW_PRIORITY = [
-    # -- never-green: round-6 red + round-6 deferrals + new round-7 (11) --
+    # -- never-green: round-6 red + round-6 deferrals + new round-7 (12) --
     "stream_stream_outer_join",
     "dup_span_detect", "dup_span_coverage", "dup_span_strip",
     "multimodal_phash_clusters", "multimodal_phash_neardup",
     "multimodal_audio_features",
     "multimodal_video_stats", "multimodal_video_frame_plan",
     "multimodal_video_scene_cuts", "multimodal_quarantine_audit",
+    "multimodal_av_demux",
     # -- stream-twin harness rewrite re-proofs (8) --
     "stream_hourly", "stream_sessionize", "stream_dim_join",
     "stream_stream_join", "stream_ohlc", "stream_sliding_counts",
@@ -11671,11 +11723,11 @@ _WINDOW_PRIORITY = [
     "multimodal_frame_plan", "q10_returned_items", "q18_large_orders",
     "q6_forecast_revenue", "rollup_region_nation", "text_repetition",
     "top_trigrams",
-    # -- stalest-evidence re-proofs: oldest round-3 rows (11) --
+    # -- stalest-evidence re-proofs: oldest round-3 rows (10) --
     "anti_join_idle_customers", "cdc_merge_orders", "corpus_curation",
     "dedup_exact", "dedup_simhash_pairs", "doc_fingerprint",
     "domain_mixture", "embedding_quantize", "events_asof_join",
-    "events_interval_join", "events_pivot_counts",
+    "events_interval_join",
 ]
 # EMPTY this rotation: the round-6 deferrals and both round-7 video
 # queries all fit the round-7 window above. Queries registered AFTER a

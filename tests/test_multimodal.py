@@ -744,3 +744,83 @@ def test_scene_cut_candidates_matches_reference(spark):
 
     with _pt.raises(ValueError, match="threshold_permille"):
         scene_cut_candidates(avi_frame_plan(df), threshold_permille=0)
+
+
+def test_avi_av_interleave_and_demux(spark, sf_dir):
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        MEDIA_SCHEMA, avi_av_demux, documents_as_av_media, encode_avi,
+        try_parse_avi,
+    )
+
+    frames = [b"F" * 10, b"G" * 8]
+    audio = [b"\x01\x00" * 3, b"\x02\x00" * 5]
+    av = encode_avi(40000, 16, 8, frames, audio)
+    v = try_parse_avi(av)
+    assert v["kinds"] == b"vava" and v["idx1_ok"] == 1
+    assert [sz for _, sz, _ in v["audio"]] == [6, 10]
+    for (off, sz, ck), a in zip(v["audio"], audio):
+        assert av[off : off + sz] == a and ck == sum(a)
+
+    # demux over: well-muxed AV, video-only, irregular layout
+    solo = encode_avi(40000, 16, 8, frames)
+    # irregular: move the whole audio stream AFTER the video chunks by
+    # re-encoding manually — same chunks, a,a after v,v
+    irr = bytearray(av)
+    movi_fcc = av.index(b"movi")
+    chunks = b""
+    idx1 = b""
+    for cid, payloads in ((b"00dc", frames), (b"01wb", audio)):
+        for c in payloads:
+            idx1 += cid + (0x10).to_bytes(4, "little") + (
+                4 + len(chunks)
+            ).to_bytes(4, "little") + len(c).to_bytes(4, "little")
+            chunks += cid + len(c).to_bytes(4, "little") + c
+    irr = (
+        av[: movi_fcc - 8]
+        + b"LIST" + (4 + len(chunks)).to_bytes(4, "little") + b"movi" + chunks
+        + b"idx1" + len(idx1).to_bytes(4, "little") + idx1
+    )
+    irr = b"RIFF" + (len(irr) - 8).to_bytes(4, "little") + irr[8:]
+    rows = [
+        (1, "video", "video/x-msvideo", av, None, None, None),
+        (2, "video", "video/x-msvideo", solo, None, None, None),
+        (3, "video", "video/x-msvideo", bytes(irr), None, None, None),
+    ]
+    got = {
+        r.media_id: r
+        for r in avi_av_demux(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert (got[1].interleave_ok, got[1].idx1_ok) == (1, 1)
+    assert got[1].video_bytes == 18 and got[1].audio_bytes == 16
+    assert got[2].n_audio_chunks == 0 and got[2].interleave_ok == -1
+    assert (got[3].interleave_ok, got[3].idx1_ok) == (0, 1)  # index still exact
+    assert got[3].video_checksum == got[1].video_checksum
+
+    # Spark-side synthesis byte-identical to the encoder
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id % 23 = 0"
+    )
+    meta = {r.doc_id: r.n_chars for r in docs.collect()}
+    for r in documents_as_av_media(docs).collect():
+        d, nch = r.media_id, meta[r.media_id]
+        n = 2 + nch % 6
+        fr = [
+            bytes(
+                (d * 31 + 17 * i + j) % 256
+                for j in range(16 + 2 * ((d * 7 + 13 * i) % 16))
+            )
+            for i in range(n)
+        ]
+        au = [
+            bytes(
+                (d * 13 + 5 * i + j) % 256
+                for j in range(8 + 2 * ((d * 3 + 7 * i) % 8))
+            )
+            for i in range(n)
+        ]
+        exp = encode_avi(
+            20000 + 5000 * (d % 5), 16 * (1 + d % 3), 8 * (1 + nch % 4), fr, au
+        )
+        assert bytes(r.payload) == exp, d
