@@ -967,3 +967,75 @@ def test_image_decoders_total_on_garbage(payload):
         if out is not None:
             w, h, rgb = out
             assert w > 0 and h > 0 and len(rgb) == 3 * w * h
+
+
+# ---------------------------------------------------------------------------
+# Container-codec round-trip properties (pure Python — no Spark session)
+# ---------------------------------------------------------------------------
+
+_FRAMES = st.lists(st.binary(min_size=0, max_size=64), min_size=0, max_size=8)
+
+
+@given(
+    frames=_FRAMES,
+    upf=st.integers(min_value=1, max_value=1_000_000),
+    w=st.integers(min_value=1, max_value=4096),
+    h=st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=200, deadline=None)
+def test_avi_roundtrip_property(frames, upf, w, h):
+    """encode_avi -> try_parse_avi is the identity on every container
+    statistic, for ANY frame sizes (odd sizes exercise word-alignment
+    padding), and every reported byte range slices back to the exact
+    original frame."""
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        encode_avi, try_parse_avi,
+    )
+
+    p = encode_avi(upf, w, h, frames)
+    v = try_parse_avi(p)
+    assert v is not None
+    assert (v["us_per_frame"], v["width"], v["height"]) == (upf, w, h)
+    assert v["hdr_frames"] == len(frames) == len(v["frames"])
+    assert v["stream_frames"] == len(frames)
+    assert v["idx1_ok"] == 1 and v["audio"] == []
+    for (off, sz, ck), f in zip(v["frames"], frames):
+        assert p[off : off + sz] == f
+        assert ck == sum(f)
+    # truncating anywhere strictly inside the container never parses
+    # as a well-formed AVI of the same shape (either rejected, or a
+    # prefix whose chunks all still verify)
+    cut = try_parse_avi(p[: max(12, len(p) - 1)])
+    assert cut is None or len(cut["frames"]) <= len(frames)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.binary(min_size=0, max_size=48),
+            st.binary(min_size=0, max_size=24),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    upf=st.integers(min_value=1, max_value=100_000),
+)
+@settings(max_examples=150, deadline=None)
+def test_avi_av_roundtrip_property(pairs, upf):
+    """Two-stream containers: interleave order, per-stream byte ranges
+    and checksums, and the whole-index idx1 verdict all survive the
+    round trip for arbitrary (video, audio) chunk pairs."""
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        encode_avi, try_parse_avi,
+    )
+
+    frames = [f for f, _ in pairs]
+    audio = [a for _, a in pairs]
+    p = encode_avi(upf, 16, 8, frames, audio)
+    v = try_parse_avi(p)
+    assert v is not None and v["idx1_ok"] == 1
+    assert v["kinds"] == b"va" * len(pairs)
+    for (off, sz, ck), f in zip(v["frames"], frames):
+        assert p[off : off + sz] == f and ck == sum(f)
+    for (off, sz, ck), a in zip(v["audio"], audio):
+        assert p[off : off + sz] == a and ck == sum(a)
