@@ -1274,7 +1274,9 @@ def avi_video_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
     avih, frame count/size distribution from the movi walk (never
     trusted from the header: header_frames_ok cross-checks avih
     total_frames AND strh length against the walked count), and the
-    idx1 verdict. ``on_opaque``: 'error' raises on non-AVI payloads,
+    idx1 verdict (1 = every entry matches the walk, 0 = index
+    disagrees, -1 = container carries no idx1). ``on_opaque``:
+    'error' raises on non-AVI payloads,
     'skip' quarantines them — the 100 TB posture."""
     if on_opaque not in ("error", "skip"):
         raise ValueError(f"on_opaque must be error|skip: {on_opaque}")

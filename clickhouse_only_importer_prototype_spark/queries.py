@@ -3405,19 +3405,17 @@ def multimodal_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("payload")),
     )
     decoded = mm_ops.avi_video_stats(media, on_opaque="skip")
-    per_media = (
-        media.select("media_id")
-        .join(
-            docs.select(
-                F.col("doc_id").alias("media_id"), "source"
-            ),
-            "media_id",
-        )
-        .join(
-            decoded.select("media_id", F.lit(1).alias("ok")),
-            "media_id",
-            "left",
-        )
+    # one join, not two: the media manifest's id/source columns come
+    # straight off the documents scan (media_id == doc_id by
+    # construction), so the decode results anti-account against it
+    # directly — at corpus scale that is a single id-keyed join on
+    # manifest-width rows
+    per_media = docs.select(
+        F.col("doc_id").alias("media_id"), "source"
+    ).join(
+        decoded.select("media_id", F.lit(1).alias("ok")),
+        "media_id",
+        "left",
     )
     return per_media.groupBy("source").agg(
         F.count("*").cast("long").alias("n_media"),
