@@ -3717,6 +3717,7 @@ def _stream_twin(
     build,
     output_mode: str = "append",
     setup=None,
+    on_finish=None,
 ) -> DataFrame:
     """Shared scaffold for the streaming batch twins: symlink the
     fixture parquet into a fresh source dir, run ``build(src_dir)``'s
@@ -3783,6 +3784,11 @@ def _stream_twin(
             .start()
         )
         handle.awaitTermination()
+        if on_finish is not None:
+            # e.g. assert on the query's progress metrics (the
+            # lateness twin requires numRowsDroppedByWatermark > 0 so
+            # a green oracle row proves the DROP mechanism fired)
+            on_finish(handle)
         sink = spark.table(name)
         # Arrow materialization, not collect(): an outer-join twin's
         # sink holds pairs PLUS every expired null row (~100k at the
@@ -9544,6 +9550,165 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("user_id", "day_bucket").agg(
         F.max("n_events").cast("long").alias("n_events"),
         F.max("n_throttled").cast("long").alias("n_throttled"),
+    )
+
+
+@register(
+    "stream_late_drop",
+    f"""
+    WITH m AS (SELECT MAX(epoch_ns(ts)) AS tmax FROM events),
+    c AS (
+      SELECT ((tmax - 3600000000000) // 3600000000000) * 3600000000000
+             - 3600000000000 AS cut
+      FROM m
+    )
+    SELECT {ORACLE_FLOORDIV('epoch_ns(e.ts)', 3600000000000)}
+             AS hour_bucket,
+           e.event_type,
+           COUNT(*) AS n_events
+    FROM events e, c
+    WHERE NOT (e.event_id % 7 = 0 AND epoch_ns(e.ts) < c.cut)
+    GROUP BY hour_bucket, event_type
+    """,
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark DROP semantics, exercised for real (streaming/
+    lateness.windowed_counts_append) — the one streaming contract the
+    other eight twins structurally cannot test: they run availableNow
+    single-batch or update mode, where late-data eviction never fires.
+
+    Harness: the fixture is rewritten into THREE mtime-ordered source
+    files and streamed with maxFilesPerTrigger=1, forcing three
+    micro-batches in file order:
+
+      batch 0 (primer)  — every row EXCEPT the late cohort; contains
+                          the fixture max event time, so the watermark
+                          advances to tmax - 1h at the next planning;
+      batch 1 (flush)   — one sentinel row at tmax + 3h. Two jobs:
+                          it pushes the EVICTION watermark for batch 2
+                          past every real window end (append emits all
+                          surviving windows), and it burns a batch so
+                          the tmax - 1h watermark becomes the
+                          LATE-EVENT filter value for batch 2 — since
+                          SPARK-40925, stateful operators filter late
+                          input with the PREVIOUS batch's planning
+                          watermark while evicting with the current
+                          one (measured here: a late batch arriving
+                          directly after the primer is filtered with
+                          the epoch watermark and merges instead of
+                          dropping). The sentinel's own window stays
+                          above the final watermark and self-excludes
+                          (belt: the rollup also filters its
+                          event_type);
+      batch 2 (late)    — the cohort ``event_id % 7 == 0 AND ts <
+                          cut`` where cut = hour_floor(tmax - 1h) - 1h
+                          (streaming/lateness.late_cutoff_ns). Every
+                          such row's window ends >= one full window
+                          below the batch's late-event watermark, so
+                          the append-mode aggregation DROPS all of
+                          them — no gray boundary window by
+                          construction, and the drop is invariant to
+                          whether the filter keys on the row event
+                          time or the window end.
+
+    The proof is two-sided: the harness asserts the query progress
+    reports numRowsDroppedByWatermark > 0 (the MECHANISM — rows were
+    dropped by the watermark, not lost by the harness; the twin raises
+    if no drop fired), and the oracle equality proves the EXTENT (the
+    emitted counts equal the batch rollup MINUS exactly the late
+    cohort). File order is pinned by explicit utimes 60s apart —
+    FileStreamSource consumes oldest-modified first."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as streaming_events,
+        lateness as streaming_lateness,
+    )
+
+    HOUR_NS = streaming_lateness.HOUR_NS
+
+    def setup(src: str) -> None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        fixture = os.path.join(src, "events.parquet")
+        # normalize to the long-nanos contract BEFORE writing: the
+        # stream schema is pinned from the rewritten files' footer, so
+        # all three batches must share one ts type whatever shape the
+        # driver fixture ships (nanos-long or timestamp[us])
+        ev = streaming_events.normalize_ts(spark.read.parquet(fixture))
+        tmax = ev.agg(F.max("ts")).collect()[0][0]
+        cut = streaming_lateness.late_cutoff_ns(tmax, HOUR_NS)
+        is_late = (F.pmod(F.col("event_id"), F.lit(7)) == 0) & (
+            F.col("ts") < F.lit(cut)
+        )
+        sentinel = (
+            ev.limit(1)
+            .withColumn("event_id", F.lit(-1).cast("long"))
+            .withColumn("ts", F.lit(tmax + 3 * HOUR_NS).cast("long"))
+            .withColumn("event_type", F.lit("__sentinel__"))
+        )
+        parts = [
+            ("b0_primer", ev.where(~is_late)),
+            ("b1_flush", sentinel),
+            ("b2_late", ev.where(is_late)),
+        ]
+        base = None
+        for i, (stem, df) in enumerate(parts):
+            scratch = tempfile.mkdtemp(prefix="late_drop_")
+            df.coalesce(1).write.mode("overwrite").parquet(scratch)
+            (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
+            dest = os.path.join(
+                src, f"{stem}_{uuid.uuid4().hex[:8]}.parquet"
+            )
+            shutil.move(part, dest)
+            shutil.rmtree(scratch, ignore_errors=True)
+            # pin micro-batch order: FileStreamSource takes files
+            # oldest-mtime-first; 60s spacing defeats fs timestamp
+            # granularity
+            if base is None:
+                base = os.stat(dest).st_mtime
+            os.utime(dest, (base + 60 * i, base + 60 * i))
+        os.remove(fixture)
+
+    def build(src: str) -> DataFrame:
+        return streaming_lateness.windowed_counts_append(
+            streaming_events.read_events_stream(
+                spark, src, max_files_per_trigger=1
+            ),
+            window="1 hour",
+            delay="1 hour",
+        )
+
+    def on_finish(handle) -> None:
+        dropped = streaming_lateness.dropped_by_watermark(
+            handle.recentProgress
+        )
+        if dropped <= 0:
+            raise RuntimeError(
+                "lateness twin ran without any watermark drop — the "
+                "late micro-batch was not dropped by the watermark "
+                f"(numRowsDroppedByWatermark total = {dropped})"
+            )
+
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "events",
+        "stream_late_drop_",
+        build,
+        output_mode="append",
+        setup=setup,
+        on_finish=on_finish,
+    )
+    return sink.where(F.col("event_type") != "__sentinel__").select(
+        (F.col("window_start").cast("long") / 3600)
+        .cast("long")
+        .alias("hour_bucket"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
     )
 
 

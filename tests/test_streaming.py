@@ -304,3 +304,109 @@ def test_throttle_state_merges_across_batches():
     for k, v in b2.items():
         held[k] = held.get(k, 0) + v
     assert held == {0: 3, 1: 2, 2: 1}
+
+
+def test_late_drop_twin_drops_by_watermark(spark, sf_dir):
+    """The lateness twin's green oracle row rests on two claims pinned
+    here: (a) the harness raises unless numRowsDroppedByWatermark > 0
+    — so rows were dropped by the WATERMARK, not lost by the harness —
+    and (b) the surviving counts equal the batch rollup minus exactly
+    the late cohort, while the full batch rollup over the same fixture
+    still includes it (the control: the deficit is the cohort, nothing
+    else)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark import queries as Q
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as se,
+        lateness as sl,
+    )
+
+    got = Q.stream_late_drop(spark, sf_dir)  # raises if no drop fired
+    evd = se.normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    tmax = evd.agg(F.max("ts")).collect()[0][0]
+    cut = sl.late_cutoff_ns(tmax)
+    is_late = (F.pmod(F.col("event_id"), F.lit(7)) == 0) & (
+        F.col("ts") < F.lit(cut)
+    )
+    n_late = evd.where(is_late).count()
+    n_total = evd.count()
+    assert 0 < n_late < n_total  # fixture genuinely exercises both sides
+    n_survived = got.agg(F.sum("n_events")).collect()[0][0]
+    assert n_survived == n_total - n_late
+    # per-bucket equality against the batch rollup minus the cohort
+    expect = (
+        evd.where(~is_late)
+        .groupBy(
+            F.expr(f"ts div {sl.HOUR_NS}").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_late_drop_requires_multi_batch_regime(spark, sf_dir):
+    """Control for the twin's mechanism: the SAME append-mode
+    aggregation fed the SAME rows in ONE availableNow batch (no file
+    split, no lateness) keeps the cohort — counts equal the full batch
+    rollup. Proves the twin's deficit comes from watermark lateness
+    injection, not from append-mode emission or the aggregation
+    itself."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as se,
+        lateness as sl,
+    )
+
+    src_dir = str(
+        __import__("tempfile").mkdtemp(prefix="late_drop_control_")
+    )
+    _os.symlink(
+        f"{sf_dir}/events.parquet", _os.path.join(src_dir, "events.parquet")
+    )
+    ckpt = _os.path.join(src_dir, "ckpt")
+    q = sl.windowed_counts_append(se.read_events_stream(spark, src_dir))
+    h = (
+        q.writeStream.format("memory")
+        .queryName("late_drop_control")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    h.awaitTermination()
+    try:
+        assert sl.dropped_by_watermark(h.recentProgress) == 0
+        # append emits only windows below the final watermark
+        # (tmax - 1h): every emitted window must carry its FULL count,
+        # late cohort included
+        sink = spark.table("late_drop_control")
+        evd = se.normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        full = {
+            (r.hour_bucket, r.event_type): r.n_events
+            for r in evd.groupBy(
+                F.expr(f"ts div {sl.HOUR_NS}").alias("hour_bucket"),
+                "event_type",
+            )
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .collect()
+        }
+        emitted = sink.select(
+            (F.col("window_start").cast("long") / 3600)
+            .cast("long")
+            .alias("hour_bucket"),
+            "event_type",
+            "n_events",
+        ).collect()
+        assert emitted  # some windows closed below the final watermark
+        for r in emitted:
+            assert full[(r.hour_bucket, r.event_type)] == r.n_events
+    finally:
+        h.stop()
+        spark.catalog.dropTempView("late_drop_control")
+        __import__("shutil").rmtree(src_dir, ignore_errors=True)
