@@ -437,6 +437,11 @@ def main() -> None:
     # measured. Genuine plan regressions survive the re-probe and still
     # show; transient spikes do not.
     reprobed: dict[str, dict[str, float]] = {}
+    # raw single-invocation vector BEFORE any re-probe min-merge: the
+    # artifact records both totals so a committed vector is always
+    # reproducible from one bench.py run and the estimator change is
+    # visible in the artifact itself, not just in SURVEY prose
+    in_session_timings = dict(timings)
     prior_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "BENCH_full.json"
@@ -519,6 +524,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir,
             }
+            artifact["estimator"] = (
+                "per-query best-of-2 in one session; queries >2.5x "
+                "their prior committed time are re-probed at end-of-run "
+                "and min-merged ('reprobed' holds both numbers); "
+                "value_in_session is the raw pre-merge total from this "
+                "single invocation"
+            )
+            artifact["value_in_session"] = round(
+                sum(in_session_timings.values()), 3
+            )
             if reprobed:
                 artifact["reprobed"] = reprobed
             json.dump(artifact, fh, indent=1)

@@ -1158,8 +1158,17 @@ def try_parse_avi(payload: bytes) -> dict | None:
     territory; the checksum sums the raw chunk bytes so consumers can
     verify the manifest actually addressed the payload.
 
-    idx1 offsets are accepted in either common convention: relative to
-    the 'movi' fourcc, or absolute file offsets of the chunk header."""
+    idx1 offsets come in two common conventions — relative to the
+    'movi' fourcc, or absolute file offsets of the chunk header. The
+    convention is inferred from the FIRST entry and then required of
+    the WHOLE index: per-entry acceptance would let a mixed or
+    partially corrupted index score consistent whenever a bad offset
+    coincidentally matched the other convention.
+
+    A structurally valid container whose avih carries
+    dwMicroSecPerFrame == 0 PARSES (us_per_frame = 0 in the result) —
+    it is not confused with a non-AVI payload; callers route it as a
+    distinct degenerate-timing reject (_avi_gate)."""
     p = payload
     if len(p) < 12 or p[0:4] != b"RIFF" or p[8:12] != b"AVI ":
         return None
@@ -1190,7 +1199,7 @@ def try_parse_avi(payload: bytes) -> dict | None:
                 for k in range(0, size, 16)
             ]
         pos += 8 + size + (size & 1)
-    if avih is None or chunks is None or not avih["us_per_frame"]:
+    if avih is None or chunks is None:
         return None
     out_frames = [
         (cpos + 8, sz, sum(p[cpos + 8 : cpos + 8 + sz]))
@@ -1206,15 +1215,22 @@ def try_parse_avi(payload: bytes) -> dict | None:
     # included) — entry fourcc must match the chunk's own
     idx1_ok = None
     if idx1 is not None:
-        idx1_ok = int(
-            len(idx1) == len(chunks)
-            and all(
-                ifcc == cid
-                and isz == sz
-                and (ioff == cpos - movi_fcc or ioff == cpos)
+        ok = len(idx1) == len(chunks)
+        if ok and idx1:
+            # pick ONE convention from the first entry, hold the whole
+            # index to it
+            ioff0, cpos0 = idx1[0][1], chunks[0][1]
+            if ioff0 == cpos0 - movi_fcc:
+                delta = movi_fcc
+            elif ioff0 == cpos0:
+                delta = 0
+            else:
+                delta = None
+            ok = delta is not None and all(
+                ifcc == cid and isz == sz and ioff == cpos - delta
                 for (ifcc, ioff, isz), (cid, cpos, sz) in zip(idx1, chunks)
             )
-        )
+        idx1_ok = int(ok)
     return {
         "us_per_frame": avih["us_per_frame"],
         "width": avih["width"],
@@ -1268,6 +1284,29 @@ def _opaque_avi(on_opaque: str) -> None:
         )
 
 
+def _avi_gate(payload: bytes, on_opaque: str) -> dict | None:
+    """Parse-or-quarantine for one payload: the parsed AVI dict, or
+    None after routing the reject per ``on_opaque``. A structurally
+    valid container with dwMicroSecPerFrame == 0 is a DISTINCT reject
+    class from not-an-AVI: its timing manifest would be meaningless
+    (every pts collapses to 0), so it quarantines like an opaque
+    payload but errors with its own message instead of the misleading
+    'not a RIFF-AVI container'."""
+    v = try_parse_avi(payload)
+    if v is None:
+        _opaque_avi(on_opaque)
+        return None
+    if not v["us_per_frame"]:
+        if on_opaque == "error":
+            raise NotImplementedError(
+                "structurally valid RIFF-AVI with zero "
+                "dwMicroSecPerFrame: timing is degenerate — "
+                "quarantined rather than emitting all-zero pts"
+            )
+        return None
+    return v
+
+
 def avi_video_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
     """Parse AVI payloads and emit per-file container stats — all
     int64, fully value-oracleable: dimensions and frame timing from
@@ -1286,9 +1325,8 @@ def avi_video_stats(df: DataFrame, on_opaque: str = "error") -> DataFrame:
         for pdf in batches:
             out: list[list[int]] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                v = try_parse_avi(bytes(p) if p is not None else b"")
+                v = _avi_gate(bytes(p) if p is not None else b"", on_opaque)
                 if v is None:
-                    _opaque_avi(on_opaque)
                     continue
                 szs = [sz for _, sz, _ in v["frames"]]
                 nf = len(szs)
@@ -1336,9 +1374,8 @@ def avi_frame_plan(
         for pdf in batches:
             out: list[list[int]] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                v = try_parse_avi(bytes(p) if p is not None else b"")
+                v = _avi_gate(bytes(p) if p is not None else b"", on_opaque)
                 if v is None:
-                    _opaque_avi(on_opaque)
                     continue
                 upf = v["us_per_frame"]
                 for i, (off, sz, ck) in enumerate(v["frames"]):
@@ -1550,9 +1587,8 @@ def avi_av_demux(df: DataFrame, on_opaque: str = "error") -> DataFrame:
         for pdf in batches:
             out: list[list[int]] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                v = try_parse_avi(bytes(p) if p is not None else b"")
+                v = _avi_gate(bytes(p) if p is not None else b"", on_opaque)
                 if v is None:
-                    _opaque_avi(on_opaque)
                     continue
                 nv, na = len(v["frames"]), len(v["audio"])
                 if na == 0:

@@ -824,3 +824,63 @@ def test_avi_av_interleave_and_demux(spark, sf_dir):
             20000 + 5000 * (d % 5), 16 * (1 + d % 3), 8 * (1 + nch % 4), fr, au
         )
         assert bytes(r.payload) == exp, d
+
+
+def test_avi_idx1_convention_is_whole_index():
+    """One offset convention must hold for the WHOLE idx1: an index
+    mixing relative-to-movi and absolute entries scores inconsistent
+    even though each entry matches SOME convention (per-entry
+    acceptance would pass a partially corrupted index whenever a bad
+    offset coincidentally equals the other convention's value)."""
+    from clickhouse_only_importer_prototype_spark.operators.multimodal import (
+        encode_avi, try_parse_avi,
+    )
+
+    frames = [bytes(range(20)), bytes(range(30)), bytes(range(40))]
+    avi = encode_avi(33333, 16, 16, frames)
+    v = try_parse_avi(avi)
+    assert v["idx1_ok"] == 1
+    # flip ONLY the second entry to the absolute convention
+    mixed = bytearray(avi)
+    idx1_at = avi.index(b"idx1")
+    second_chunk_pos = v["frames"][1][0] - 8  # fourcc position
+    p = idx1_at + 8 + 16 * 1 + 8
+    mixed[p : p + 4] = int(second_chunk_pos).to_bytes(4, "little")
+    assert try_parse_avi(bytes(mixed))["idx1_ok"] == 0
+    # flipping ALL entries to absolute is the legal other convention
+    allabs = bytearray(avi)
+    for k, (off, _sz, _ck) in enumerate(v["frames"]):
+        p = idx1_at + 8 + 16 * k + 8
+        allabs[p : p + 4] = int(off - 8).to_bytes(4, "little")
+    assert try_parse_avi(bytes(allabs))["idx1_ok"] == 1
+
+
+def test_avi_zero_rate_is_degenerate_not_opaque(spark):
+    """dwMicroSecPerFrame == 0 in a structurally valid container must
+    parse (not be confused with a non-AVI payload), then route as its
+    own degenerate-timing reject: on_opaque='skip' quarantines it,
+    'error' raises with a message naming the zero rate, not
+    'not a RIFF-AVI container'."""
+    import pandas as pd
+    import pytest
+
+    from clickhouse_only_importer_prototype_spark.operators import (
+        multimodal as mm,
+    )
+
+    frames = [bytes(range(20)), bytes(range(30))]
+    zero = mm.encode_avi(0, 16, 16, frames)
+    v = mm.try_parse_avi(zero)
+    assert v is not None and v["us_per_frame"] == 0
+    assert len(v["frames"]) == 2  # structure fully parsed
+
+    good = mm.encode_avi(40000, 16, 16, frames)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [good, zero]}),
+        "media_id long, payload binary",
+    )
+    kept = mm.avi_video_stats(df, on_opaque="skip")
+    assert [r.media_id for r in kept.collect()] == [1]
+    # Spark wraps worker exceptions; match on the distinct message
+    with pytest.raises(Exception, match="dwMicroSecPerFrame"):
+        mm.avi_video_stats(df, on_opaque="error").collect()
