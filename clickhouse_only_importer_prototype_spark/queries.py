@@ -3433,6 +3433,88 @@ def multimodal_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_quarantine_matrix",
+    """
+    SELECT k.media_kind, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(CASE WHEN d.doc_id % 10 = k.r THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_decoded,
+           CAST(SUM(CASE WHEN d.doc_id % 10 = k.r THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN d.doc_id % 10 = k.r THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS quarantine_ppm
+    FROM documents d,
+         (VALUES ('image', 0), ('audio', 3), ('video', 6))
+           AS k(media_kind, r)
+    GROUP BY k.media_kind, d.source
+    """,
+)
+def multimodal_quarantine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting generalized across ALL THREE codec
+    families in one pass (round-7 verdict #7): the AVI-only
+    multimodal_quarantine_audit proved the video skip path; this
+    matrix proves the image (PPM) and audio (WAV) skip paths with the
+    same anti-accounting, per (media_kind, source). Each family gets
+    its own deterministic corruption cohort (image doc_id%10==0,
+    audio ==3, video ==6 — distinct residues so no payload is
+    corrupted in two families and each family's ppm differs), torn to
+    20 bytes: short enough to cut the PPM raster, the WAV fmt body,
+    and the AVI header list in every synthesized payload. Each
+    family's decoder runs on_opaque='skip' and the quarantined media
+    anti-account back to their source via one id-keyed join on
+    manifest-width rows — three independent decode passes, no barrier
+    between them, each embarrassingly parallel at 100 TB. The oracle
+    knows exactly which ids were torn, so all three skip paths are
+    value-checked end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    families = [
+        ("image", mm_ops.documents_as_ppm_media,
+         lambda m: mm_ops.ppm_feature_stats(m, on_opaque="skip"), 0),
+        ("audio", mm_ops.documents_as_wav_media,
+         lambda m: mm_ops.wav_feature_stats(m, on_opaque="skip"), 3),
+        ("video", mm_ops.documents_as_avi_media,
+         lambda m: mm_ops.avi_video_stats(m, on_opaque="skip"), 6),
+    ]
+    parts = []
+    for kind, synth, decode, residue in families:
+        media = synth(docs).withColumn(
+            "payload",
+            F.when(
+                F.col("media_id") % 10 == residue,
+                F.substring(F.col("payload"), 1, 20),
+            ).otherwise(F.col("payload")),
+        )
+        per = docs.select(
+            F.col("doc_id").alias("media_id"), "source"
+        ).join(
+            decode(media).select("media_id", F.lit(1).alias("ok")),
+            "media_id",
+            "left",
+        )
+        parts.append(
+            per.groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_media"),
+                F.sum(F.when(F.col("ok").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_decoded"),
+                F.sum(F.when(F.col("ok").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_quarantined"),
+                F.expr(
+                    "div(sum(case when ok is null then 1 else 0 end)"
+                    " * 1000000, count(*))"
+                ).alias("quarantine_ppm"),
+            )
+            .select(F.lit(kind).alias("media_kind"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE toks AS (
