@@ -139,6 +139,45 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+_MEDIA_FIXTURE_DIRS: dict[tuple[str, str], str] = {}
+
+_MEDIA_SYNTH = {
+    "ppm": lambda docs: mm_ops.documents_as_ppm_media(docs),
+    "wav": lambda docs: mm_ops.documents_as_wav_media(docs),
+    "avi": lambda docs: mm_ops.documents_as_avi_media(docs),
+    "av": lambda docs: mm_ops.documents_as_av_media(docs),
+}
+
+
+def media_fixture(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Synthesized media payloads for ``documents`` as a session-cached
+    parquet fixture (round-7 verdict #4). The JVM hex-assembly
+    synthesis (documents_as_*_media) exists only because the driver
+    testdata ships no binary columns — in production, payloads are
+    STORED data. Timing the synthesis inside every media query row
+    therefore double-charges the operator under test (at the 1000x
+    tier, av_demux was ~76s synthesis vs ~38s walk). Each (sf_dir,
+    kind) synthesizes ONCE per session into a tempdir parquet; every
+    subsequent call is a plain parquet scan of identical bytes, so
+    oracles are unchanged and bench rows measure the walk. bench.py
+    pre-builds the fixtures outside the timed region and reports the
+    synthesis cost as its own metric."""
+    key = (sf_dir, kind)
+    path = _MEDIA_FIXTURE_DIRS.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"media_fixture_{kind}_")
+        _MEDIA_SYNTH[kind](load(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _MEDIA_FIXTURE_DIRS[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def _collapse_gate(
     sf_dir: str, table: str, min_rows: int = 100_000
 ) -> bool | None:
@@ -2964,7 +3003,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the pixel formula — no codec in DuckDB, yet every decoded
     value is hash-checked. The blake2b-stub path (extract_features)
     remains for opaque formats, pinned by tests/test_multimodal.py."""
-    media = mm_ops.documents_as_ppm_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "ppm")
     return mm_ops.ppm_feature_stats(media)
 
 
@@ -3007,7 +3046,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form — a byte-identical cross-engine check of the whole
     decode->resample->encode path. The blake2b-stub resize
     (resize_images) remains for opaque formats."""
-    media = mm_ops.documents_as_ppm_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "ppm")
     out = mm_ops.resize_ppm(media, out_w=4, out_h=4)
     return out.select(
         "media_id",
@@ -3105,7 +3144,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula — no codec in DuckDB, yet every decoded value is
     hash-checked. Compressed/float audio stays honestly opaque
     (NotImplementedError where ffmpeg would run)."""
-    media = mm_ops.documents_as_wav_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "wav")
     return mm_ops.wav_feature_stats(media)
 
 
@@ -3132,7 +3171,7 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arithmetic replay must agree bit-for-bit. Extends the
     multimodal family from plumbing/decode/resize to the actual
     image-dedup primitive a crawl pipeline runs."""
-    media = mm_ops.documents_as_ppm_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "ppm")
     return mm_ops.phash_clusters(mm_ops.dhash_images(media))
 
 
@@ -3166,7 +3205,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs. The oracle brute-forces rep x rep with xor/bit_count —
     correct at fixture scale, exactly what the banding avoids at
     corpus scale."""
-    media = mm_ops.documents_as_ppm_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "ppm")
     return mm_ops.phash_neardup_pairs(mm_ops.dhash_images(media))
 
 
@@ -3227,7 +3266,7 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes every statistic closed-form from the synthesis
     formulas — no demuxer in DuckDB, yet every walked value is
     hash-checked."""
-    media = mm_ops.documents_as_avi_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "avi")
     return mm_ops.avi_video_stats(media)
 
 
@@ -3274,7 +3313,7 @@ def multimodal_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk and the replay must agree row-for-row. Replaces the former
     metadata-only frame-plan stub as the oracled video path
     (multimodal_frame_plan stays for opaque formats)."""
-    media = mm_ops.documents_as_avi_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "avi")
     return mm_ops.avi_frame_plan(media, sample_stride=3)
 
 
@@ -3310,7 +3349,7 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame) — at 100 TB of video the payloads never move. All-integer
     (abs-first floor-div), so the oracle's LAG replay over the
     closed-form frame sizes must agree on every candidate row."""
-    media = mm_ops.documents_as_avi_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "avi")
     return mm_ops.scene_cut_candidates(
         mm_ops.avi_frame_plan(media), threshold_permille=300
     )
@@ -3362,7 +3401,7 @@ def multimodal_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer expects, and the whole-index idx1 verdict. The oracle
     recomputes every statistic closed-form from the synthesis
     formulas."""
-    media = mm_ops.documents_as_av_media(load(spark, sf_dir, "documents"))
+    media = media_fixture(spark, sf_dir, "av")
     return mm_ops.avi_av_demux(media)
 
 
@@ -3397,7 +3436,7 @@ def multimodal_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted (doc_id % 10), so the skip path itself — not just the
     happy path — is value-checked end-to-end."""
     docs = load(spark, sf_dir, "documents")
-    media = mm_ops.documents_as_avi_media(docs).withColumn(
+    media = media_fixture(spark, sf_dir, "avi").withColumn(
         "payload",
         F.when(
             F.col("media_id") % 10 == 0,
@@ -3468,16 +3507,16 @@ def multimodal_quarantine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked end-to-end."""
     docs = load(spark, sf_dir, "documents")
     families = [
-        ("image", mm_ops.documents_as_ppm_media,
+        ("image", "ppm",
          lambda m: mm_ops.ppm_feature_stats(m, on_opaque="skip"), 0),
-        ("audio", mm_ops.documents_as_wav_media,
+        ("audio", "wav",
          lambda m: mm_ops.wav_feature_stats(m, on_opaque="skip"), 3),
-        ("video", mm_ops.documents_as_avi_media,
+        ("video", "avi",
          lambda m: mm_ops.avi_video_stats(m, on_opaque="skip"), 6),
     ]
     parts = []
-    for kind, synth, decode, residue in families:
-        media = synth(docs).withColumn(
+    for kind, fixture_kind, decode, residue in families:
+        media = media_fixture(spark, sf_dir, fixture_kind).withColumn(
             "payload",
             F.when(
                 F.col("media_id") % 10 == residue,
