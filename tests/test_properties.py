@@ -1039,3 +1039,124 @@ def test_avi_av_roundtrip_property(pairs, upf):
         assert p[off : off + sz] == f and ck == sum(f)
     for (off, sz, ck), a in zip(v["audio"], audio):
         assert p[off : off + sz] == a and ck == sum(a)
+
+
+# ---- TSV parity edges (round-7 verdict #8): adversarial headers ----
+#
+# The reference's header handling is fragile on these shapes
+# (cna/reader.go:22 splits the first line naively: duplicate sample
+# names collide in the by-name map, a trailing \r stays inside the
+# last column name, a comment-only MAF loops to EOF). The engine's
+# DOCUMENTED behavior, pinned here like the sorted-path-order
+# deviation: data cells always survive POSITIONALLY; Spark
+# disambiguates duplicate header names (suffix = column index) and
+# names empty header cells _cN, so the pivot/melt contracts hold on
+# inputs the reference mis-parses; \r\n is folded (no \r in names or
+# values); comment-only and empty files read as empty frames, not
+# crashes.
+
+
+@st.composite
+def _adversarial_cna(draw):
+    n_genes = draw(st.integers(1, 5))
+    n_samples = draw(st.integers(0, 4))
+    genes = draw(
+        st.lists(
+            st.text(alphabet="ABCXYZ", min_size=1, max_size=4),
+            min_size=n_genes,
+            max_size=n_genes,
+            unique=True,
+        )
+    )
+    cells = [
+        [
+            draw(st.text(alphabet="ab-012", min_size=0, max_size=3))
+            for _ in range(n_samples)
+        ]
+        for _ in range(n_genes)
+    ]
+    edges = draw(
+        st.sets(st.sampled_from(["dup", "empty_hdr", "crlf"]))
+    )
+    return genes, cells, sorted(edges)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_adversarial_cna())
+def test_cna_pivot_melt_survive_adversarial_headers(spark, matrix):
+    import os
+    import shutil
+    import tempfile
+
+    from clickhouse_only_importer_prototype_spark.operators import cna
+    from clickhouse_only_importer_prototype_spark.sources import (
+        tsv as tsv_src,
+    )
+
+    genes, cells, edges = matrix
+    n_samples = len(cells[0]) if cells else 0
+    headers = [f"S{i + 1}" for i in range(n_samples)]
+    if "dup" in edges and n_samples >= 2:
+        headers[1] = headers[0]  # duplicate sample column name
+    if "empty_hdr" in edges and n_samples >= 1:
+        headers[-1] = ""  # empty header cell
+    eol = "\r\n" if "crlf" in edges else "\n"
+    lines = ["\t".join(["Hugo_Symbol", "Entrez_Gene_Id"] + headers)]
+    for g, row in zip(genes, cells):
+        lines.append("\t".join([g, "7157"] + row))
+    d = tempfile.mkdtemp(prefix="tsv_edge_")
+    try:
+        path = os.path.join(d, "data_cna.txt")
+        with open(path, "w", newline="") as fh:
+            fh.write(eol.join(lines) + eol)
+        df = tsv_src.read_cna_matrix(spark, path)
+        # positional survival: column count and no \r contamination
+        assert len(df.columns) == 2 + n_samples
+        assert not any("\r" in c for c in df.columns)
+        # pivot-concat: VALUES is the comma-join of row cells in file
+        # order, regardless of header naming tricks
+        ga = {
+            r.GENE_SYMBOL: r.VALUES
+            for r in cna.genetic_alterations(df, "st", "pf").collect()
+        }
+        assert ga == {g: ",".join(row) for g, row in zip(genes, cells)}
+        # melt: genes x samples rows; per-gene multiset of alterations
+        # equals the row's cells
+        der = cna.cna_derived(df, "st", "pf").collect()
+        assert len(der) == len(genes) * n_samples
+        by_gene = {}
+        for r in der:
+            assert "\r" not in r.ALTERATION and "\r" not in r.SAMPLE_ID
+            by_gene.setdefault(r.GENE_SYMBOL, []).append(r.ALTERATION)
+        for g, row in zip(genes, cells):
+            assert sorted(by_gene.get(g, [])) == sorted(row)
+        # sample list: 1 row, n_samples entries, all study-prefixed,
+        # names unique even when the header repeats them
+        [sl] = cna.genetic_profile_samples(spark, df, "st", "pf").collect()
+        parts = sl.ORDERED_SAMPLE_LIST.split(",") if n_samples else []
+        assert len(parts) == n_samples
+        assert all(p.startswith("st_") for p in parts)
+        assert len(set(parts)) == n_samples
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tsv_degenerate_files_read_empty(spark, tmp_path):
+    """Comment-only MAF and fully empty files: the reference's header
+    scan loops to EOF / errors (mutation/reader.go:19-45); the engine
+    reads an empty zero-column frame and downstream per-file error
+    isolation (D4) keeps the run alive. Pinned as documented
+    behavior."""
+    from clickhouse_only_importer_prototype_spark.sources import (
+        tsv as tsv_src,
+    )
+
+    c = tmp_path / "data_mutations.txt"
+    c.write_text("#only\n#comments here\n")
+    df = tsv_src.read_maf(spark, str(c))
+    assert df.columns == [] and df.count() == 0
+
+    e = tmp_path / "data_cna.txt"
+    e.write_text("")
+    df = tsv_src.read_cna_matrix(spark, str(e))
+    assert df.columns == [] and df.count() == 0
