@@ -9834,6 +9834,149 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_eviction",
+    """
+    SELECT DISTINCT user_id,
+           CAST(CASE WHEN user_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_emissions
+    FROM events
+    """,
+)
+def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State EVICTION in watermark-bounded streaming dedup
+    (streaming/dedup.dedup_keys_within_watermark) — the dedup-side
+    complement of stream_late_drop: that twin proves late INPUT is
+    dropped; this one proves expired STATE is evicted and the same key
+    then re-emits, the contract that bounds dedup state to O(horizon)
+    on an unbounded stream.
+
+    Harness (three mtime-ordered files, maxFilesPerTrigger=1):
+
+      batch 0 — one record per distinct user: EVEN users ("early"
+                cohort) at the fixture min event time, ODD users
+                ("retained") at tmax - 15min; plus a primer row
+                (user -1) at tmax so the watermark advances to
+                tmax - 1h at the next planning;
+      batch 1 — a spacer row (user -2) at tmax. No watermark advance;
+                it exists so the early cohort's state (expiry =
+                tmin + 1h, far below the tmax - 1h watermark) is
+                evicted in a batch BEFORE the probes arrive —
+                independent of whether the store evicts at batch start
+                or batch end;
+      batch 2 — one probe per user (both cohorts) at tmax, on time
+                under the batch's late-event watermark. Early probes
+                find no state (evicted) and RE-EMIT; retained probes
+                are 15min from their first occurrence — inside the
+                1h horizon, state alive — and are suppressed.
+
+    Guarded: setup raises unless tmin < tmax - 2h (the fixture must
+    genuinely separate the cohorts), and on_finish raises unless the
+    state operator reported numRowsRemoved > 0 (eviction actually
+    fired; without it early probes would be suppressed and the oracle
+    would mismatch anyway — both sides of the proof). Oracle: even
+    users emit twice, odd users once."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        dedup as streaming_dedup,
+        events as streaming_events,
+    )
+
+    HOUR_NS = 3_600_000_000_000
+
+    def setup(src: str) -> None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        fixture = os.path.join(src, "events.parquet")
+        ev = streaming_events.normalize_ts(spark.read.parquet(fixture))
+        tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        if tmin >= tmax - 2 * HOUR_NS:
+            raise RuntimeError(
+                "events fixture spans < 2h — cannot separate evicted "
+                f"and retained cohorts (tmin={tmin}, tmax={tmax})"
+            )
+        users = ev.select("user_id").distinct()
+        first_seen = users.select(
+            "user_id",
+            F.when(
+                F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit(tmin)
+            )
+            .otherwise(F.lit(tmax - HOUR_NS // 4))
+            .cast("long")
+            .alias("ts"),
+        )
+        primer = spark.createDataFrame(
+            [(-1, tmax)], "user_id long, ts long"
+        )
+        spacer = spark.createDataFrame(
+            [(-2, tmax)], "user_id long, ts long"
+        )
+        probes = users.select(
+            "user_id", F.lit(tmax).cast("long").alias("ts")
+        )
+        parts = [
+            ("b0_first", first_seen.unionByName(primer)),
+            ("b1_spacer", spacer),
+            ("b2_probes", probes),
+        ]
+        base = None
+        for i, (stem, df) in enumerate(parts):
+            scratch = tempfile.mkdtemp(prefix="dedup_evict_")
+            df.coalesce(1).write.mode("overwrite").parquet(scratch)
+            (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
+            dest = os.path.join(
+                src, f"{stem}_{uuid.uuid4().hex[:8]}.parquet"
+            )
+            shutil.move(part, dest)
+            shutil.rmtree(scratch, ignore_errors=True)
+            if base is None:
+                base = os.stat(dest).st_mtime
+            os.utime(dest, (base + 60 * i, base + 60 * i))
+        os.remove(fixture)
+
+    def build(src: str) -> DataFrame:
+        stream = (
+            spark.readStream.schema("user_id long, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn(
+                "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        )
+        return streaming_dedup.dedup_keys_within_watermark(
+            stream, "user_id", "event_time", "1 hour"
+        )
+
+    def on_finish(handle) -> None:
+        removed = 0
+        for p in handle.recentProgress or []:
+            for op in (p or {}).get("stateOperators", []) or []:
+                removed += int(op.get("numRowsRemoved", 0) or 0)
+        if removed <= 0:
+            raise RuntimeError(
+                "dedup-eviction twin ran without any state eviction "
+                f"(numRowsRemoved total = {removed})"
+            )
+
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "events",
+        "stream_dedup_evict_",
+        build,
+        output_mode="append",
+        setup=setup,
+        on_finish=on_finish,
+    )
+    return sink.where(F.col("user_id") >= 0).groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_emissions")
+    )
+
+
+@register(
     "events_interarrival_stats",
     """
     WITH g AS (
@@ -11977,8 +12120,12 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # older than round 4. Rows-only entries never take window slots (their
 # driver check is weaker by construction; see _ordered_names).
 _WINDOW_PRIORITY = [
-    # -- never-green: new round-8 queries (2) --
+    # -- never-green: new round-8 queries (3) --
+    # (stream_dedup_eviction took the ninth round-4 slot —
+    # token_budget_sample keeps its round-4 green row, which still
+    # meets the freshness target)
     "stream_late_drop", "multimodal_quarantine_matrix",
+    "stream_dedup_eviction",
     # -- media_fixture plan-change re-proofs (10) --
     "multimodal_features", "multimodal_resize",
     "multimodal_audio_features",
@@ -12000,7 +12147,7 @@ _WINDOW_PRIORITY = [
     # -- round-4-newest flagships rewritten since (9) --
     "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
     "q16_supplier_cnt", "q22_idle_balances", "q4_priority_exists",
-    "dedup_stats", "chunk_dedup", "token_budget_sample",
+    "dedup_stats", "chunk_dedup",
 ]
 # EMPTY this rotation: both round-8 additions fit the window above.
 # Queries registered AFTER a window is pinned queue here for the next

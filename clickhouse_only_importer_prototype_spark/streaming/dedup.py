@@ -64,3 +64,23 @@ def dedup_stream_within_watermark(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def dedup_keys_within_watermark(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str = "event_time",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Key-generic watermark-bounded streaming dedup (same state
+    machine as dedup_stream_within_watermark without the text
+    fingerprint projection): the first event per key passes and pins a
+    state row expiring at its event time + ``delay``; duplicates
+    within the horizon are suppressed; once the watermark passes the
+    expiry the state row is EVICTED and a later arrival of the same
+    key re-emits. That re-emission is the 100 TB contract the horizon
+    buys — O(horizon) state instead of O(stream) — and is value-pinned
+    by the stream_dedup_eviction twin (queries.py)."""
+    return stream.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
