@@ -3830,6 +3830,34 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_ordered_source_files(src: str, parts) -> None:
+    """Write ``(stem, df)`` parts as single-file parquets in ``src``
+    with mtimes 60s apart, so FileStreamSource (oldest-modified first)
+    consumes them as separate, ordered micro-batches under
+    maxFilesPerTrigger=1 — the multi-batch harness the lateness and
+    state-eviction twins depend on for deterministic watermark
+    sequencing."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base = None
+    for i, (stem, df) in enumerate(parts):
+        scratch = tempfile.mkdtemp(prefix="twin_batch_")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
+        dest = os.path.join(src, f"{stem}_{uuid.uuid4().hex[:8]}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(scratch, ignore_errors=True)
+        # pin micro-batch order; 60s spacing defeats fs timestamp
+        # granularity
+        if base is None:
+            base = os.stat(dest).st_mtime
+        os.utime(dest, (base + 60 * i, base + 60 * i))
+
+
 def _stream_twin(
     spark: SparkSession,
     sf_dir: str,
@@ -9739,11 +9767,7 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted counts equal the batch rollup MINUS exactly the late
     cohort). File order is pinned by explicit utimes 60s apart —
     FileStreamSource consumes oldest-modified first."""
-    import glob
     import os
-    import shutil
-    import tempfile
-    import uuid
 
     from clickhouse_only_importer_prototype_spark.streaming import (
         events as streaming_events,
@@ -9776,22 +9800,7 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b1_flush", sentinel),
             ("b2_late", ev.where(is_late)),
         ]
-        base = None
-        for i, (stem, df) in enumerate(parts):
-            scratch = tempfile.mkdtemp(prefix="late_drop_")
-            df.coalesce(1).write.mode("overwrite").parquet(scratch)
-            (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
-            dest = os.path.join(
-                src, f"{stem}_{uuid.uuid4().hex[:8]}.parquet"
-            )
-            shutil.move(part, dest)
-            shutil.rmtree(scratch, ignore_errors=True)
-            # pin micro-batch order: FileStreamSource takes files
-            # oldest-mtime-first; 60s spacing defeats fs timestamp
-            # granularity
-            if base is None:
-                base = os.stat(dest).st_mtime
-            os.utime(dest, (base + 60 * i, base + 60 * i))
+        _write_ordered_source_files(src, parts)
         os.remove(fixture)
 
     def build(src: str) -> DataFrame:
@@ -9875,11 +9884,7 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     fired; without it early probes would be suppressed and the oracle
     would mismatch anyway — both sides of the proof). Oracle: even
     users emit twice, odd users once."""
-    import glob
     import os
-    import shutil
-    import tempfile
-    import uuid
 
     from clickhouse_only_importer_prototype_spark.streaming import (
         dedup as streaming_dedup,
@@ -9922,19 +9927,7 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b1_spacer", spacer),
             ("b2_probes", probes),
         ]
-        base = None
-        for i, (stem, df) in enumerate(parts):
-            scratch = tempfile.mkdtemp(prefix="dedup_evict_")
-            df.coalesce(1).write.mode("overwrite").parquet(scratch)
-            (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
-            dest = os.path.join(
-                src, f"{stem}_{uuid.uuid4().hex[:8]}.parquet"
-            )
-            shutil.move(part, dest)
-            shutil.rmtree(scratch, ignore_errors=True)
-            if base is None:
-                base = os.stat(dest).st_mtime
-            os.utime(dest, (base + 60 * i, base + 60 * i))
+        _write_ordered_source_files(src, parts)
         os.remove(fixture)
 
     def build(src: str) -> DataFrame:
