@@ -9904,6 +9904,15 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"and retained cohorts (tmin={tmin}, tmax={tmax})"
             )
         users = ev.select("user_id").distinct()
+        n_neg = users.where(F.col("user_id") < 0).count()
+        if n_neg:
+            # the harness reserves negative ids for primer/spacer rows
+            # and the oracle's % parity assumes non-negative keys —
+            # fail loud if a regenerated fixture ever changes that
+            raise RuntimeError(
+                f"events fixture has {n_neg} negative user_ids — "
+                "harness sentinel ids would collide"
+            )
         first_seen = users.select(
             "user_id",
             F.when(
