@@ -9897,22 +9897,27 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         fixture = os.path.join(src, "events.parquet")
         ev = streaming_events.normalize_ts(spark.read.parquet(fixture))
-        tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        # one scan for every scalar the harness needs: ts bounds for
+        # the cohort split, min user for the sentinel-collision guard
+        tmin, tmax, umin = ev.agg(
+            F.min("ts"), F.max("ts"), F.min("user_id")
+        ).collect()[0]
         if tmin >= tmax - 2 * HOUR_NS:
             raise RuntimeError(
                 "events fixture spans < 2h — cannot separate evicted "
                 f"and retained cohorts (tmin={tmin}, tmax={tmax})"
             )
-        users = ev.select("user_id").distinct()
-        n_neg = users.where(F.col("user_id") < 0).count()
-        if n_neg:
+        if umin < 0:
             # the harness reserves negative ids for primer/spacer rows
             # and the oracle's % parity assumes non-negative keys —
             # fail loud if a regenerated fixture ever changes that
             raise RuntimeError(
-                f"events fixture has {n_neg} negative user_ids — "
+                f"events fixture has negative user_ids (min {umin}) — "
                 "harness sentinel ids would collide"
             )
+        # both written cohort files derive from the distinct-user set;
+        # persist so the shuffle runs once, not per output file
+        users = ev.select("user_id").distinct().persist()
         first_seen = users.select(
             "user_id",
             F.when(
@@ -9922,12 +9927,17 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("ts"),
         )
-        primer = spark.createDataFrame(
-            [(-1, tmax)], "user_id long, ts long"
-        )
-        spacer = spark.createDataFrame(
-            [(-2, tmax)], "user_id long, ts long"
-        )
+        # range(1)+lit, NOT createDataFrame: the Python local-relation
+        # path costs ~5s per write on this runtime (measured; a JVM
+        # range is 0.2s) — two sentinel rows were half the twin's cost
+        def _one_row(uid: int):
+            return spark.range(1).select(
+                F.lit(uid).cast("long").alias("user_id"),
+                F.lit(tmax).cast("long").alias("ts"),
+            )
+
+        primer = _one_row(-1)
+        spacer = _one_row(-2)
         probes = users.select(
             "user_id", F.lit(tmax).cast("long").alias("ts")
         )
@@ -9937,6 +9947,7 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b2_probes", probes),
         ]
         _write_ordered_source_files(src, parts)
+        users.unpersist()
         os.remove(fixture)
 
     def build(src: str) -> DataFrame:
