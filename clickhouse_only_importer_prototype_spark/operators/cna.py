@@ -67,9 +67,25 @@ def genetic_profile_samples(
     construction.
     """
     ordered = ",".join(f"{study}_{c}" for c in sample_columns(df))
-    return spark.createDataFrame(
-        [(study, profile, ordered)], GENETIC_PROFILE_SAMPLES_SCHEMA
+    # range(1)+lit, NOT createDataFrame: the Python local-relation
+    # write path costs ~5s per 1-row frame on this runtime (measured;
+    # a JVM range writes in 0.2s) — at one row per (study, profile)
+    # that tax scales with study count. The when() guards on the range
+    # column (not a foldable constant) so the fields stay NULLABLE and
+    # the schema bit-identical to GENETIC_PROFILE_SAMPLES_SCHEMA.
+    values = (
+        ("CANCER_STUDY", study),
+        ("GENETIC_PROFILE", profile),
+        ("ORDERED_SAMPLE_LIST", ordered),
     )
+    out = spark.range(1).select(
+        *[
+            F.when(F.col("id") >= 0, F.lit(v)).cast("string").alias(n)
+            for n, v in values
+        ]
+    )
+    assert out.schema == GENETIC_PROFILE_SAMPLES_SCHEMA, out.schema
+    return out
 
 
 def cna_derived(df: DataFrame, study: str, profile: str) -> DataFrame:
