@@ -9990,6 +9990,149 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_late_probe",
+    """
+    WITH e AS (SELECT user_id, event_type, event_id,
+                      epoch_ns(ts) // 1000 * 1000 AS ns
+               FROM events),
+    m AS (SELECT MAX(ns) AS tmax FROM e),
+    v AS (SELECT user_id, ns FROM e WHERE event_type = 'view'),
+    c AS (SELECT e.user_id, e.ns
+          FROM e CROSS JOIN m
+          WHERE e.event_type = 'click'
+            AND NOT (e.event_id % 5 = 0
+                     AND e.ns < m.tmax - 8 * 3600000000000))
+    SELECT v.user_id,
+           COUNT(*) AS n_attributed,
+           CAST(MIN(c.ns - v.ns) AS BIGINT) AS min_lag_ns,
+           CAST(MAX(c.ns - v.ns) AS BIGINT) AS max_lag_ns
+    FROM v JOIN c ON v.user_id = c.user_id
+      AND c.ns > v.ns
+      AND c.ns <= v.ns + CAST(21600 AS BIGINT) * 1000000000
+    GROUP BY v.user_id
+    """,
+)
+def stream_join_late_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-PROBE drop in the stream-stream interval join — the join
+    family's lateness semantic, completing the set: stream_late_drop
+    covers aggregation drops, stream_dedup_eviction covers dedup state
+    eviction, stream_stream_outer_join covers eviction EMISSION; this
+    twin proves a probe row arriving after the watermark passed its
+    join window is dropped and its pairs never form.
+
+    Same view->click-within-6h attribution as stream_stream_join, but
+    a deterministic click cohort (event_id % 5 == 0 AND ts <
+    tmax - 8h) is routed to a third micro-batch (mtime-ordered files,
+    maxFilesPerTrigger=1; a sentinel batch carries the tmax - 1h
+    watermark forward per the SPARK-40925 previous-batch late-filter
+    rule documented on stream_late_drop). The 8h cutoff leaves margin
+    on BOTH mechanisms: the click's own event time sits far below the
+    watermark (input drop), and every candidate view (at most 6h
+    older than its click) has been evicted from state (no pair could
+    form even if the input survived) — the output equality is
+    invariant to which mechanism the engine applies, and on_finish
+    still requires numRowsDroppedByWatermark > 0 so a green row
+    proves the watermark did the work (measured at sf0.001: all 42
+    late clicks dropped; 20 of 25 pairs survive = exactly the oracle's
+    non-late join). Oracle = the static self-join excluding the late
+    cohort's clicks."""
+    import os
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as streaming_events,
+        lateness as streaming_lateness,
+    )
+
+    HOUR_NS = streaming_lateness.HOUR_NS
+
+    def setup(src: str) -> None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        fixture = os.path.join(src, "events.parquet")
+        ev = streaming_events.normalize_ts(
+            spark.read.parquet(fixture)
+        ).withColumn("ts", F.expr("ts div 1000") * 1000)
+        tmax = ev.agg(F.max("ts")).collect()[0][0]
+        cut = tmax - 8 * HOUR_NS
+        is_late = (
+            (F.col("event_type") == "click")
+            & (F.pmod(F.col("event_id"), F.lit(5)) == 0)
+            & (F.col("ts") < F.lit(cut))
+        )
+        sentinel = (
+            ev.limit(1)
+            .withColumn("event_id", F.lit(-1).cast("long"))
+            .withColumn("ts", F.lit(tmax + 3 * HOUR_NS).cast("long"))
+            .withColumn("event_type", F.lit("__sentinel__"))
+        )
+        _write_ordered_source_files(
+            src,
+            [
+                ("b0_ontime", ev.where(~is_late)),
+                ("b1_carrier", sentinel),
+                ("b2_late_clicks", ev.where(is_late)),
+            ],
+        )
+        os.remove(fixture)
+
+    def build(src: str) -> DataFrame:
+        stream = streaming_events.read_events_stream(
+            spark, src, max_files_per_trigger=1
+        ).withColumn("ts", F.expr("ts div 1000") * 1000)
+        v = (
+            stream.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ns"),
+                F.col("event_time").alias("v_time"),
+            )
+            .withWatermark("v_time", "1 hour")
+        )
+        c = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ns"),
+                F.col("event_time").alias("c_time"),
+            )
+            .withWatermark("c_time", "1 hour")
+        )
+        return v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_time") > F.col("v_time"))
+            & (
+                F.col("c_time")
+                <= F.col("v_time") + F.expr("INTERVAL 6 HOURS")
+            ),
+        )
+
+    def on_finish(handle) -> None:
+        dropped = streaming_lateness.dropped_by_watermark(
+            handle.recentProgress
+        )
+        if dropped <= 0:
+            raise RuntimeError(
+                "join late-probe twin ran without any watermark drop "
+                f"(numRowsDroppedByWatermark total = {dropped})"
+            )
+
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "events",
+        "stream_join_late_",
+        build,
+        setup=setup,
+        on_finish=on_finish,
+    )
+    return sink.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.min(F.col("c_ns") - F.col("v_ns")).alias("min_lag_ns"),
+        F.max(F.col("c_ns") - F.col("v_ns")).alias("max_lag_ns"),
+    )
+
+
+@register(
     "events_interarrival_stats",
     """
     WITH g AS (
@@ -12162,11 +12305,13 @@ _WINDOW_PRIORITY = [
     "q16_supplier_cnt", "q22_idle_balances", "q4_priority_exists",
     "dedup_stats", "chunk_dedup",
 ]
-# EMPTY this rotation: both round-8 additions fit the window above.
 # Queries registered AFTER a window is pinned queue here for the next
 # rotation (the window itself stays frozen once curated so re-proof
-# slots keep their meaning).
-_DEFERRED_TO_NEXT_WINDOW: list[str] = []
+# slots keep their meaning): the stream-stream join late-probe twin
+# landed after the round-8 window froze; its oracle runs in
+# test_oracle.py every pytest run until it takes a driver slot next
+# round.
+_DEFERRED_TO_NEXT_WINDOW: list[str] = ["stream_join_late_probe"]
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects
 # evidence coverage — they follow the window in registration order.
