@@ -10133,6 +10133,124 @@ def stream_join_late_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_native",
+    """
+    WITH x AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+    y AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w >= 1800000000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    z AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM y
+    )
+    SELECT user_id, MIN(t) AS session_start,
+           MAX(t) + 1800000000000 AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM z GROUP BY user_id, sid
+    """,
+)
+def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation driven as a batch
+    twin — the built-in counterpart of the custom
+    applyInPandasWithState sessionizer (stream_sessionize), exercising
+    the session-window state store operator class the custom path
+    never touches. Where the built-in expresses the semantics, the
+    engine uses it; the custom operator exists only for the
+    incremental-emission contract session_window cannot provide
+    (events.py docstring).
+
+    Two deliberate contract differences from the custom twin, both
+    pinned by the oracle: (a) native session windows are END-EXCLUSIVE
+    — an event exactly gap-after the previous one starts a NEW session
+    (oracle splits on lag >= gap; the custom twin splits on > gap),
+    and (b) a flush sentinel at tmax + 3h (its own user_id = -1,
+    filtered in the rollup) pushes the final watermark past every real
+    session end + gap, so ALL sessions emit including each user's open
+    tail (the custom twin's oracle must EXCLUDE tails). session_end =
+    last event + gap (the window end), recomputed closed-form by the
+    oracle. on_finish requires numRowsRemoved > 0 — append-mode
+    session emission IS state eviction, so a green row proves the
+    session state machine ran, not a batch fallback."""
+    import os
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as streaming_events,
+        lateness as streaming_lateness,
+    )
+
+    HOUR_NS = streaming_lateness.HOUR_NS
+
+    def setup(src: str) -> None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        fixture = os.path.join(src, "events.parquet")
+        ev = streaming_events.normalize_ts(spark.read.parquet(fixture))
+        tmax = ev.agg(F.max("ts")).collect()[0][0]
+        sentinel = (
+            ev.limit(1)
+            .withColumn("event_id", F.lit(-1).cast("long"))
+            .withColumn("user_id", F.lit(-1).cast("long"))
+            .withColumn("ts", F.lit(tmax + 3 * HOUR_NS).cast("long"))
+        )
+        _write_ordered_source_files(
+            src, [("b0_main", ev), ("b1_flush", sentinel)]
+        )
+        os.remove(fixture)
+
+    def build(src: str) -> DataFrame:
+        stream = streaming_events.read_events_stream(spark, src).withColumn(
+            "ts", F.expr("ts div 1000") * 1000
+        )
+        return (
+            stream.withWatermark("event_time", "1 hour")
+            .groupBy(
+                F.session_window(F.col("event_time"), "30 minutes"),
+                F.col("user_id"),
+            )
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                (F.unix_micros(F.col("session_window.start")) * 1000)
+                .cast("long")
+                .alias("session_start"),
+                (F.unix_micros(F.col("session_window.end")) * 1000)
+                .cast("long")
+                .alias("session_end"),
+                "n_events",
+            )
+        )
+
+    def on_finish(handle) -> None:
+        removed = 0
+        for p in handle.recentProgress or []:
+            for op in (p or {}).get("stateOperators", []) or []:
+                removed += int(op.get("numRowsRemoved", 0) or 0)
+        if removed <= 0:
+            raise RuntimeError(
+                "native session twin emitted without evicting session "
+                f"state (numRowsRemoved total = {removed})"
+            )
+
+    sink = _stream_twin(
+        spark,
+        sf_dir,
+        "events",
+        "stream_session_native_",
+        build,
+        setup=setup,
+        on_finish=on_finish,
+    )
+    return sink.where(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+@register(
     "events_interarrival_stats",
     """
     WITH g AS (
@@ -12311,7 +12429,9 @@ _WINDOW_PRIORITY = [
 # landed after the round-8 window froze; its oracle runs in
 # test_oracle.py every pytest run until it takes a driver slot next
 # round.
-_DEFERRED_TO_NEXT_WINDOW: list[str] = ["stream_join_late_probe"]
+_DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "stream_join_late_probe", "stream_session_native",
+]
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects
 # evidence coverage — they follow the window in registration order.
