@@ -410,3 +410,74 @@ def test_late_drop_requires_multi_batch_regime(spark, sf_dir):
         h.stop()
         spark.catalog.dropTempView("late_drop_control")
         __import__("shutil").rmtree(src_dir, ignore_errors=True)
+
+
+def test_rocksdb_state_store_provider_equal_results(spark, sf_dir, tmp_path):
+    """The 100 TB state backend: the default HDFS-backed provider
+    holds every state row on-heap, which caps streaming state at
+    executor memory; RocksDBStateStoreProvider (bundled, no extra
+    jars) spills to local disk and is the deployment posture for
+    unbounded-state streams. Pin that (a) the provider actually
+    engages (rocksdb custom metrics in the query progress) and (b) the
+    watermarked aggregation's results are provider-invariant."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as se,
+    )
+
+    def run(tag: str, provider: str | None):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        os.symlink(f"{sf_dir}/events.parquet", src / "events.parquet")
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            q = se.tumbling_counts(se.read_events_stream(spark, str(src)))
+            h = (
+                q.writeStream.format("memory")
+                .queryName(f"rocks_{tag}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ckpt_{tag}")
+                )
+                .start()
+            )
+            h.awaitTermination()
+            rows = sorted(
+                (
+                    r.window_start,
+                    r.event_type,
+                    r.n_events,
+                    float(r.value_sum),
+                )
+                for r in spark.table(f"rocks_{tag}").collect()
+            )
+            metrics = [
+                op.get("customMetrics", {})
+                for p in h.recentProgress
+                for op in p.get("stateOperators", [])
+            ]
+            h.stop()
+            spark.catalog.dropTempView(f"rocks_{tag}")
+            return rows, metrics
+        finally:
+            if provider:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+
+    default_rows, default_metrics = run("default", None)
+    rocks_rows, rocks_metrics = run(
+        "rocksdb",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    assert rocks_rows == default_rows and rocks_rows
+    # provider engagement: rocksdb-specific metrics appear only on the
+    # rocksdb run
+    assert any("rocksdb" in str(m).lower() for m in rocks_metrics)
+    assert not any("rocksdb" in str(m).lower() for m in default_metrics)
