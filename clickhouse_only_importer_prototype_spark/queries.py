@@ -9784,8 +9784,16 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # all three batches must share one ts type whatever shape the
         # driver fixture ships (nanos-long or timestamp[us])
         ev = streaming_events.normalize_ts(spark.read.parquet(fixture))
-        tmax = ev.agg(F.max("ts")).collect()[0][0]
+        tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
         cut = streaming_lateness.late_cutoff_ns(tmax, HOUR_NS)
+        if tmin >= cut:
+            # loud, specific failure instead of the generic no-drop
+            # RuntimeError in on_finish: a regenerated fixture whose
+            # span is under ~2h has no possible late cohort
+            raise RuntimeError(
+                "events fixture span too short for a late cohort "
+                f"(tmin={tmin} >= cut={cut})"
+            )
         is_late = (F.pmod(F.col("event_id"), F.lit(7)) == 0) & (
             F.col("ts") < F.lit(cut)
         )
@@ -10051,8 +10059,13 @@ def stream_join_late_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = streaming_events.normalize_ts(
             spark.read.parquet(fixture)
         ).withColumn("ts", F.expr("ts div 1000") * 1000)
-        tmax = ev.agg(F.max("ts")).collect()[0][0]
+        tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
         cut = tmax - 8 * HOUR_NS
+        if tmin >= cut:
+            raise RuntimeError(
+                "events fixture span too short for a late click "
+                f"cohort (tmin={tmin} >= cut={cut})"
+            )
         is_late = (
             (F.col("event_type") == "click")
             & (F.pmod(F.col("event_id"), F.lit(5)) == 0)
