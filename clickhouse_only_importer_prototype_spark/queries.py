@@ -142,10 +142,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _MEDIA_FIXTURE_DIRS: dict[tuple[str, str], str] = {}
 
 _MEDIA_SYNTH = {
-    "ppm": lambda docs: mm_ops.documents_as_ppm_media(docs),
-    "wav": lambda docs: mm_ops.documents_as_wav_media(docs),
-    "avi": lambda docs: mm_ops.documents_as_avi_media(docs),
-    "av": lambda docs: mm_ops.documents_as_av_media(docs),
+    "ppm": mm_ops.documents_as_ppm_media,
+    "wav": mm_ops.documents_as_wav_media,
+    "avi": mm_ops.documents_as_avi_media,
+    "av": mm_ops.documents_as_av_media,
 }
 
 
@@ -170,11 +170,13 @@ def media_fixture(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         import tempfile
 
         path = tempfile.mkdtemp(prefix=f"media_fixture_{kind}_")
+        # register cleanup BEFORE the write: a mid-write failure (disk
+        # full, executor loss) must not orphan a half-written tempdir
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         _MEDIA_SYNTH[kind](load(spark, sf_dir, "documents")).write.mode(
             "overwrite"
         ).parquet(path)
         _MEDIA_FIXTURE_DIRS[key] = path
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return spark.read.parquet(path)
 
 
@@ -3933,11 +3935,20 @@ def _stream_twin(
             .start()
         )
         handle.awaitTermination()
-        if on_finish is not None:
-            # e.g. assert on the query's progress metrics (the
-            # lateness twin requires numRowsDroppedByWatermark > 0 so
-            # a green oracle row proves the DROP mechanism fired)
-            on_finish(handle)
+        try:
+            if on_finish is not None:
+                # e.g. assert on the query's progress metrics (the
+                # lateness twin requires numRowsDroppedByWatermark > 0
+                # so a green oracle row proves the DROP mechanism
+                # fired). on_finish is DESIGNED to raise; the sink
+                # view/query must still be torn down on that path or
+                # repeated gate runs accumulate memory-sink tables
+                # (round-8 review finding)
+                on_finish(handle)
+        except BaseException:
+            handle.stop()
+            spark.catalog.dropTempView(name)
+            raise
         sink = spark.table(name)
         # Arrow materialization, not collect(): an outer-join twin's
         # sink holds pairs PLUS every expired null row (~100k at the
@@ -3954,7 +3965,10 @@ def _stream_twin(
         spark.catalog.dropTempView(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    shutil.rmtree(work, ignore_errors=True)
+        # tempdir (source files + checkpoint) must go on EVERY exit
+        # path, including an on_finish/build raise (round-8 review
+        # finding) — it only held scratch inputs, never results
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(tbl)
 
 
@@ -9660,6 +9674,12 @@ def stream_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # normalize_ts folds timestamp[us] fixtures through
+        # timestamp_ltz, which reads the session timezone; an
+        # externally built non-UTC session would write shifted batch
+        # files BEFORE read_events_stream's own UTC pin runs in
+        # build() — pin it here too (round-8 review finding)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         fixture = os.path.join(src, "events.parquet")
         ev = spark.read.parquet(fixture)
         # write both halves BEFORE unlinking: the half writes read the
@@ -9778,6 +9798,12 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def setup(src: str) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # normalize_ts folds timestamp[us] fixtures through
+        # timestamp_ltz, which reads the session timezone; an
+        # externally built non-UTC session would write shifted batch
+        # files BEFORE read_events_stream's own UTC pin runs in
+        # build() — pin it here too (round-8 review finding)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         fixture = os.path.join(src, "events.parquet")
         # normalize to the long-nanos contract BEFORE writing: the
         # stream schema is pinned from the rewritten files' footer, so
@@ -9897,12 +9923,19 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_only_importer_prototype_spark.streaming import (
         dedup as streaming_dedup,
         events as streaming_events,
+        lateness as streaming_lateness,
     )
 
     HOUR_NS = 3_600_000_000_000
 
     def setup(src: str) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # normalize_ts folds timestamp[us] fixtures through
+        # timestamp_ltz, which reads the session timezone; an
+        # externally built non-UTC session would write shifted batch
+        # files BEFORE read_events_stream's own UTC pin runs in
+        # build() — pin it here too (round-8 review finding)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         fixture = os.path.join(src, "events.parquet")
         ev = streaming_events.normalize_ts(spark.read.parquet(fixture))
         # one scan for every scalar the harness needs: ts bounds for
@@ -9972,10 +10005,7 @@ def stream_dedup_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def on_finish(handle) -> None:
-        removed = 0
-        for p in handle.recentProgress or []:
-            for op in (p or {}).get("stateOperators", []) or []:
-                removed += int(op.get("numRowsRemoved", 0) or 0)
+        removed = streaming_lateness.removed_rows(handle.recentProgress)
         if removed <= 0:
             raise RuntimeError(
                 "dedup-eviction twin ran without any state eviction "
@@ -10055,6 +10085,12 @@ def stream_join_late_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def setup(src: str) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # normalize_ts folds timestamp[us] fixtures through
+        # timestamp_ltz, which reads the session timezone; an
+        # externally built non-UTC session would write shifted batch
+        # files BEFORE read_events_stream's own UTC pin runs in
+        # build() — pin it here too (round-8 review finding)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         fixture = os.path.join(src, "events.parquet")
         ev = streaming_events.normalize_ts(
             spark.read.parquet(fixture)
@@ -10201,6 +10237,12 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def setup(src: str) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # normalize_ts folds timestamp[us] fixtures through
+        # timestamp_ltz, which reads the session timezone; an
+        # externally built non-UTC session would write shifted batch
+        # files BEFORE read_events_stream's own UTC pin runs in
+        # build() — pin it here too (round-8 review finding)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         fixture = os.path.join(src, "events.parquet")
         ev = streaming_events.normalize_ts(spark.read.parquet(fixture))
         tmax = ev.agg(F.max("ts")).collect()[0][0]
@@ -10216,9 +10258,13 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.remove(fixture)
 
     def build(src: str) -> DataFrame:
-        stream = streaming_events.read_events_stream(spark, src).withColumn(
-            "ts", F.expr("ts div 1000") * 1000
-        )
+        # maxFilesPerTrigger=1 makes the mtime-ordered flush file a
+        # genuine SECOND micro-batch (without it availableNow folds
+        # both files into one batch and only the post-batch no-data
+        # batch flushes — round-8 review finding)
+        stream = streaming_events.read_events_stream(
+            spark, src, max_files_per_trigger=1
+        ).withColumn("ts", F.expr("ts div 1000") * 1000)
         return (
             stream.withWatermark("event_time", "1 hour")
             .groupBy(
@@ -10239,10 +10285,7 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def on_finish(handle) -> None:
-        removed = 0
-        for p in handle.recentProgress or []:
-            for op in (p or {}).get("stateOperators", []) or []:
-                removed += int(op.get("numRowsRemoved", 0) or 0)
+        removed = streaming_lateness.removed_rows(handle.recentProgress)
         if removed <= 0:
             raise RuntimeError(
                 "native session twin emitted without evicting session "

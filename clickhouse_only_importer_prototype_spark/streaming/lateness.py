@@ -91,3 +91,16 @@ def late_cutoff_ns(tmax_ns: int, delay_ns: int = HOUR_NS) -> int:
     if tmax_ns <= 0:
         raise ValueError(f"expected epoch-positive max ts: {tmax_ns}")
     return ((tmax_ns - delay_ns) // HOUR_NS) * HOUR_NS - HOUR_NS
+
+
+def removed_rows(progress_rows: list) -> int:
+    """Total state rows REMOVED (evicted) across a query's recorded
+    progress — the companion counter to dropped_by_watermark: drops
+    prove late input died at the door, removals prove expired state
+    left the store. Used by the eviction-asserting twins
+    (stream_dedup_eviction, stream_session_native)."""
+    total = 0
+    for p in progress_rows or []:
+        for op in (p or {}).get("stateOperators", []) or []:
+            total += int(op.get("numRowsRemoved", 0) or 0)
+    return total
