@@ -481,3 +481,51 @@ def test_rocksdb_state_store_provider_equal_results(spark, sf_dir, tmp_path):
     # rocksdb run
     assert any("rocksdb" in str(m).lower() for m in rocks_metrics)
     assert not any("rocksdb" in str(m).lower() for m in default_metrics)
+
+
+def test_late_drop_twin_survives_non_utc_session(spark, oracle_sf_dir):
+    """Round-8 review finding #1, pinned: the twin setups normalize
+    timestamps BEFORE read_events_stream's UTC pin runs in build(), so
+    a driver session configured with a non-UTC timezone must not shift
+    the written micro-batch files (the setups pin UTC themselves).
+    Runs the absolute-time-sensitive twin under a deliberately skewed
+    session timezone and checks the per-bucket counts still equal the
+    batch rollup minus the late cohort."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark import queries as Q
+    from clickhouse_only_importer_prototype_spark.streaming import (
+        events as se,
+        lateness as sl,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = {
+            (r.hour_bucket, r.event_type): r.n_events
+            for r in Q.stream_late_drop(spark, oracle_sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    evd = se.normalize_ts(
+        spark.read.parquet(f"{oracle_sf_dir}/events.parquet")
+    )
+    tmax = evd.agg(F.max("ts")).collect()[0][0]
+    cut = sl.late_cutoff_ns(tmax)
+    expect = {
+        (r.hour_bucket, r.event_type): r.n_events
+        for r in evd.where(
+            ~(
+                (F.pmod(F.col("event_id"), F.lit(7)) == 0)
+                & (F.col("ts") < F.lit(cut))
+            )
+        )
+        .groupBy(
+            F.expr(f"ts div {sl.HOUR_NS}").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .collect()
+    }
+    assert got == expect
