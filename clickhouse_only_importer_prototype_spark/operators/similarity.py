@@ -1043,3 +1043,254 @@ def topk_ranking_quality(
             F.expr("div(sndcg, nq)") >= F.lit(ndcg_floor_per_1000 * 1000)
         ).alias("meets_ndcg_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the byte-coded embedding path. At 100 TB
+# the raw float corpus does not fit hot storage: PQ stores ~m bytes per
+# vector (64-dim float32 -> 8 codes here = 32x smaller), serves the
+# candidate scan from codes alone via asymmetric-distance lookups
+# (ADC), and rescores only a shortlist against the raw vectors. Jegou
+# et al., "Product Quantization for Nearest Neighbor Search" (public).
+# ---------------------------------------------------------------------------
+
+
+def _plain_lloyd(mat: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Plain L2 Lloyd over a driver-resident training sliver. Unlike
+    _lloyd_driver this does NOT normalize between iterations — PQ
+    subvector codebooks live in the raw subspace (normalizing 8-dim
+    slices of an already-normalized 64-dim vector would distort them).
+    Init = first k rows (callers pass rows pre-ordered by the xxhash
+    draw, so init is a deterministic pseudo-random sample); stable
+    argsort tie-break; empty clusters keep their centroid."""
+    cents = mat[:k].copy()
+    for _ in range(iters):
+        d2 = (
+            (mat * mat).sum(axis=1, keepdims=True)
+            - 2.0 * (mat @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        clusters = np.argsort(d2, axis=1, kind="stable")[:, 0]
+        new = cents.copy()
+        for c in range(k):
+            members = mat[clusters == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cents = new
+    return cents
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_points_per_centroid: int = 256,
+) -> np.ndarray:
+    """Per-subspace L2 codebooks over NORMALIZED vectors ->
+    (m, n_codes, dim//m). Vectors are unit-normalized before slicing so
+    ADC L2 ranking is monotone with cosine (the corpus truth metric).
+
+    Training follows the ivf_train_centroids sizing rule: codebook
+    quality needs ~100s of points per centroid, not the corpus, so a
+    deterministic xxhash sliver (stable across partitionings) is
+    collected driver-side — bounded at n_codes x train_points_per_
+    centroid rows (~1 MB at the defaults) regardless of corpus size;
+    the full corpus is only ever touched by the one encode pass."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    n = df.count()
+    target = n_codes * train_points_per_centroid
+    frac = 1.0 if n <= target else target / n
+    src = df
+    if frac < 1.0:
+        bound = int(frac * (1 << 30))
+        src = df.where(
+            F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(1 << 30))
+            < bound
+        )
+    rows = (
+        src.select(
+            F.col(id_col).alias("i"),
+            _as_double(vec_col).alias("v"),
+            F.xxhash64(F.lit(seed), F.col(id_col)).alias("h"),
+        )
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"need >= {n_codes} training vectors, got {len(rows)}"
+        )
+    # deterministic pseudo-random order for init; stable across
+    # partitionings because it keys on values, not arrival order
+    rows = sorted(rows, key=lambda r: (r["h"], r["i"]))
+    mat = _normalize_rows(
+        np.array([r["v"] for r in rows], dtype=np.float64)
+    )
+    dsub = dim // m
+    return np.stack(
+        [
+            _plain_lloyd(mat[:, j * dsub : (j + 1) * dsub], n_codes, iters)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<long>) — nearest codebook entry per subspace
+    over the normalized vector. One Arrow-batched matmul pass; ties
+    take the lowest code id (stable argsort), so codes are
+    deterministic across partitionings."""
+    m, n_codes, dsub = codebooks.shape
+    cb = codebooks.copy()
+
+    @pandas_udf(ArrayType(LongType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(
+            np.array(vecs.tolist(), dtype=np.float64)
+        )
+        out = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cb[j].T)
+                + (cb[j] * cb[j]).sum(axis=1)
+            )
+            out[:, j] = np.argsort(d2, axis=1, kind="stable")[:, 0]
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias("vec_id_pq"), encode(_as_double(vec_col)).alias("codes")
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    iters: int = 3,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via PQ ADC shortlist + exact rescore:
+    (query_id, neighbor_id, rank, cos_1e6) — the LSH/IVF output shape.
+
+    Serving shape: the corpus is scanned as CODES ONLY (m int64s here;
+    m bytes in a packed production layout) with per-query distances
+    read from a broadcast (n_queries x m x n_codes) lookup table — no
+    float vector math per candidate. Each Arrow batch keeps its local
+    top-``shortlist`` per query (exact for global shortlist
+    selection), a per-query window takes the global shortlist, and
+    only those ids rejoin the raw vectors for the exact cosine
+    re-rank. ADC sums run in fixed subspace order per row ->
+    deterministic; shortlist ties break on neighbor id."""
+    codebooks = pq_train_codebooks(
+        corpus, dim, m, n_codes, iters, seed, id_col, vec_col
+    )
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    dsub = dim // m
+    qrows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r["qid"],
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = _normalize_rows(
+        np.array([r["qv"] for r in qrows], dtype=np.float64)
+    )
+    # LUT[q, j, c] = ||q_subj - codebook[j][c]||^2 ; ADC distance of a
+    # coded vector for query q = sum_j LUT[q, j, code_j]
+    nq = len(qids)
+    lut = np.empty((nq, m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = qmat[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = (
+            (qs * qs).sum(axis=1, keepdims=True)
+            - 2.0 * (qs @ codebooks[j].T)
+            + (codebooks[j] * codebooks[j]).sum(axis=1)
+        )
+
+    out_schema = "query_id long, neighbor_id long, adc_1e6 long"
+
+    def adc_partial(batches):
+        for pdf in batches:
+            ids = pdf["vec_id_pq"].to_numpy(dtype=np.int64)
+            codes_mat = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            # dist[q, row] = sum over subspaces of LUT lookups
+            dist = np.zeros((nq, len(ids)), dtype=np.float64)
+            for j in range(m):
+                dist += lut[:, j, codes_mat[:, j]]
+            res = []
+            for qi in range(nq):
+                drow = dist[qi]
+                mask = ids != qids[qi]  # self-match excluded
+                cand_ids = ids[mask]
+                cand_d = drow[mask]
+                # deterministic local top-shortlist: (dist, id) lexsort
+                order = np.lexsort((cand_ids, cand_d))[:shortlist]
+                res.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": cand_ids[order],
+                            "adc_1e6": np.floor(
+                                cand_d[order] * 1e6
+                            ).astype(np.int64),
+                        }
+                    )
+                )
+            if res:
+                yield pd.concat(res, ignore_index=True)
+
+    partial = codes.mapInPandas(adc_partial, out_schema)
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_1e6").asc(), F.col("neighbor_id")
+    )
+    short = (
+        partial.withColumn("r", F.row_number().over(w_short))
+        .where(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact cosine rescore of the shortlist only
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        norm(F.col("qv")) * norm(F.col("cv"))
+    )
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(cos * F.lit(1000000.0)).cast("long").alias("cos_1e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_1e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_1e6")
+    )
