@@ -14,8 +14,10 @@ Two paths, matching the 100 TB playbook:
     collisions in any table, re-ranked exactly. Corpus shuffles once
     per table on bucket id; no O(n²) stage anywhere.
 
-An IVF variant would swap the hash for k-means centroids; SRP-LSH is
-chosen because it needs no training pass.
+Two trained variants extend the surface: IVF (spherical k-means
+centroids + nprobe candidate lists) and PQ (per-subspace codebooks,
+ADC candidate scan over codes only + exact shortlist rescore — the
+compressed-storage path). SRP-LSH remains the no-training-pass option.
 """
 
 from __future__ import annotations
