@@ -530,3 +530,50 @@ def test_pq_full_shortlist_equals_bruteforce(spark, sf_dir):
     assert sorted(map(tuple, brute.collect())) == sorted(
         map(tuple, pq.collect())
     )
+
+
+def test_ivfpq_recall_floor_and_determinism(spark, sf_dir):
+    """IVF-PQ composition: recall@5 must clear the gate floor (0.45;
+    measured 0.54-0.58 — the coarse prune dominates, matching
+    standalone IVF), results identical across runs, and every
+    candidate honors the inverted-list prune (each returned neighbor's
+    cell is among its query's probed cells)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    truth = sim.cosine_topk_bruteforce(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    got = sim.cosine_topk_ivfpq(emb, q, dim=64, k=5)
+    tot = truth.count()
+    hit = truth.join(
+        got.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert tot > 0 and hit / tot >= 0.45
+    again = sim.cosine_topk_ivfpq(emb, q, dim=64, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # inverted-list prune honored: neighbor cell in query's probe set
+    cents = sim.ivf_train_centroids(emb, dim=64, n_centroids=16, iters=2)
+    assign = sim._ivf_probe_udf(cents, 1)
+    probe = sim._ivf_probe_udf(cents, 4)
+    cells = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", assign(F.col("embedding"))[0].alias("cell")
+        ).collect()
+    }
+    probes = {
+        r.vec_id: set(r.cells)
+        for r in q.select(
+            "vec_id", probe(F.col("embedding")).alias("cells")
+        ).collect()
+    }
+    for r in got.collect():
+        assert cells[r.neighbor_id] in probes[r.query_id]
