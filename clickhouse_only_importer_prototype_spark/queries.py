@@ -10990,7 +10990,8 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 10)
     SELECT v.variant, CAST(t.nq AS BIGINT) AS n_queries,
            TRUE AS meets_mrr_floor, TRUE AS meets_ndcg_floor
-    FROM (SELECT 'ivf' AS variant UNION ALL SELECT 'lsh') v, t
+    FROM (SELECT 'ivf' AS variant UNION ALL SELECT 'lsh'
+          UNION ALL SELECT 'pq' UNION ALL SELECT 'ivfpq') v, t
     """,
 )
 def ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11001,8 +11002,10 @@ def ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     same gate pattern as ann_recall_check, but sensitive to ORDERING
     regressions recall can't see (an ANN that returns the right set
     reversed passes recall and fails NDCG). Floors hold with margin:
-    measured mrr/ndcg 0.90/0.65 (ivf), 1.00/0.93+ (lsh) at
-    sf0.01-sf0.1 vs floors 0.60/0.40 and 0.80/0.70."""
+    measured mrr/ndcg 0.90/0.65 (ivf), 1.00/0.93+ (lsh),
+    1.00/0.93+ (pq), 1.00/0.66+ (ivfpq) at sf0.01-sf0.1 vs floors
+    0.60/0.40 (ivf, ivfpq — the coarse prune bounds list ordering)
+    and 0.80/0.70 (lsh, pq)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
     truth = sim_ops.cosine_topk_bruteforce(emb, q, k=5).persist()
@@ -11012,12 +11015,32 @@ def ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = sim_ops.cosine_topk_lsh(
         emb, q, dim=64, k=5, n_planes=4, n_tables=16
     )
-    return sim_ops.topk_ranking_quality(
-        truth, ivf, "ivf", k=5, mrr_floor_per_1000=600, ndcg_floor_per_1000=400
-    ).unionByName(
+    pq = sim_ops.cosine_topk_pq(
+        emb, q, dim=64, k=5, m=8, n_codes=32, shortlist=200
+    )
+    ivfpq = sim_ops.cosine_topk_ivfpq(emb, q, dim=64, k=5)
+    return (
         sim_ops.topk_ranking_quality(
-            truth, lsh, "lsh", k=5, mrr_floor_per_1000=800,
-            ndcg_floor_per_1000=700,
+            truth, ivf, "ivf", k=5,
+            mrr_floor_per_1000=600, ndcg_floor_per_1000=400,
+        )
+        .unionByName(
+            sim_ops.topk_ranking_quality(
+                truth, lsh, "lsh", k=5,
+                mrr_floor_per_1000=800, ndcg_floor_per_1000=700,
+            )
+        )
+        .unionByName(
+            sim_ops.topk_ranking_quality(
+                truth, pq, "pq", k=5,
+                mrr_floor_per_1000=800, ndcg_floor_per_1000=700,
+            )
+        )
+        .unionByName(
+            sim_ops.topk_ranking_quality(
+                truth, ivfpq, "ivfpq", k=5,
+                mrr_floor_per_1000=600, ndcg_floor_per_1000=400,
+            )
         )
     )
 
