@@ -84,7 +84,14 @@ def genetic_profile_samples(
             for n, v in values
         ]
     )
-    assert out.schema == GENETIC_PROFILE_SAMPLES_SCHEMA, out.schema
+    # explicit raise, not assert: the contract must survive python -O,
+    # and a Spark-version nullability-inference change here would
+    # otherwise ship a silently drifted schema
+    if out.schema != GENETIC_PROFILE_SAMPLES_SCHEMA:
+        raise RuntimeError(
+            "genetic_profile_samples schema drifted from "
+            f"GENETIC_PROFILE_SAMPLES_SCHEMA: {out.schema}"
+        )
     return out
 
 

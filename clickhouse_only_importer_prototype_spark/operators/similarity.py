@@ -1243,17 +1243,19 @@ def cosine_topk_pq(
                 drow = dist[qi]
                 mask = ids != qids[qi]  # self-match excluded
                 cand_ids = ids[mask]
-                cand_d = drow[mask]
-                # deterministic local top-shortlist: (dist, id) lexsort
-                order = np.lexsort((cand_ids, cand_d))[:shortlist]
+                # quantize BEFORE the local selection so the local
+                # top-shortlist and the global window sort on the
+                # IDENTICAL key (quantized dist, id) — full-precision
+                # local + quantized global could disagree at the cut
+                # boundary under a different corpus partitioning
+                cand_q = np.floor(drow[mask] * 1e6).astype(np.int64)
+                order = np.lexsort((cand_ids, cand_q))[:shortlist]
                 res.append(
                     pd.DataFrame(
                         {
                             "query_id": qids[qi],
                             "neighbor_id": cand_ids[order],
-                            "adc_1e6": np.floor(
-                                cand_d[order] * 1e6
-                            ).astype(np.int64),
+                            "adc_1e6": cand_q[order],
                         }
                     )
                 )
@@ -1404,16 +1406,17 @@ def cosine_topk_ivfpq(
                 cand_ids = ids[mask]
                 if not len(cand_ids):
                     continue
-                cand_d = dist[qi][mask]
-                order = np.lexsort((cand_ids, cand_d))[:shortlist]
+                # quantized key for BOTH local and global selection
+                # (see cosine_topk_pq: boundary ties must not depend
+                # on corpus partitioning)
+                cand_q = np.floor(dist[qi][mask] * 1e6).astype(np.int64)
+                order = np.lexsort((cand_ids, cand_q))[:shortlist]
                 res.append(
                     pd.DataFrame(
                         {
                             "query_id": qids[qi],
                             "neighbor_id": cand_ids[order],
-                            "adc_1e6": np.floor(
-                                cand_d[order] * 1e6
-                            ).astype(np.int64),
+                            "adc_1e6": cand_q[order],
                         }
                     )
                 )

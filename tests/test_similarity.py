@@ -521,7 +521,13 @@ def test_pq_full_shortlist_equals_bruteforce(spark, sf_dir):
         similarity as sim,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    # deterministic subset, NOT .limit(200): an unordered limit is
+    # re-evaluated per job (brute collect, codebook training, encode
+    # scan, rescore join) and Spark does not guarantee a stable row
+    # subset across jobs on multi-partition input
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
     q = emb.where(F.col("vec_id") < 5)
     brute = sim.cosine_topk_bruteforce(emb, q, k=5)
     pq = sim.cosine_topk_pq(
