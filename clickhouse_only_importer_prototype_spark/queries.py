@@ -12502,64 +12502,50 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries registered, WHICH ones get hard-gate rows is a curated
 # decision, not registration order.
 #
-# ROUND-8 ROTATION (round-7 verdict #3: with the never-green backlog at
-# zero, the window's job is freshness + re-certifying what this round
-# touched):
-#   * slots 1-2: the two NEW oracled queries — the watermark lateness
-#     twin (verdict #1) and the three-family quarantine matrix
-#     (verdict #7);
-#   * slots 3-12: every query that now reads its payloads through the
-#     session-cached media_fixture parquet instead of inline synthesis
-#     (verdict #4) — the plan changed, so each goes back through the
-#     hard gate even though all were green r6/r7;
-#   * slots 13-41: ALL 29 queries whose newest green driver row is
-#     round 3 (the oldest remaining evidence tier, computed from the
-#     aggregated CORRECTNESS_r01-r07 files);
-#   * slots 42-50: round-4-newest flagships rewritten since their last
-#     green row — the broadcast-policy TPC-H family and the
-#     collapse-gated dedup/sampling trio.
+# ROUND-9 ROTATION (round-8 verdict #1: the two post-window twins are
+# the only oracled queries with zero driver rows — they lead; then the
+# entire round-4 evidence tier rotates through; the remainder fills
+# from the round-5 tier):
+#   * slots 1-2: `stream_join_late_probe` + `stream_session_native` —
+#     registered after the round-8 window froze, oracled and
+#     pre-validated driver-style but never driver-seen;
+#   * slots 3-29: ALL 27 queries whose newest green driver row is
+#     round 4 (computed from the aggregated CORRECTNESS_r01-r08
+#     newest-green distribution {r4:27, r5:41, r6:46, r7:42, r8:50});
+#   * slots 30-50: 21 of the 41 round-5-newest rows, picked for plan
+#     complexity (iterative graph, sketch audits, BPE, attribution,
+#     as-of) — the queries where silent drift would matter most.
 # After this window runs green, no oracled query's newest green row is
-# older than round 4. Rows-only entries never take window slots (their
+# older than round 5. Rows-only entries never take window slots (their
 # driver check is weaker by construction; see _ordered_names).
 _WINDOW_PRIORITY = [
-    # -- never-green: new round-8 queries (3) --
-    # (stream_dedup_eviction took the ninth round-4 slot —
-    # token_budget_sample keeps its round-4 green row, which still
-    # meets the freshness target)
-    "stream_late_drop", "multimodal_quarantine_matrix",
-    "stream_dedup_eviction",
-    # -- media_fixture plan-change re-proofs (10) --
-    "multimodal_features", "multimodal_resize",
-    "multimodal_audio_features",
-    "multimodal_phash_clusters", "multimodal_phash_neardup",
-    "multimodal_video_stats", "multimodal_video_frame_plan",
-    "multimodal_video_scene_cuts", "multimodal_av_demux",
-    "multimodal_quarantine_audit",
-    # -- stalest evidence: every round-3-newest row (29) --
-    "ann_cosine_topk", "ann_recall_check", "events_json_extract",
-    "events_pivot_counts", "events_sessionize", "events_sliding_counts",
-    "hll_distinct_audit", "intersect_except_customers", "lang_id",
-    "melt_unpivot_part", "multimodal_meta", "order_gaps",
-    "orders_profile", "pivot_concat_values", "priority_quantiles",
-    "q1_pricing_summary", "region_rollup", "segment_distinct_stats",
-    "sequence_packing", "sql_yearly_revenue", "surrogate_ids",
-    "text_quality", "text_redact_pii", "train_val_test_split",
-    "training_manifest", "union_all_slices", "window_topk_orders",
-    "winnow_fingerprint", "zorder_skipping_audit",
-    # -- round-4-newest flagships rewritten since (9) --
-    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
-    "q16_supplier_cnt", "q22_idle_balances", "q4_priority_exists",
-    "dedup_stats", "chunk_dedup",
+    # -- never-driver-seen: the round-8 post-window twins (2) --
+    "stream_join_late_probe", "stream_session_native",
+    # -- stalest evidence: every round-4-newest row (27) --
+    "cdc_merge_checksum", "compaction_plan", "cube_pricing",
+    "customer_spend_deciles", "dq_audit", "embedding_norm_stats",
+    "event_paths_top10", "events_cohort_retention", "events_funnel",
+    "events_funnel_anymatch", "events_gap_filled_hourly",
+    "events_rolling_counts", "incremental_agg_cdc",
+    "incremental_agg_merge", "incremental_dedup_delta",
+    "incremental_join_delta", "join_skew_audit", "price_histogram",
+    "quality_score", "scd2_asof_lookup", "scd2_priority_history",
+    "skew_routed_join", "snapshot_diff_orders", "source_quota_sample",
+    "split_leakage_audit", "stratified_lang_sample",
+    "token_budget_sample",
+    # -- round-5 tier fill: 21 highest-complexity plans (21) --
+    "attribution_last_touch", "attribution_linear", "bpe_compression",
+    "bpe_merges", "curriculum_order", "customer_rfm", "doc_chunks",
+    "events_asof_forward", "events_cusum", "events_ohlc_hourly",
+    "events_wau", "feature_hashing", "fk_integrity_audit",
+    "fuzzy_part_clusters", "graph_bfs_hops", "grouping_sets_pricing",
+    "heavy_hitter_bigrams", "inverted_index", "pagerank_custsupp",
+    "quantile_sketch_audit", "vocab_top_tokens",
 ]
 # Queries registered AFTER a window is pinned queue here for the next
 # rotation (the window itself stays frozen once curated so re-proof
-# slots keep their meaning): the stream-stream join late-probe twin
-# landed after the round-8 window froze; its oracle runs in
-# test_oracle.py every pytest run until it takes a driver slot next
-# round.
-_DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    "stream_join_late_probe", "stream_session_native",
-]
+# slots keep their meaning). Empty at round-9 curation time.
+_DEFERRED_TO_NEXT_WINDOW: list[str] = []
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects
 # evidence coverage — they follow the window in registration order.
