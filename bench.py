@@ -430,6 +430,36 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # ANN index artifacts are the same class: the BUILD (train + full
+    # encode scan + parquet write) is an offline pipeline in
+    # production, not query cost — pre-build the session-cached
+    # artifacts outside the timed region and report the cost as its
+    # own metric, so ann_prebuilt_equivalence times the SERVE path.
+    ann_build_secs: dict[str, float] = {}
+    for kind in ("ivf", "pq", "ivfpq"):
+        try:
+            t0 = time.perf_counter()
+            q.ann_index_fixture(spark, sf_dir, kind)
+            ann_build_secs[kind] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # fixture build must never fail bench
+            print(
+                f"  [bench] ann index {kind} skipped: {exc}",
+                file=sys.stderr,
+            )
+    if ann_build_secs:
+        print(
+            json.dumps(
+                {
+                    "metric": "ann_index_build_sec",
+                    "value": round(sum(ann_build_secs.values()), 3),
+                    "unit": "sec",
+                    "kinds": ann_build_secs,
+                    "sf": sf_dir,
+                }
+            ),
+            file=sys.stderr,
+        )
+
     # Best-of-2 per query: this box shows large ASYMMETRIC co-tenant
     # noise — three identical full runs measured 318.8s / 370.6s /
     # 414.8s with a DIFFERENT random subset of queries spiked 4-5x
@@ -568,6 +598,10 @@ def main() -> None:
             if synth_secs:
                 # scaffolding cost, reported but never inside query rows
                 artifact["media_fixture_synthesis_sec"] = synth_secs
+            if ann_build_secs:
+                # offline-pipeline cost (train + encode + write),
+                # reported but never inside query rows
+                artifact["ann_index_build_sec"] = ann_build_secs
             if reprobed:
                 artifact["reprobed"] = reprobed
             json.dump(artifact, fh, indent=1)

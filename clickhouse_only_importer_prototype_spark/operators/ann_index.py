@@ -1,0 +1,320 @@
+"""ANN index persistence: train-once / serve-many.
+
+At 100 TB the index IS the product. Retraining IVF centroids or PQ
+codebooks inside every top-k call is a toy-scale posture: training
+reads a corpus sliver, but it is a *job*, and the codes/cell tables it
+implies are a full corpus scan each — none of which belongs on the
+query path. This module splits the lifecycle the way a production
+vector store does:
+
+  * ``build_ann_index``  — ONE training pass (deterministic, seeded;
+    the same sliver-sized Lloyd as the in-session path) plus ONE full
+    corpus encode scan, persisted as a parquet artifact;
+  * ``load_ann_index``   — driver-side metadata read (centroids and
+    codebooks are KB-scale; pyarrow, no Spark job) + a lazy handle on
+    the distributed codes table;
+  * ``encode_new_vectors`` — the incremental posture: NEW vectors are
+    encoded against the FROZEN codebooks/centroids and appended to the
+    codes table. No retrain, no touch of existing codes. Codebook
+    drift is a rebuild decision (recall audits — ``topk_recall`` —
+    decide when), never an implicit side effect of ingest.
+
+Artifact layout (directory of parquet tables)::
+
+    <path>/meta.parquet        1 row: kind, dim, m, n_codes,
+                               n_centroids, seed, format_version
+    <path>/centroids.parquet   (cell long, centroid array<double>)
+                               [ivf, ivfpq]
+    <path>/codebooks.parquet   (subspace long, code long,
+                               centroid array<double>)   [pq, ivfpq]
+    <path>/codes.parquet       (vec_id long, cluster long,
+                               codes array<long>) — Spark-written,
+                               distributed; cluster is NULL for pure
+                               PQ, codes is NULL for pure IVF
+
+meta/centroids/codebooks are written driver-side with pyarrow: they
+are metadata-scale (n_centroids + m*n_codes rows) and the Python
+local-relation write path costs ~5s per tiny frame on this runtime
+(the round-8 ``genetic_profile_samples`` finding) — pyarrow writes the
+same bytes in milliseconds and Spark/DuckDB read them identically.
+float64 survives the parquet round-trip bit-exactly, so a loaded index
+serves BIT-IDENTICAL results to the in-session-trained path (pinned by
+tests/test_ann_index.py).
+
+Reference: N/A — no similarity surface in the reference importer
+(north-star extension mandated by BASELINE.json's 100 TB design bar).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq_io
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clickhouse_only_importer_prototype_spark.operators.similarity import (
+    DEFAULT_SEED,
+    _as_double,
+    _ivf_probe_udf,
+    _pq_encode_udf,
+    ivf_train_centroids,
+    pq_train_codebooks,
+)
+
+FORMAT_VERSION = 1
+
+_KINDS = ("ivf", "pq", "ivfpq")
+
+
+@dataclass(frozen=True)
+class AnnIndex:
+    """Loaded (or just-built) index handle. centroids/codebooks are
+    driver-side numpy (KB-scale, broadcast into serving UDFs); the
+    codes table stays distributed and is read lazily per session."""
+
+    kind: str
+    dim: int
+    path: str
+    seed: int
+    n_centroids: int | None  # ivf / ivfpq
+    m: int | None  # pq / ivfpq
+    n_codes: int | None  # pq / ivfpq
+    centroids: np.ndarray | None  # (n_centroids, dim), row-normalized
+    codebooks: np.ndarray | None  # (m, n_codes, dim//m)
+
+    def codes(self, spark: SparkSession) -> DataFrame:
+        """The distributed per-vector table: (vec_id, cluster, codes).
+        At 100 TB this is the only corpus-sized artifact — written
+        once, re-read by every query; raw vectors are touched only by
+        the exact shortlist rescore."""
+        return spark.read.parquet(os.path.join(self.path, "codes.parquet"))
+
+
+def _write_meta_tables(
+    path: str,
+    kind: str,
+    dim: int,
+    seed: int,
+    n_centroids: int | None,
+    m: int | None,
+    n_codes: int | None,
+    centroids: np.ndarray | None,
+    codebooks: np.ndarray | None,
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    meta = pa.table(
+        {
+            "kind": [kind],
+            "dim": [dim],
+            "seed": [seed],
+            "n_centroids": pa.array([n_centroids], type=pa.int64()),
+            "m": pa.array([m], type=pa.int64()),
+            "n_codes": pa.array([n_codes], type=pa.int64()),
+            "format_version": [FORMAT_VERSION],
+        }
+    )
+    pq_io.write_table(meta, os.path.join(path, "meta.parquet"))
+    if centroids is not None:
+        cent = pa.table(
+            {
+                "cell": pa.array(range(len(centroids)), type=pa.int64()),
+                "centroid": pa.array(
+                    [row.tolist() for row in centroids],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+        pq_io.write_table(cent, os.path.join(path, "centroids.parquet"))
+    if codebooks is not None:
+        mm, nc, _ = codebooks.shape
+        cb = pa.table(
+            {
+                "subspace": pa.array(
+                    [j for j in range(mm) for _ in range(nc)],
+                    type=pa.int64(),
+                ),
+                "code": pa.array(
+                    [c for _ in range(mm) for c in range(nc)],
+                    type=pa.int64(),
+                ),
+                "centroid": pa.array(
+                    [
+                        codebooks[j, c].tolist()
+                        for j in range(mm)
+                        for c in range(nc)
+                    ],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+        pq_io.write_table(cb, os.path.join(path, "codebooks.parquet"))
+
+
+def _encoded_frame(
+    df: DataFrame,
+    kind: str,
+    centroids: np.ndarray | None,
+    codebooks: np.ndarray | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, cluster, codes) for ``df`` against FROZEN parameters —
+    ONE scan computes whichever of cell/codes the kind needs (two
+    Arrow UDFs over the same projection; a join of separate assign +
+    encode passes measured 33.6s at 2M vectors — the same scan-side
+    fusion as cosine_topk_ivfpq). The encoder is ``_pq_encode_udf``,
+    the single implementation shared with the in-session path, so
+    stored and in-session codes are bit-identical by construction."""
+    cols = [F.col(id_col).cast("long").alias("vec_id")]
+    if centroids is not None:
+        assign = _ivf_probe_udf(centroids, 1)
+        cols.append(assign(F.col(vec_col))[0].alias("cluster"))
+    else:
+        cols.append(F.lit(None).cast("long").alias("cluster"))
+    if codebooks is not None:
+        encode = _pq_encode_udf(codebooks)
+        cols.append(encode(_as_double(vec_col)).alias("codes"))
+    else:
+        cols.append(F.lit(None).cast("array<long>").alias("codes"))
+    return df.select(*cols)
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    kind: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int | None = None,
+    iters: int = 2,
+    pq_iters: int | None = None,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnIndex:
+    """Train + encode + persist. The ``n_codes``/``pq_iters`` defaults
+    resolve PER KIND to the matching serving function's training
+    defaults (pq: n_codes=16, iters=3 — cosine_topk_pq; ivfpq:
+    n_codes=32, iters=``iters`` — cosine_topk_ivfpq trains codebooks
+    with its single ``iters``), so a default build serves
+    bit-identically to a default in-session call. Explicit values
+    override; then the serving call must pass the same ones."""
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {_KINDS}: {kind!r}")
+    if n_codes is None:
+        n_codes = 16 if kind == "pq" else 32
+    if pq_iters is None:
+        pq_iters = 3 if kind == "pq" else iters
+    centroids = (
+        ivf_train_centroids(
+            corpus, dim, n_centroids, iters, seed, id_col, vec_col
+        )
+        if kind in ("ivf", "ivfpq")
+        else None
+    )
+    codebooks = (
+        pq_train_codebooks(
+            corpus, dim, m, n_codes, pq_iters, seed, id_col, vec_col
+        )
+        if kind in ("pq", "ivfpq")
+        else None
+    )
+    _write_meta_tables(
+        path,
+        kind,
+        dim,
+        seed,
+        n_centroids if centroids is not None else None,
+        m if codebooks is not None else None,
+        n_codes if codebooks is not None else None,
+        centroids,
+        codebooks,
+    )
+    _encoded_frame(
+        corpus, kind, centroids, codebooks, id_col, vec_col
+    ).write.mode("overwrite").parquet(os.path.join(path, "codes.parquet"))
+    return AnnIndex(
+        kind=kind,
+        dim=dim,
+        path=path,
+        seed=seed,
+        n_centroids=n_centroids if centroids is not None else None,
+        m=m if codebooks is not None else None,
+        n_codes=n_codes if codebooks is not None else None,
+        centroids=centroids,
+        codebooks=codebooks,
+    )
+
+
+def load_ann_index(path: str) -> AnnIndex:
+    """Driver-side artifact load: meta + centroids + codebooks via
+    pyarrow (no Spark job — they are KB-scale). The codes table is NOT
+    read here; ``AnnIndex.codes(spark)`` hands back the lazy scan."""
+    meta = pq_io.read_table(os.path.join(path, "meta.parquet")).to_pydict()
+    kind = meta["kind"][0]
+    if kind not in _KINDS:
+        raise ValueError(f"unknown index kind in artifact: {kind!r}")
+    ver = meta["format_version"][0]
+    if ver > FORMAT_VERSION:
+        raise ValueError(f"artifact format v{ver} newer than reader v{FORMAT_VERSION}")
+    centroids = codebooks = None
+    if kind in ("ivf", "ivfpq"):
+        t = pq_io.read_table(os.path.join(path, "centroids.parquet"))
+        d = t.to_pydict()
+        order = np.argsort(np.asarray(d["cell"]))
+        centroids = np.array(
+            [d["centroid"][i] for i in order], dtype=np.float64
+        )
+    if kind in ("pq", "ivfpq"):
+        t = pq_io.read_table(os.path.join(path, "codebooks.parquet"))
+        d = t.to_pydict()
+        mm = int(meta["m"][0])
+        nc = int(meta["n_codes"][0])
+        dim = int(meta["dim"][0])
+        codebooks = np.empty((mm, nc, dim // mm), dtype=np.float64)
+        for j, c, v in zip(d["subspace"], d["code"], d["centroid"]):
+            codebooks[j, c] = v
+    return AnnIndex(
+        kind=kind,
+        dim=int(meta["dim"][0]),
+        path=path,
+        seed=int(meta["seed"][0]),
+        n_centroids=(
+            int(meta["n_centroids"][0])
+            if meta["n_centroids"][0] is not None
+            else None
+        ),
+        m=int(meta["m"][0]) if meta["m"][0] is not None else None,
+        n_codes=(
+            int(meta["n_codes"][0]) if meta["n_codes"][0] is not None else None
+        ),
+        centroids=centroids,
+        codebooks=codebooks,
+    )
+
+
+def encode_new_vectors(
+    index: AnnIndex,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    append: bool = True,
+) -> DataFrame:
+    """Incremental ingest: encode ``new_vectors`` against the FROZEN
+    centroids/codebooks and (by default) append to the codes table.
+    This is the production posture — ingest never retrains; recall
+    audits decide rebuilds. Returns the encoded frame (lazily, if
+    ``append`` is False; already-written otherwise)."""
+    enc = _encoded_frame(
+        new_vectors, index.kind, index.centroids, index.codebooks,
+        id_col, vec_col,
+    )
+    if append:
+        enc.write.mode("append").parquet(
+            os.path.join(index.path, "codes.parquet")
+        )
+    return enc

@@ -415,6 +415,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float | None = None,
+    prebuilt=None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -425,16 +426,37 @@ def cosine_topk_ivf(
     a training pass. At 100 TB the assignment output would be written
     bucketed by cluster so the probe join is co-located and prunes to
     nprobe/n_centroids of the data per query.
-    """
-    cents = ivf_train_centroids(
-        corpus, dim, n_centroids, iters, seed, id_col, vec_col, train_fraction
-    )
-    assign = _ivf_probe_udf(cents, 1)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("cv"),
-        assign(F.col(vec_col))[0].alias("cluster"),
-    )
+
+    ``prebuilt`` (an ``ann_index.AnnIndex``) switches to the
+    train-once / serve-many posture: centroids load from the artifact
+    (no training job) and cell assignments come from the persisted
+    codes table (no assignment scan of raw vectors) — raw vectors are
+    only read for the exact within-cell rerank. Results are
+    bit-identical to the in-session path with matching parameters
+    (training is seeded/partition-stable and float64 survives parquet
+    exactly; pinned by tests/test_ann_index.py)."""
+    if prebuilt is not None:
+        if prebuilt.centroids is None:
+            raise ValueError(f"index kind {prebuilt.kind!r} has no centroids")
+        cents = prebuilt.centroids
+        cells = prebuilt.codes(corpus.sparkSession).select(
+            F.col("vec_id").alias("neighbor_id"), "cluster"
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+        ).join(cells, "neighbor_id")
+    else:
+        cents = ivf_train_centroids(
+            corpus, dim, n_centroids, iters, seed, id_col, vec_col,
+            train_fraction,
+        )
+        assign = _ivf_probe_udf(cents, 1)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+            assign(F.col(vec_col))[0].alias("cluster"),
+        )
     probe = _ivf_probe_udf(cents, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1142,16 +1164,13 @@ def pq_train_codebooks(
     )
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<long>) — nearest codebook entry per subspace
-    over the normalized vector. One Arrow-batched matmul pass; ties
-    take the lowest code id (stable argsort), so codes are
-    deterministic across partitionings."""
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched encoder: nearest codebook entry per subspace over
+    the normalized vector -> array<long>. Ties take the lowest code id
+    (stable argsort), so codes are deterministic across partitionings.
+    The ONE encode implementation — pq_encode, cosine_topk_ivfpq, and
+    ann_index build/append all call this, so stored and in-session
+    codes are bit-identical by construction."""
     m, n_codes, dsub = codebooks.shape
     cb = codebooks.copy()
 
@@ -1171,6 +1190,18 @@ def pq_encode(
             out[:, j] = np.argsort(d2, axis=1, kind="stable")[:, 0]
         return pd.Series(list(out))
 
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<long>) — one Arrow-batched matmul pass via
+    ``_pq_encode_udf`` (see there for the determinism contract)."""
+    encode = _pq_encode_udf(codebooks)
     return df.select(
         F.col(id_col).alias("vec_id_pq"), encode(_as_double(vec_col)).alias("codes")
     )
@@ -1188,6 +1219,7 @@ def cosine_topk_pq(
     seed: int = DEFAULT_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prebuilt=None,
 ) -> DataFrame:
     """Approximate cosine top-k via PQ ADC shortlist + exact rescore:
     (query_id, neighbor_id, rank, cos_1e6) — the LSH/IVF output shape.
@@ -1200,11 +1232,27 @@ def cosine_topk_pq(
     selection), a per-query window takes the global shortlist, and
     only those ids rejoin the raw vectors for the exact cosine
     re-rank. ADC sums run in fixed subspace order per row ->
-    deterministic; shortlist ties break on neighbor id."""
-    codebooks = pq_train_codebooks(
-        corpus, dim, m, n_codes, iters, seed, id_col, vec_col
-    )
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    deterministic; shortlist ties break on neighbor id.
+
+    ``prebuilt`` (an ``ann_index.AnnIndex``) is the train-once /
+    serve-many posture: codebooks load from the artifact (no training
+    job) and the ADC scan reads the PERSISTED codes table — the
+    serving path never touches raw corpus vectors except to rescore
+    the shortlist. Bit-identical to in-session with matching params
+    (pinned by tests/test_ann_index.py)."""
+    if prebuilt is not None:
+        if prebuilt.codebooks is None:
+            raise ValueError(f"index kind {prebuilt.kind!r} has no codebooks")
+        codebooks = prebuilt.codebooks
+        m, n_codes = codebooks.shape[0], codebooks.shape[1]
+        codes = prebuilt.codes(corpus.sparkSession).select(
+            F.col("vec_id").alias("vec_id_pq"), "codes"
+        )
+    else:
+        codebooks = pq_train_codebooks(
+            corpus, dim, m, n_codes, iters, seed, id_col, vec_col
+        )
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
     dsub = dim // m
     qrows = sorted(
         queries.select(
@@ -1314,6 +1362,7 @@ def cosine_topk_ivfpq(
     seed: int = DEFAULT_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prebuilt=None,
 ) -> DataFrame:
     """IVF-PQ: the composed production serving shape (FAISS's IVFPQ,
     public) — coarse spherical-k-means cells prune the corpus to
@@ -1329,39 +1378,44 @@ def cosine_topk_ivfpq(
     rule). Output shape: (query_id, neighbor_id, rank, cos_1e6),
     identical to the sibling ANN variants. Deterministic: both
     trainers key on value hashes, ADC sums run in fixed subspace
-    order, all tie-breaks on ids."""
-    cents = ivf_train_centroids(
-        corpus, dim, n_centroids, iters, seed, id_col, vec_col
-    )
-    codebooks = pq_train_codebooks(
-        corpus, dim, m, n_codes, iters, seed, id_col, vec_col
-    )
-    assign = _ivf_probe_udf(cents, 1)
-    # one corpus scan computes BOTH the cell and the codes (two Arrow
-    # UDFs over the same projection) — a join of the two passes
-    # measured 33.6s at 2M vectors, scan-side fusion removes it
-    m_, n_codes_, dsub_ = codebooks.shape
-    cb = codebooks.copy()
+    order, all tie-breaks on ids.
 
-    @pandas_udf(ArrayType(LongType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        mat = _normalize_rows(np.array(vecs.tolist(), dtype=np.float64))
-        out = np.empty((len(mat), m_), dtype=np.int64)
-        for j in range(m_):
-            sub = mat[:, j * dsub_ : (j + 1) * dsub_]
-            d2 = (
-                (sub * sub).sum(axis=1, keepdims=True)
-                - 2.0 * (sub @ cb[j].T)
-                + (cb[j] * cb[j]).sum(axis=1)
+    ``prebuilt`` (an ``ann_index.AnnIndex`` of kind 'ivfpq') is the
+    full train-once / serve-many posture: centroids + codebooks load
+    from the artifact and the candidate scan reads the persisted
+    (cell, codes) table directly — the query path runs zero training
+    jobs and zero raw-vector scans outside the shortlist rescore.
+    Bit-identical to in-session with matching params (pinned by
+    tests/test_ann_index.py)."""
+    if prebuilt is not None:
+        if prebuilt.centroids is None or prebuilt.codebooks is None:
+            raise ValueError(
+                f"index kind {prebuilt.kind!r} lacks centroids or codebooks"
             )
-            out[:, j] = np.argsort(d2, axis=1, kind="stable")[:, 0]
-        return pd.Series(list(out))
-
-    codes = corpus.select(
-        F.col(id_col).alias("vec_id_pq"),
-        assign(F.col(vec_col))[0].alias("cluster"),
-        encode(_as_double(vec_col)).alias("codes"),
-    )
+        cents = prebuilt.centroids
+        codebooks = prebuilt.codebooks
+        m, n_codes = codebooks.shape[0], codebooks.shape[1]
+        codes = prebuilt.codes(corpus.sparkSession).select(
+            F.col("vec_id").alias("vec_id_pq"), "cluster", "codes"
+        )
+    else:
+        cents = ivf_train_centroids(
+            corpus, dim, n_centroids, iters, seed, id_col, vec_col
+        )
+        codebooks = pq_train_codebooks(
+            corpus, dim, m, n_codes, iters, seed, id_col, vec_col
+        )
+        assign = _ivf_probe_udf(cents, 1)
+        # one corpus scan computes BOTH the cell and the codes (two
+        # Arrow UDFs over the same projection) — a join of the two
+        # passes measured 33.6s at 2M vectors, scan-side fusion
+        # removes it
+        encode = _pq_encode_udf(codebooks)
+        codes = corpus.select(
+            F.col(id_col).alias("vec_id_pq"),
+            assign(F.col(vec_col))[0].alias("cluster"),
+            encode(_as_double(vec_col)).alias("codes"),
+        )
     dsub = dim // m
     probe = _ivf_probe_udf(cents, nprobe)
     qrows = sorted(

@@ -28,6 +28,7 @@ from pyspark.sql.types import TimestampNTZType, TimestampType
 
 from clickhouse_only_importer_prototype_spark import stats
 from clickhouse_only_importer_prototype_spark.operators import (
+    ann_index as annix_ops,
     cdc as cdc_ops,
     dedup as dedup_ops,
     graph as graph_ops,
@@ -3879,6 +3880,93 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # prune, like standalone IVF's 0.5 floor at measured 0.56
         .unionByName(sim_ops.topk_recall(truth, ivfpq, "ivfpq", 450))
     )
+
+
+_ANN_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def ann_index_fixture(spark: SparkSession, sf_dir: str, kind: str):
+    """Session-cached persisted ANN index artifact per (sf_dir, kind) —
+    the media_fixture pattern applied to the train-once/serve-many
+    lifecycle (operators/ann_index.py). First call per session trains
+    + encodes + writes the parquet artifact into a tempdir; every
+    later call is a driver-side metadata load (no Spark job) plus a
+    lazy handle on the codes table. In production the artifact is a
+    durable table and the build is an offline pipeline — caching here
+    keeps repeated bench/gate runs measuring the SERVE path, exactly
+    like stored media payloads."""
+    key = (sf_dir, kind)
+    path = _ANN_INDEX_DIRS.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"ann_index_{kind}_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        annix_ops.build_ann_index(
+            load(spark, sf_dir, "embeddings"), path, kind, dim=64
+        )
+        _ANN_INDEX_DIRS[key] = path
+    return annix_ops.load_ann_index(path)
+
+
+@register(
+    "ann_prebuilt_equivalence",
+    """
+    SELECT 'ivf' AS variant, TRUE AS identical
+    UNION ALL SELECT 'ivfpq', TRUE
+    UNION ALL SELECT 'pq', TRUE
+    """,
+)
+def ann_prebuilt_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / serve-many hard gate: for each trained ANN variant
+    the top-k served from a PERSISTED index artifact (centroids /
+    codebooks / codes loaded from parquet — zero training jobs on the
+    query path) must equal the in-session-trained top-k row-for-row.
+
+    The equality is provable because training is deterministic
+    (seeded, partition-stable init) and float64 survives the parquet
+    round-trip bit-exactly — so the oracle pins ``identical`` TRUE per
+    variant and any artifact-layout, loader, or serving-path drift
+    hash-mismatches the hard gate. The comparison runs in-engine
+    (symmetric exceptAll counts folded to one boolean per variant);
+    both sides persist so each serve plan executes once.
+
+    Scale rationale: at 100 TB the index IS the product — retraining
+    per query is a toy posture. This gate certifies that switching to
+    the artifact path changes NOTHING about results, which is what
+    makes the offline-build + online-serve split deployable."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    plans = []
+    for kind, fn in (
+        ("ivf", sim_ops.cosine_topk_ivf),
+        ("ivfpq", sim_ops.cosine_topk_ivfpq),
+        ("pq", sim_ops.cosine_topk_pq),
+    ):
+        idx = ann_index_fixture(spark, sf_dir, kind)
+        insession = fn(emb, q, dim=64, k=5).persist()
+        served = fn(emb, q, dim=64, k=5, prebuilt=idx).persist()
+        plans.append(
+            insession.exceptAll(served)
+            .agg(F.count(F.lit(1)).alias("extra_insession"))
+            .crossJoin(
+                served.exceptAll(insession)
+                .agg(F.count(F.lit(1)).alias("extra_served"))
+            )
+            .select(
+                F.lit(kind).alias("variant"),
+                (
+                    (F.col("extra_insession") + F.col("extra_served"))
+                    == F.lit(0)
+                ).alias("identical"),
+            )
+        )
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _write_ordered_source_files(src: str, parts) -> None:
@@ -12506,19 +12594,23 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only oracled queries with zero driver rows — they lead; then the
 # entire round-4 evidence tier rotates through; the remainder fills
 # from the round-5 tier):
-#   * slots 1-2: `stream_join_late_probe` + `stream_session_native` —
+#   * slot 1: `ann_prebuilt_equivalence` — NEW this round (the ANN
+#     index-persistence hard gate, round-8 verdict #2), never-green;
+#   * slots 2-3: `stream_join_late_probe` + `stream_session_native` —
 #     registered after the round-8 window froze, oracled and
 #     pre-validated driver-style but never driver-seen;
-#   * slots 3-29: ALL 27 queries whose newest green driver row is
+#   * slots 4-30: ALL 27 queries whose newest green driver row is
 #     round 4 (computed from the aggregated CORRECTNESS_r01-r08
 #     newest-green distribution {r4:27, r5:41, r6:46, r7:42, r8:50});
-#   * slots 30-50: 21 of the 41 round-5-newest rows, picked for plan
+#   * slots 31-50: 20 of the 41 round-5-newest rows, picked for plan
 #     complexity (iterative graph, sketch audits, BPE, attribution,
 #     as-of) — the queries where silent drift would matter most.
 # After this window runs green, no oracled query's newest green row is
 # older than round 5. Rows-only entries never take window slots (their
 # driver check is weaker by construction; see _ordered_names).
 _WINDOW_PRIORITY = [
+    # -- never-green: new round-9 oracled query (1) --
+    "ann_prebuilt_equivalence",
     # -- never-driver-seen: the round-8 post-window twins (2) --
     "stream_join_late_probe", "stream_session_native",
     # -- stalest evidence: every round-4-newest row (27) --
@@ -12533,14 +12625,14 @@ _WINDOW_PRIORITY = [
     "skew_routed_join", "snapshot_diff_orders", "source_quota_sample",
     "split_leakage_audit", "stratified_lang_sample",
     "token_budget_sample",
-    # -- round-5 tier fill: 21 highest-complexity plans (21) --
+    # -- round-5 tier fill: 20 highest-complexity plans (20) --
     "attribution_last_touch", "attribution_linear", "bpe_compression",
     "bpe_merges", "curriculum_order", "customer_rfm", "doc_chunks",
     "events_asof_forward", "events_cusum", "events_ohlc_hourly",
     "events_wau", "feature_hashing", "fk_integrity_audit",
     "fuzzy_part_clusters", "graph_bfs_hops", "grouping_sets_pricing",
     "heavy_hitter_bigrams", "inverted_index", "pagerank_custsupp",
-    "quantile_sketch_audit", "vocab_top_tokens",
+    "quantile_sketch_audit",
 ]
 # Queries registered AFTER a window is pinned queue here for the next
 # rotation (the window itself stays frozen once curated so re-proof

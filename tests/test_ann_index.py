@@ -1,0 +1,157 @@
+"""ANN index persistence (operators/ann_index.py): the train-once /
+serve-many lifecycle must be BIT-IDENTICAL to the in-session path —
+artifact round-trip exactness, prebuilt serving equality per variant,
+and the frozen-codebook incremental-ingest posture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_only_importer_prototype_spark.operators import (
+    ann_index as ai,
+    similarity as sim,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def built(spark, emb, tmp_path_factory):
+    """One artifact per kind, built once for the module."""
+    root = tmp_path_factory.mktemp("ann_index")
+    out = {}
+    for kind in ("ivf", "pq", "ivfpq"):
+        path = str(root / kind)
+        out[kind] = (ai.build_ann_index(emb, path, kind, dim=64), path)
+    return out
+
+
+def test_roundtrip_bit_identity(built):
+    """float64 centroids/codebooks must survive the parquet round-trip
+    exactly — the precondition for every equality below."""
+    for kind, (idx, path) in built.items():
+        loaded = ai.load_ann_index(path)
+        assert loaded.kind == kind and loaded.dim == 64
+        if idx.centroids is None:
+            assert loaded.centroids is None
+        else:
+            assert np.array_equal(idx.centroids, loaded.centroids)
+        if idx.codebooks is None:
+            assert loaded.codebooks is None
+        else:
+            assert np.array_equal(idx.codebooks, loaded.codebooks)
+
+
+def test_codes_table_shape(spark, built, emb):
+    n = emb.count()
+    for kind, (_, path) in built.items():
+        codes = ai.load_ann_index(path).codes(spark)
+        assert codes.columns == ["vec_id", "cluster", "codes"]
+        assert codes.count() == n
+        rows = codes.limit(5).collect()
+        for r in rows:
+            if kind in ("ivf", "ivfpq"):
+                assert r.cluster is not None
+            else:
+                assert r.cluster is None
+            if kind in ("pq", "ivfpq"):
+                assert r.codes is not None and len(r.codes) == 8
+            else:
+                assert r.codes is None
+
+
+@pytest.mark.parametrize("kind", ["ivf", "pq", "ivfpq"])
+def test_prebuilt_serving_equals_insession(spark, built, emb, kind):
+    """Default build params mirror the serving defaults per kind, so a
+    prebuilt serve must reproduce the in-session top-k row-for-row
+    (training is seeded/partition-stable; no tolerance, exact
+    equality)."""
+    fn = {
+        "ivf": sim.cosine_topk_ivf,
+        "pq": sim.cosine_topk_pq,
+        "ivfpq": sim.cosine_topk_ivfpq,
+    }[kind]
+    q = emb.where(F.col("vec_id") < 6)
+    loaded = ai.load_ann_index(built[kind][1])
+    insess = sorted(map(tuple, fn(emb, q, dim=64, k=5).collect()))
+    served = sorted(
+        map(tuple, fn(emb, q, dim=64, k=5, prebuilt=loaded).collect())
+    )
+    assert insess and insess == served
+
+
+def test_prebuilt_kind_mismatch_raises(spark, built, emb):
+    q = emb.where(F.col("vec_id") < 2)
+    ivf_idx = ai.load_ann_index(built["ivf"][1])
+    pq_idx = ai.load_ann_index(built["pq"][1])
+    with pytest.raises(ValueError, match="no codebooks"):
+        sim.cosine_topk_pq(emb, q, dim=64, prebuilt=ivf_idx)
+    with pytest.raises(ValueError, match="no centroids"):
+        sim.cosine_topk_ivf(emb, q, dim=64, prebuilt=pq_idx)
+    with pytest.raises(ValueError, match="lacks centroids or codebooks"):
+        sim.cosine_topk_ivfpq(emb, q, dim=64, prebuilt=pq_idx)
+
+
+def test_bad_kind_and_version_rejected(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="kind must be one of"):
+        ai.build_ann_index(emb, str(tmp_path / "x"), "hnsw", dim=64)
+    # future format version must fail loud, not misread
+    import pyarrow.parquet as pq_io
+
+    path = str(tmp_path / "v99")
+    ai.build_ann_index(emb.limit(64), path, "ivf", dim=64)
+    meta = pq_io.read_table(f"{path}/meta.parquet").to_pydict()
+    meta["format_version"] = [99]
+    import pyarrow as pa
+
+    pq_io.write_table(pa.table(meta), f"{path}/meta.parquet")
+    with pytest.raises(ValueError, match="newer than reader"):
+        ai.load_ann_index(path)
+
+
+def test_incremental_append_frozen_codebooks(spark, emb, tmp_path):
+    """The production ingest posture: new vectors encode against the
+    FROZEN codebooks/centroids and append to the codes table — no
+    retrain, existing codes untouched — and a subsequent prebuilt
+    serve sees them. An exact copy of a query vector appended under a
+    new id must come back as its rank-1 neighbor."""
+    path = str(tmp_path / "ivfpq_inc")
+    idx = ai.build_ann_index(emb, path, "ivfpq", dim=64)
+    before = {
+        r.vec_id: (r.cluster, tuple(r.codes))
+        for r in idx.codes(spark).collect()
+    }
+
+    qid = 3
+    clone_id = 9_000_000 + qid
+    clone = emb.where(F.col("vec_id") == qid).withColumn(
+        "vec_id", F.lit(clone_id).cast(emb.schema["vec_id"].dataType)
+    )
+    ai.encode_new_vectors(idx, clone)
+
+    after = {
+        r.vec_id: (r.cluster, tuple(r.codes))
+        for r in idx.codes(spark).collect()
+    }
+    assert len(after) == len(before) + 1
+    for vid, enc in before.items():
+        assert after[vid] == enc  # existing codes byte-stable
+    # the clone's codes equal its source's codes: same vector, same
+    # frozen codebooks -> identical encoding by determinism
+    assert after[clone_id] == after[qid]
+
+    # serve over the grown corpus + appended index: clone is rank 1
+    grown = emb.unionByName(clone)
+    loaded = ai.load_ann_index(path)
+    q = emb.where(F.col("vec_id") == qid)
+    top = sim.cosine_topk_ivfpq(
+        grown, q, dim=64, k=3, prebuilt=loaded
+    ).collect()
+    best = min(top, key=lambda r: r.rank)
+    assert best.neighbor_id == clone_id
+    assert best.cos_1e6 >= 999_999  # exact copy -> cosine 1.0 (floor'd)
