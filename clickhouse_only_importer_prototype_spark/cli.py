@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
         " one-line description",
     )
     parser.add_argument(
+        "-parallelism", "--parallelism", type=int, default=1,
+        help="convert modes: studies processed concurrently (driver"
+        " threads submitting independent Spark jobs; 1 = the"
+        " reference's sequential loop). Outputs are identical; see"
+        " plans/pipelines.py for the failure-semantics note",
+    )
+    parser.add_argument(
         "-oracle", "--oracle", action="store_true",
         help="query mode: run the query AND its DuckDB oracle on the"
         " same parquet dir and print the driver-identical match"
@@ -229,6 +236,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.tsv_dir,
                     args.parquet_dir,
                     with_derived=args.mode.endswith("with-derived"),
+                    max_workers=args.parallelism,
                 )
             except Exception as exc:  # noqa: BLE001
                 logging.error("convert-cna aborted: %s", exc)
@@ -241,7 +249,10 @@ def main(argv: list[str] | None = None) -> int:
                 with_derived=args.mode.endswith("with-derived"),
             )
         elif args.mode == "convert-mutations":
-            summary = pipelines.convert_mutations(spark, args.tsv_dir, args.parquet_dir)
+            summary = pipelines.convert_mutations(
+                spark, args.tsv_dir, args.parquet_dir,
+                max_workers=args.parallelism,
+            )
             rc = 0 if summary.ok else 1
         elif args.mode in ("combine-cna", "combine-cna-with-derived"):
             pipelines.combine_cna(

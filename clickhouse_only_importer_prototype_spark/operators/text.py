@@ -315,33 +315,25 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def winnow_fingerprints(
+def winnow_gram_hashes(
     df: DataFrame,
     text_col: str = "text",
     k: int = 4,
-    w: int = 5,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
-    hash every word k-gram, slide a w-window over the ordered hash
-    sequence, keep each window's minimum, emit the distinct mins as
-    (doc_id, fp) rows.
+    """(doc_id, __hs array<long>) — the ordered gram-hash sequence the
+    winnowing window slides over; split out of winnow_fingerprints so
+    the fast-path gate (queries.winnow_fast_gate) can check fp-subset
+    membership against the SAME gram plan, not a reimplementation.
 
-    The fingerprint set is position-robust (local edits perturb only
-    nearby windows) and size-bounded (~1/w of the grams), which is what
-    makes it the plagiarism/near-dup index of choice at corpus scale.
-    Everything is row-local array algebra — no shuffle, no UDF; the
-    gram hash is the first 15 hex digits of md5 parsed as int64 so a
-    SQL oracle reproduces it bit-for-bit. Docs shorter than k tokens
-    fall back to one fingerprint of the whole normalized text.
+    HOF discipline (100 TB rule): a lambda may touch ONLY its lambda
+    variable — any outer expression inside a lambda is re-evaluated
+    per element, turning O(n) plans into O(n²). Expensive arrays are
+    therefore staged as materialized columns between selects (each
+    referenced >1 time, so CollapseProject won't inline them) and
+    sliding windows are built by zipping shifted slices, never by
+    slice-inside-transform.
     """
-    # HOF discipline (100 TB rule): a lambda may touch ONLY its lambda
-    # variable — any outer expression inside a lambda is re-evaluated
-    # per element, turning O(n) plans into O(n²). Expensive arrays are
-    # therefore staged as materialized columns between selects (each
-    # referenced >1 time, so CollapseProject won't inline them) and
-    # sliding windows are built by zipping shifted slices, never by
-    # slice-inside-transform.
     staged = df.select(
         F.col("doc_id"),
         F.col(text_col).alias("__text"),
@@ -370,10 +362,33 @@ def winnow_fingerprints(
             return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64': {hash_fn}")
-    hashed = staged.select(
+    return staged.select(
         "doc_id",
         F.transform(grams, gram_hash).alias("__hs"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every word k-gram, slide a w-window over the ordered hash
+    sequence, keep each window's minimum, emit the distinct mins as
+    (doc_id, fp) rows.
+
+    The fingerprint set is position-robust (local edits perturb only
+    nearby windows) and size-bounded (~1/w of the grams), which is what
+    makes it the plagiarism/near-dup index of choice at corpus scale.
+    Everything is row-local array algebra — no shuffle, no UDF; the
+    gram hash is the first 15 hex digits of md5 parsed as int64 so a
+    SQL oracle reproduces it bit-for-bit. Docs shorter than k tokens
+    fall back to one fingerprint of the whole normalized text.
+    """
+    hashed = winnow_gram_hashes(df, text_col, k, hash_fn)
     hs = F.col("__hs")
     n_wins = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
     zipped_h = F.arrays_zip(

@@ -68,31 +68,58 @@ class RunSummary:
         return not self.failed
 
 
+def _pipeline_pool(max_workers: int):
+    """Thread pool for cross-study concurrency. Spark job submission
+    is thread-safe and the scheduler interleaves concurrent jobs
+    across executor slots; the per-study loop's cost is DRIVER-side
+    blocking on each write action (measured 4.0s/study sequential for
+    CNA-with-derived at the 20-study tier — 2 header reads + 3 write
+    jobs of per-job overhead, not data). Threads overlap those waits;
+    the GIL is irrelevant because the time is spent inside blocking
+    JVM calls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(max_workers=max_workers)
+
+
 def convert_cna(
     spark: SparkSession,
     tsv_dir: str,
     parquet_dir: str,
     with_derived: bool = False,
     single_file: bool = True,
+    max_workers: int = 1,
 ) -> RunSummary:
     """convert-cna[-with-derived] (cmd/cli/main.go:111-151).
 
     Per study file: one scan -> genetic_alterations +
     genetic_profile_samples (+ derived). CNA mode aborts on first
     failure like the reference (cna/transformer.go:30-45).
+
+    ``max_workers`` > 1 runs studies concurrently (outputs are
+    independent per study, so results are identical to sequential;
+    pinned by tests). Abort-on-first-failure still holds: the first
+    study error cancels all not-yet-started studies and re-raises —
+    in-flight studies finish their current write, matching the
+    reference's already-written-files-stay posture.
     """
     inputs = discover_cna_files(tsv_dir)
     logger.info("found %d CNA files", len(inputs))
     summary = RunSummary()
     os.makedirs(parquet_dir, exist_ok=True)
-    for item in inputs:
+
+    def one(item) -> str:
         base = output_base(item.path, parquet_dir)
         df = read_cna_matrix(spark, item.path)
-        ga = cna_ops.genetic_alterations(df, item.cancer_study_id, item.genetic_profile_id)
+        ga = cna_ops.genetic_alterations(
+            df, item.cancer_study_id, item.genetic_profile_id
+        )
         gps = cna_ops.genetic_profile_samples(
             spark, df, item.cancer_study_id, item.genetic_profile_id
         )
-        write_parquet(ga, f"{base}_genetic_alterations.parquet", single_file=single_file)
+        write_parquet(
+            ga, f"{base}_genetic_alterations.parquet", single_file=single_file
+        )
         write_parquet(
             gps, f"{base}_genetic_profile_samples.parquet", single_file=single_file
         )
@@ -100,8 +127,27 @@ def convert_cna(
             derived = cna_ops.cna_derived(
                 df, item.cancer_study_id, item.genetic_profile_id
             )
-            write_parquet(derived, f"{base}_derived.parquet", single_file=single_file)
-        summary.processed.append(item.path)
+            write_parquet(
+                derived, f"{base}_derived.parquet", single_file=single_file
+            )
+        return item.path
+
+    if max_workers <= 1:
+        for item in inputs:
+            summary.processed.append(one(item))
+        return summary
+    from concurrent.futures import as_completed
+
+    with _pipeline_pool(max_workers) as pool:
+        futures = {pool.submit(one, item): item for item in inputs}
+        try:
+            for fut in as_completed(futures):
+                summary.processed.append(fut.result())
+        finally:
+            for fut in futures:
+                fut.cancel()
+    # deterministic report order regardless of completion order
+    summary.processed.sort()
     return summary
 
 
@@ -111,6 +157,7 @@ def convert_mutations(
     parquet_dir: str,
     start_event_id: int = 0,
     single_file: bool = True,
+    max_workers: int = 1,
 ) -> RunSummary:
     """convert-mutations (cmd/cli/main.go:396-424).
 
@@ -118,18 +165,35 @@ def convert_mutations(
     order (prefix-sum assigner) — the reference's sequential id
     threading without the sequential execution. Per-file failures are
     tolerated and reported (mutation/transformer.go:37-73).
+
+    ``max_workers`` > 1 switches to a two-phase prefix-sum: phase A
+    counts every file's rows concurrently (one column-pruned scan
+    each), the driver prefix-sums the counts in sorted-path order into
+    per-file start ids (id assignment identical to sequential — pinned
+    by tests), then phase B assigns ids and writes both outputs
+    concurrently. Failure semantics per phase: a file failing its READ
+    (phase A) consumes no ids, exactly like sequential; a file failing
+    its WRITE (phase B) has already reserved its id range, so later
+    files keep their (still unique, still sorted) ids and the range is
+    left unused — sequential mode would reuse it. Ids remain UNIQUE
+    and ordered in both modes; only gaplessness-after-mid-run-write-
+    failure differs, and the failure manifest records exactly which
+    files to replay.
     """
     inputs = discover_mutation_files(tsv_dir)
     logger.info("found %d mutation files", len(inputs))
     summary = RunSummary()
     os.makedirs(parquet_dir, exist_ok=True)
-    next_id = start_event_id
-    for item in inputs:
+
+    def write_one(item, start: int) -> int | None:
+        """Assign ids from ``start``, write both outputs; returns the
+        next free id on success (None on failure — the caller decides
+        whether the range was reserved)."""
         base = output_base(item.path, parquet_dir)
         out_paths = (f"{base}_mutation_event.parquet", f"{base}_mutation.parquet")
         try:
             df = read_maf(spark, item.path)
-            with_ids = mut_ops.with_sequential_ids(df, start=next_id)
+            with_ids = mut_ops.with_sequential_ids(df, start=start)
             with_ids = with_ids.persist()
             event_df = mut_ops.mutation_event(with_ids)
             mut_df = mut_ops.mutation(
@@ -137,18 +201,67 @@ def convert_mutations(
             )
             write_parquet(event_df, out_paths[0], single_file=single_file)
             write_parquet(mut_df, out_paths[1], single_file=single_file)
-            # an empty MAF keeps next_id unchanged (counter must not reset)
-            next_id = mut_ops.next_event_id(with_ids, start=next_id)
+            # an empty MAF keeps the counter unchanged (must not reset)
+            nxt = mut_ops.next_event_id(with_ids, start=start)
             with_ids.unpersist()
             summary.processed.append(item.path)
+            return nxt
         except Exception as exc:  # noqa: BLE001 — D4 per-file isolation
             logger.error("failed to process %s: %s", item.path, exc)
             summary.failed[item.path] = str(exc)
             # remove partial outputs: a stale mutation_event parquet from
             # a half-failed file would enter the combine glob with an id
-            # range the next file legitimately reuses
+            # range another file may legitimately hold
             for p in out_paths:
                 shutil.rmtree(p, ignore_errors=True)
+            return None
+
+    if max_workers <= 1:
+        next_id = start_event_id
+        for item in inputs:
+            nxt = write_one(item, next_id)
+            if nxt is not None:  # a failed file consumes no ids
+                next_id = nxt
+    else:
+        from concurrent.futures import as_completed
+
+        # phase A: concurrent row counts (column-pruned scans);
+        # read errors recorded here consume no ids
+        counts: dict[str, int] = {}
+        with _pipeline_pool(max_workers) as pool:
+
+            def count_one(item) -> tuple[str, int]:
+                df = read_maf(spark, item.path)
+                return item.path, df.count()
+
+            futures = {pool.submit(count_one, it): it for it in inputs}
+            for fut in as_completed(futures):
+                item = futures[fut]
+                try:
+                    path, n = fut.result()
+                    counts[path] = n
+                except Exception as exc:  # noqa: BLE001 — D4 isolation
+                    logger.error("failed to read %s: %s", item.path, exc)
+                    summary.failed[item.path] = str(exc)
+        # driver prefix-sum in sorted-path order (inputs are sorted by
+        # discovery) -> identical id assignment to the sequential loop
+        starts: dict[str, int] = {}
+        nid = start_event_id
+        for item in inputs:
+            if item.path in counts:
+                starts[item.path] = nid
+                nid += counts[item.path]
+        # phase B: concurrent assign + write with reserved id ranges
+        with _pipeline_pool(max_workers) as pool:
+            wfuts = [
+                pool.submit(write_one, it, starts[it.path])
+                for it in inputs
+                if it.path in starts
+            ]
+            for fut in as_completed(wfuts):
+                fut.result()  # write_one handles its own isolation
+        summary.processed.sort()
+
     if summary.failed:
         logger.error(
             "%d/%d mutation files failed: %s",
@@ -179,8 +292,6 @@ def convert_cna_partitioned(
 
     Returns the number of study files planned.
     """
-    from functools import reduce
-
     inputs = discover_cna_files(tsv_dir)
     logger.info("found %d CNA files (single-job mode)", len(inputs))
     ga_parts, gps_parts, dv_parts = [], [], []
@@ -210,8 +321,21 @@ def convert_cna_partitioned(
     # (meta-less files) would round-trip as NULL through hive partition
     # directories, violating the no-null '' contract — the real data
     # columns stay inside the files untouched
+    def balanced_union(dfs: list[DataFrame]) -> DataFrame:
+        # pairwise tree union, NOT reduce(unionByName): a left-deep
+        # 1000-way Union is depth-1000 for the JVM analyzer (stack
+        # overflow territory) with quadratic re-analysis cost; the
+        # balanced tree is depth log2(N) and Catalyst's CombineUnions
+        # flattens it to one N-child Union for execution either way
+        while len(dfs) > 1:
+            dfs = [
+                dfs[i].unionByName(dfs[i + 1]) if i + 1 < len(dfs) else dfs[i]
+                for i in range(0, len(dfs), 2)
+            ]
+        return dfs[0]
+
     def unioned(dfs):
-        out = reduce(DataFrame.unionByName, dfs)
+        out = balanced_union(dfs)
         placeholder = F.lit("(none)")
         return out.withColumn(
             "__p_study",

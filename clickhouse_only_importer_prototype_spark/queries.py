@@ -2741,6 +2741,73 @@ def winnow_fingerprint_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winnow_fast_gate",
+    """
+    SELECT TRUE AS docs_match, TRUE AS fp_is_gram_subset,
+           TRUE AS density_within_5pct
+    """,
+)
+def winnow_fast_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-gate for the xxhash64 winnowing fast path (round-8 verdict
+    next-#6): the fast path's VALUES are engine-only forever (DuckDB
+    has no xxhash64), but three invariants of a correct winnowing
+    implementation are checkable in-engine and folded to oracled
+    booleans — the ann_recall_check pattern:
+
+      * docs_match — fast and md5 paths fingerprint exactly the same
+        document set (coverage can't silently drop);
+      * fp_is_gram_subset — every fast fingerprint is one of its own
+        document's xxhash64 gram hashes (an anti-join against the SAME
+        gram plan via text.winnow_gram_hashes; a wrong window-min or a
+        hash/tokenize drift between stages breaks this);
+      * density_within_5pct — total fingerprint counts of the two
+        paths agree within 5% (winnowing density depends on the hash
+        only through argmin ties; measured ratio 0.999-1.001 at
+        sf0.001-0.1 — a selection-logic bug shifts it far outside).
+
+    Together with the pure-Python XXH64 full-pipeline replay
+    (tests/test_text_ops.py) the fast path now has a driver-gated
+    evidence row, not only pytest evidence."""
+    docs = load(spark, sf_dir, "documents")
+    fast = text_ops.winnow_fingerprints(
+        docs, k=4, w=5, hash_fn="xxhash64"
+    ).persist()
+    slow = text_ops.winnow_fingerprints(docs, k=4, w=5).persist()
+    fd = fast.select("doc_id").distinct()
+    sd = slow.select("doc_id").distinct()
+    docs_match = (
+        fd.exceptAll(sd)
+        .agg(F.count(F.lit(1)).alias("only_fast"))
+        .crossJoin(
+            sd.exceptAll(fd).agg(F.count(F.lit(1)).alias("only_slow"))
+        )
+        .select(
+            ((F.col("only_fast") + F.col("only_slow")) == 0).alias(
+                "docs_match"
+            )
+        )
+    )
+    gram_rows = text_ops.winnow_gram_hashes(
+        docs, k=4, hash_fn="xxhash64"
+    ).select("doc_id", F.explode("__hs").alias("fp"))
+    subset = (
+        fast.join(gram_rows, ["doc_id", "fp"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("fp_is_gram_subset"))
+    )
+    density = (
+        fast.agg(F.count(F.lit(1)).alias("nf"))
+        .crossJoin(slow.agg(F.count(F.lit(1)).alias("ns")))
+        .select(
+            (
+                F.abs(F.col("nf") - F.col("ns"))
+                <= F.lit(0.05) * F.col("ns").cast("double")
+            ).alias("density_within_5pct")
+        )
+    )
+    return docs_match.crossJoin(subset).crossJoin(density)
+
+
 # Shared CTE prefix of the duplicate-span family oracles: every
 # 12-token sliding window of the normalized text, md5-hashed. DuckDB
 # list slicing is 1-based inclusive (toks[i:i+11] = 12 elements);
@@ -3832,6 +3899,48 @@ def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return sim_ops.cosine_topk_ivfpq(
         emb, emb.where(F.col("vec_id") < 10), dim=64, k=5
+    )
+
+
+@register("ann_cosine_topk_ivfpq_prebuilt", None)
+def ann_cosine_topk_ivfpq_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ SERVED FROM THE PERSISTED INDEX (operators/ann_index):
+    centroids + codebooks load driver-side from the artifact, the
+    candidate scan reads the stored (cell, codes) table — the query
+    path runs ZERO training jobs and touches raw vectors only for the
+    shortlist rescore. This is the bench row that prices the
+    train-once/serve-many split against its in-session twin
+    (ann_cosine_topk_ivfpq); result equality is hard-gated by
+    ann_prebuilt_equivalence, recall by ann_recall_check (identical
+    results => identical recall). Artifact build cost is reported
+    separately by bench.py as ann_index_build_sec (offline pipeline
+    cost, like stored media payloads)."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = ann_index_fixture(spark, sf_dir, "ivfpq")
+    return sim_ops.cosine_topk_ivfpq(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, k=5, prebuilt=idx
+    )
+
+
+@register("ann_cosine_topk_pq_prebuilt", None)
+def ann_cosine_topk_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC serving from the persisted codes table (see
+    ann_cosine_topk_ivfpq_prebuilt): no training jobs, no full
+    raw-vector scan — at 100 TB the ADC pass reads m int64s per vector
+    (m bytes packed) instead of dim floats, and here it reads them
+    from the artifact instead of re-encoding the corpus per query.
+    Codebooks come from the artifact (n_codes=16, the default pq
+    build); shortlist=200 matches the in-session twin's rescore width
+    so the two bench rows differ only by train+encode vs
+    load+stored-scan — the split being priced. Result equality of the
+    prebuilt path itself is hard-gated by ann_prebuilt_equivalence."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = ann_index_fixture(spark, sf_dir, "pq")
+    return sim_ops.cosine_topk_pq(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, k=5,
+        shortlist=200, prebuilt=idx,
     )
 
 
@@ -12594,23 +12703,24 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only oracled queries with zero driver rows — they lead; then the
 # entire round-4 evidence tier rotates through; the remainder fills
 # from the round-5 tier):
-#   * slot 1: `ann_prebuilt_equivalence` — NEW this round (the ANN
-#     index-persistence hard gate, round-8 verdict #2), never-green;
-#   * slots 2-3: `stream_join_late_probe` + `stream_session_native` —
+#   * slots 1-2: the NEW round-9 oracled queries — the ANN
+#     index-persistence hard gate (round-8 verdict #2) and the
+#     winnowing fast-path gate (round-8 verdict next-#6), never-green;
+#   * slots 3-4: `stream_join_late_probe` + `stream_session_native` —
 #     registered after the round-8 window froze, oracled and
 #     pre-validated driver-style but never driver-seen;
-#   * slots 4-30: ALL 27 queries whose newest green driver row is
+#   * slots 5-31: ALL 27 queries whose newest green driver row is
 #     round 4 (computed from the aggregated CORRECTNESS_r01-r08
 #     newest-green distribution {r4:27, r5:41, r6:46, r7:42, r8:50});
-#   * slots 31-50: 20 of the 41 round-5-newest rows, picked for plan
-#     complexity (iterative graph, sketch audits, BPE, attribution,
-#     as-of) — the queries where silent drift would matter most.
+#   * slots 32-50: 19 of the 41 round-5-newest rows, picked for plan
+#     complexity (iterative graph, BPE, attribution, as-of) — the
+#     queries where silent drift would matter most.
 # After this window runs green, no oracled query's newest green row is
 # older than round 5. Rows-only entries never take window slots (their
 # driver check is weaker by construction; see _ordered_names).
 _WINDOW_PRIORITY = [
-    # -- never-green: new round-9 oracled query (1) --
-    "ann_prebuilt_equivalence",
+    # -- never-green: new round-9 oracled queries (2) --
+    "ann_prebuilt_equivalence", "winnow_fast_gate",
     # -- never-driver-seen: the round-8 post-window twins (2) --
     "stream_join_late_probe", "stream_session_native",
     # -- stalest evidence: every round-4-newest row (27) --
@@ -12625,14 +12735,13 @@ _WINDOW_PRIORITY = [
     "skew_routed_join", "snapshot_diff_orders", "source_quota_sample",
     "split_leakage_audit", "stratified_lang_sample",
     "token_budget_sample",
-    # -- round-5 tier fill: 20 highest-complexity plans (20) --
+    # -- round-5 tier fill: 19 highest-complexity plans (19) --
     "attribution_last_touch", "attribution_linear", "bpe_compression",
     "bpe_merges", "curriculum_order", "customer_rfm", "doc_chunks",
     "events_asof_forward", "events_cusum", "events_ohlc_hourly",
     "events_wau", "feature_hashing", "fk_integrity_audit",
     "fuzzy_part_clusters", "graph_bfs_hops", "grouping_sets_pricing",
     "heavy_hitter_bigrams", "inverted_index", "pagerank_custsupp",
-    "quantile_sketch_audit",
 ]
 # Queries registered AFTER a window is pinned queue here for the next
 # rotation (the window itself stays frozen once curated so re-proof

@@ -192,3 +192,97 @@ def test_cli_query_oracle_mode(spark, sf_dir, capsys):
             ["-mode", "query", "-name", "ann_cosine_topk_lsh",
              "-parquet-dir", sf_dir, "-oracle"]
         )
+
+
+def test_convert_cna_parallel_equals_sequential(spark, study_tree, tmp_path):
+    """max_workers>1 only changes SCHEDULING (concurrent independent
+    per-study jobs); the written file set and every table's contents
+    must be identical to the sequential loop."""
+    import os
+
+    seq, par = tmp_path / "seq", tmp_path / "par"
+    pipelines.convert_cna(spark, str(study_tree), str(seq), with_derived=True)
+    s = pipelines.convert_cna(
+        spark, str(study_tree), str(par), with_derived=True, max_workers=4
+    )
+    assert s.ok and len(s.processed) == 2
+    names = sorted(n for n in os.listdir(seq) if n.endswith(".parquet"))
+    assert sorted(n for n in os.listdir(par) if n.endswith(".parquet")) == names
+    for n in names:
+        a = _read(seq / n)
+        b = _read(par / n)
+        key = list(a.columns)
+        assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+            map(tuple, b[key].values.tolist())
+        ), n
+
+
+def test_convert_mutations_parallel_ids_identical(spark, study_tree, tmp_path):
+    """The two-phase prefix-sum (count all files -> driver prefix-sum
+    -> concurrent writes) must assign EXACTLY the ids the sequential
+    loop assigns: dense, gapless, sorted-path order."""
+    import os
+
+    seq, par = tmp_path / "mseq", tmp_path / "mpar"
+    pipelines.convert_mutations(spark, str(study_tree), str(seq))
+    s = pipelines.convert_mutations(
+        spark, str(study_tree), str(par), max_workers=4
+    )
+    assert s.ok
+    names = sorted(n for n in os.listdir(seq) if n.endswith(".parquet"))
+    assert sorted(n for n in os.listdir(par) if n.endswith(".parquet")) == names
+    for n in names:
+        a = _read(seq / n).sort_values("MUTATION_EVENT_ID")
+        b = _read(par / n).sort_values("MUTATION_EVENT_ID")
+        assert a.values.tolist() == b.values.tolist(), n
+
+
+def test_convert_mutations_parallel_read_failure_consumes_no_ids(
+    spark, tmp_path, monkeypatch
+):
+    """D4 isolation in parallel mode: a file that fails its READ
+    (phase A) consumes no ids — later files' ids shift down exactly as
+    in the sequential loop — and lands in the failure manifest. The
+    failure is injected at the reader seam (PERMISSIVE CSV makes
+    content-level read failures unreachable by construction, so the
+    isolation logic itself is what needs the pin)."""
+    root = tmp_path / "studies"
+    for name, rows in (
+        ("s_aa", ["TP53\t7157\t1\tSA"]),
+        ("s_bb", ["BRAF\t673\t3\tSB"]),
+        ("s_cc", ["EGFR\t1956\t5\tSC", "KRAS\t3845\t9\tSC"]),
+    ):
+        d = root / name
+        d.mkdir(parents=True)
+        (d / "meta_mutations.txt").write_text(
+            f"cancer_study_identifier: {name}\nstable_id: mutations\n"
+            "data_filename: data_mutations.txt\n"
+        )
+        (d / "data_mutations.txt").write_text(
+            "Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\t"
+            "Tumor_Sample_Barcode\n" + "\n".join(rows) + "\n"
+        )
+
+    real_read = pipelines.read_maf
+
+    def flaky_read(spark_, path):
+        if "s_bb" in path:
+            raise RuntimeError("injected read failure")
+        return real_read(spark_, path)
+
+    monkeypatch.setattr(pipelines, "read_maf", flaky_read)
+    out = tmp_path / "mout"
+    s = pipelines.convert_mutations(
+        spark, str(root), str(out), max_workers=4
+    )
+    assert len(s.processed) == 2 and len(s.failed) == 1
+    assert "s_bb" in next(iter(s.failed))
+    ev_a = _read(out / "s_aa_data_mutations_mutation_event.parquet")
+    ev_c = _read(out / "s_cc_data_mutations_mutation_event.parquet")
+    # s_bb consumed nothing: s_cc follows s_aa directly
+    assert sorted(ev_a.MUTATION_EVENT_ID) == [0]
+    assert sorted(ev_c.MUTATION_EVENT_ID) == [1, 2]
+    # no partial outputs for the failed study
+    import os
+
+    assert not any("s_bb" in n for n in os.listdir(out))
