@@ -89,8 +89,20 @@ class AnnIndex:
         """The distributed per-vector table: (vec_id, cluster, codes).
         At 100 TB this is the only corpus-sized artifact — written
         once, re-read by every query; raw vectors are touched only by
-        the exact shortlist rescore."""
-        return spark.read.parquet(os.path.join(self.path, "codes.parquet"))
+        the exact shortlist rescore.
+
+        For ivf/ivfpq kinds the table is hive-PARTITIONED by cluster
+        (the inverted-list layout): a serving filter on the probed
+        cells becomes a static partition filter and the scan reads
+        nprobe/n_centroids of the files. The select below restores
+        column order and the long type (partition-dir values read back
+        as int by type inference)."""
+        df = spark.read.parquet(os.path.join(self.path, "codes.parquet"))
+        return df.select(
+            F.col("vec_id").cast("long"),
+            F.col("cluster").cast("long"),
+            F.col("codes"),
+        )
 
 
 def _write_meta_tables(
@@ -234,9 +246,12 @@ def build_ann_index(
         centroids,
         codebooks,
     )
-    _encoded_frame(
-        corpus, kind, centroids, codebooks, id_col, vec_col
-    ).write.mode("overwrite").parquet(os.path.join(path, "codes.parquet"))
+    _write_codes(
+        _encoded_frame(corpus, kind, centroids, codebooks, id_col, vec_col),
+        path,
+        kind,
+        mode="overwrite",
+    )
     return AnnIndex(
         kind=kind,
         dim=dim,
@@ -314,7 +329,17 @@ def encode_new_vectors(
         id_col, vec_col,
     )
     if append:
-        enc.write.mode("append").parquet(
-            os.path.join(index.path, "codes.parquet")
-        )
+        _write_codes(enc, index.path, index.kind, mode="append")
     return enc
+
+
+def _write_codes(enc: DataFrame, path: str, kind: str, mode: str) -> None:
+    """ivf/ivfpq codes write hive-partitioned by cluster — the
+    inverted-list layout (see AnnIndex.codes); appends use the same
+    writer config so incremental ingest lands inside the partition
+    dirs, never as unpartitioned root files. Pure pq has no cell to
+    partition on (cluster is all-NULL) and stays flat."""
+    writer = enc.write.mode(mode)
+    if kind in ("ivf", "ivfpq"):
+        writer = writer.partitionBy("cluster")
+    writer.parquet(os.path.join(path, "codes.parquet"))

@@ -442,6 +442,19 @@ def cosine_topk_ivf(
         cells = prebuilt.codes(corpus.sparkSession).select(
             F.col("vec_id").alias("neighbor_id"), "cluster"
         )
+        # static partition prune on the cluster-partitioned codes
+        # table: the probed-cell union is computable driver-side from
+        # the (small, serving-contract) query set before any scan
+        # plans — one tiny job, and the cells scan reads only
+        # nprobe/n_centroids of the files. The raw-vector side is not
+        # cluster-partitioned here; at 100 TB the corpus would be
+        # co-bucketed by cell so the rerank join prunes the same way.
+        probed = queries.select(
+            _ivf_probe_udf(cents, nprobe)(F.col(vec_col)).alias("cs")
+        ).collect()
+        needed = sorted({cell for r in probed for cell in r["cs"]})
+        if needed:
+            cells = cells.where(F.col("cluster").isin(needed))
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             _as_double(vec_col).alias("cv"),
@@ -1431,6 +1444,16 @@ def cosine_topk_ivfpq(
         np.array([r["qv"] for r in qrows], dtype=np.float64)
     )
     qcells = [set(r["cells"]) for r in qrows]
+    if prebuilt is not None and qcells:
+        # static partition prune: the artifact's codes table is hive-
+        # partitioned by cluster (ann_index._write_codes), and the
+        # union of probed cells is known driver-side BEFORE the scan
+        # plans — an isin() filter here becomes a PartitionFilter, so
+        # the ADC stage reads nprobe/n_centroids of the FILES, not
+        # just of the rows (the inverted-list I/O win at 100 TB)
+        codes = codes.where(
+            F.col("cluster").isin(sorted(set().union(*qcells)))
+        )
     nq = len(qids)
     lut = np.empty((nq, m, n_codes), dtype=np.float64)
     for j in range(m):

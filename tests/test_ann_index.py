@@ -155,3 +155,33 @@ def test_incremental_append_frozen_codebooks(spark, emb, tmp_path):
     best = min(top, key=lambda r: r.rank)
     assert best.neighbor_id == clone_id
     assert best.cos_1e6 >= 999_999  # exact copy -> cosine 1.0 (floor'd)
+
+
+def test_codes_partitioned_by_cell_and_pruned(spark, built, emb):
+    """ivf/ivfpq codes tables use the inverted-list LAYOUT (hive
+    partition dir per cluster) and prebuilt serving carries a STATIC
+    PartitionFilter on the probed cells — so the ADC/cell scan reads
+    nprobe/n_centroids of the files, not just of the rows. Pure pq has
+    no cell and stays flat."""
+    import contextlib
+    import io
+    import os
+
+    for kind in ("ivf", "ivfpq"):
+        root = os.path.join(built[kind][1], "codes.parquet")
+        assert any(n.startswith("cluster=") for n in os.listdir(root)), kind
+    pq_root = os.path.join(built["pq"][1], "codes.parquet")
+    assert not any(n.startswith("cluster=") for n in os.listdir(pq_root))
+
+    q = emb.where(F.col("vec_id") < 3)
+    loaded = ai.load_ann_index(built["ivfpq"][1])
+    df = sim.cosine_topk_ivfpq(emb, q, dim=64, k=5, prebuilt=loaded)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    seg = plan[plan.index("codes.parquet"):]
+    pf_line = next(
+        ln for ln in seg.splitlines() if ln.startswith("PartitionFilters")
+    )
+    assert "cluster" in pf_line and "IN" in pf_line.upper(), pf_line
