@@ -146,6 +146,12 @@ def run_tier(spark, n_studies: int) -> dict:
         pipelines.convert_cna_partitioned, spark, studies, out_part, True,
     )
     assert n == n_studies
+    n = timed(
+        "convert_mutations_partitioned",
+        pipelines.convert_mutations_partitioned, spark, studies,
+        os.path.join(work, "out_mpart"),
+    )
+    assert n == n_studies
     shutil.rmtree(work, ignore_errors=True)
     per_study = {
         k: round(v / n_studies, 4) for k, v in timings.items()

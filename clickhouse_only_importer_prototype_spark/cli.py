@@ -23,9 +23,11 @@ MODES = (
     "combine-cna-with-derived",
     "combine-mutations",
     # beyond the reference: single-job partitioned output for
-    # many-study corpora (see pipelines.convert_cna_partitioned)
+    # many-study corpora (see pipelines.convert_cna_partitioned /
+    # convert_mutations_partitioned)
     "convert-cna-partitioned",
     "convert-cna-partitioned-with-derived",
+    "convert-mutations-partitioned",
     # beyond the reference: emit the ClickHouse CREATE TABLE statements
     # for the five catalog tables (the DDL the JDBC sink's inserts or an
     # out-of-band parquet load assume on the server)
@@ -247,6 +249,10 @@ def main(argv: list[str] | None = None) -> int:
                 args.tsv_dir,
                 args.parquet_dir,
                 with_derived=args.mode.endswith("with-derived"),
+            )
+        elif args.mode == "convert-mutations-partitioned":
+            pipelines.convert_mutations_partitioned(
+                spark, args.tsv_dir, args.parquet_dir
             )
         elif args.mode == "convert-mutations":
             summary = pipelines.convert_mutations(

@@ -29,8 +29,12 @@ Artifact layout (directory of parquet tables)::
                                centroid array<double>)   [pq, ivfpq]
     <path>/codes.parquet       (vec_id long, cluster long,
                                codes array<long>) — Spark-written,
-                               distributed; cluster is NULL for pure
-                               PQ, codes is NULL for pure IVF
+                               distributed; hive-partitioned by
+                               cluster for ivf/ivfpq (inverted-list
+                               layout -> probed-cell partition
+                               pruning at serve time), flat for pure
+                               PQ (cluster all-NULL); codes is NULL
+                               for pure IVF
 
 meta/centroids/codebooks are written driver-side with pyarrow: they
 are metadata-scale (n_centroids + m*n_codes rows) and the Python

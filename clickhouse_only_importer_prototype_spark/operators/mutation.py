@@ -23,7 +23,7 @@ map iteration, cmd/cli/main.go:309,496); we define sorted-path order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from clickhouse_only_importer_prototype_spark.functions import ns, underscore_join
 from clickhouse_only_importer_prototype_spark.schemas import (
@@ -66,12 +66,7 @@ def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
     re-checks every (file, partition) row count against the broadcast
     expectation and raises mid-plan on any drift.
     """
-    spark = df.sparkSession
-    tagged = (
-        df.withColumn(_FILE, F.input_file_name())
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__mid", F.monotonically_increasing_id())
-    )
+    tagged = _tagged_scan(df)
     # no persist: per-(file, partition) counts are recompute-invariant
     # and __pid/__mid are stable for an identical plan over identical
     # files (same FilePartition packing), so the counts pass and the
@@ -82,6 +77,24 @@ def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
     for row in sorted(counts, key=lambda r: (r[_FILE], r["__pid"])):
         offsets.append((row[_FILE], row["__pid"], acc, row["count"]))
         acc += row["count"]
+    return _rank_with_offsets(tagged, offsets, keep_file=False)
+
+
+def _tagged_scan(df: DataFrame) -> DataFrame:
+    return (
+        df.withColumn(_FILE, F.input_file_name())
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+
+
+def _rank_with_offsets(
+    tagged: DataFrame, offsets: list[tuple], keep_file: bool
+) -> DataFrame:
+    """Rank pass over a ``_tagged_scan`` frame with driver-computed
+    (file, pid, offset, expected-count) rows; the drift guard raises
+    mid-plan on any packing change (see with_sequential_ids)."""
+    spark = tagged.sparkSession
     offsets_df = spark.createDataFrame(
         offsets, f"{_FILE} string, __pid int, __offset long, __expect long"
     )
@@ -93,7 +106,10 @@ def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
     guard_ok = F.col("__expect").isNotNull() & (
         F.count("*").over(w_full) == F.col("__expect")
     )
-    out = (
+    drop_cols = ["__pid", "__mid", "__offset", "__expect"]
+    if not keep_file:
+        drop_cols.append(_FILE)
+    return (
         tagged.join(F.broadcast(offsets_df), [_FILE, "__pid"], "left")
         .withColumn(
             EVENT_ID,
@@ -118,9 +134,39 @@ def with_sequential_ids(df: DataFrame, start: int = 0) -> DataFrame:
             )
             .cast("long"),
         )
-        .drop(_FILE, "__pid", "__mid", "__offset", "__expect")
+        .drop(*drop_cols)
     )
-    return out
+
+
+def with_sequential_ids_multi(
+    frames: list[DataFrame], start: int = 0
+) -> list[DataFrame]:
+    """Gapless ids ACROSS several scan frames in one global
+    (sorted file path, partition) order — the single-job D3 shape.
+
+    Heterogeneous MAF headers force one csv scan per header group
+    (Spark applies the first file's header to every file of a
+    multi-path scan), but the id contract is corpus-wide: counts are
+    collected per frame (one metadata-scale job each), prefix-summed
+    TOGETHER in global (path, pid) order, and each frame ranks with
+    its broadcast offsets — byte-identical ids to the sequential
+    per-file loop, with every heavy pass running as a distributed
+    scan. Output frames KEEP the ``__file`` tag so the caller can join
+    per-file attributes (study/profile) before projecting."""
+    taggeds = [_tagged_scan(f) for f in frames]
+    all_counts: list[tuple] = []
+    for i, t in enumerate(taggeds):
+        for row in t.groupBy(_FILE, "__pid").count().collect():
+            all_counts.append((row[_FILE], row["__pid"], row["count"], i))
+    per_frame: list[list[tuple]] = [[] for _ in frames]
+    acc = start
+    for fpath, pid, cnt, i in sorted(all_counts, key=lambda x: (x[0], x[1])):
+        per_frame[i].append((fpath, pid, acc, cnt))
+        acc += cnt
+    return [
+        _rank_with_offsets(t, per_frame[i], keep_file=True)
+        for i, t in enumerate(taggeds)
+    ]
 
 
 def next_event_id(df_with_ids: DataFrame, start: int = 0) -> int:
@@ -145,15 +191,22 @@ def mutation_event(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def mutation(df: DataFrame, study: str, profile: str) -> DataFrame:
+def mutation(
+    df: DataFrame, study: str | Column, profile: str | Column
+) -> DataFrame:
     """MAF -> mutation projection (mutation/transformer.go:373-407).
 
     SAMPLE_ID = ``<study>_<Tumor_Sample_Barcode>`` (:377-380);
     GENETIC_PROFILE_ID is the profile literal; ANNOTATION_JSON "".
+    ``study``/``profile`` may be Columns (the single-job partitioned
+    mode derives them per file from a broadcast manifest); string
+    arguments fold to literals exactly as before.
     """
     cols = [
         F.col(EVENT_ID),
-        F.lit(profile).alias("GENETIC_PROFILE_ID"),
+        (
+            profile if isinstance(profile, Column) else F.lit(profile)
+        ).alias("GENETIC_PROFILE_ID"),
         underscore_join(study, field_or_empty(df, "Tumor_Sample_Barcode")).alias(
             "SAMPLE_ID"
         ),

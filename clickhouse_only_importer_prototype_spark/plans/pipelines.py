@@ -370,6 +370,132 @@ def convert_cna_partitioned(
     return len(inputs)
 
 
+def _maf_header_sig(path: str) -> str:
+    """First non-``#`` line of a MAF — the csv header. Driver-side
+    single-line read (one fs open per file, no Spark job): multi-path
+    csv scans apply the FIRST file's header to every file, so the
+    single-job mode may only batch files whose headers are identical."""
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            if not line.startswith("#"):
+                return line.rstrip("\r\n")
+    return ""
+
+
+def convert_mutations_partitioned(
+    spark: SparkSession,
+    tsv_dir: str,
+    parquet_dir: str,
+    start_event_id: int = 0,
+) -> int:
+    """Single-job mutations conversion for many-study corpora — the
+    D3 dataflow at its 100 TB shape (compare convert_cna_partitioned).
+
+    The per-study mode is a driver loop: 2 write actions + 1 count per
+    file (measured 2.2s/study sequential, 0.8s/study at max_workers=8
+    — a scheduling floor, not data cost). Here files GROUP by header
+    signature (one driver-side first-line read each; Spark's
+    multi-path csv scan applies the first file's header to all files,
+    so only same-header files may share a scan), ids are assigned by
+    with_sequential_ids_multi — per-(file, partition) counts prefix-
+    summed GLOBALLY in sorted-path order, byte-identical to the
+    sequential loop's ids — and each output table unions across groups
+    and writes ONCE: two write jobs total regardless of study count.
+    Per-file study/profile attribution joins a broadcast manifest on
+    the scan's file tag. Output = the COMBINED tables directly
+    (mutation_event.parquet, mutation.parquet) — this mode fuses
+    convert + combine, which is what a 1000-study ingest actually
+    wants; per-study files, if needed, are a partition-pruned read
+    away via the GENETIC_PROFILE_ID hive partition on mutation.
+
+    Failure posture: all-or-nothing per run (one Spark job per table),
+    vs the loop modes' per-file isolation — at this shape, replays are
+    cheaper than partial-output bookkeeping. Returns the number of
+    files planned.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    inputs = discover_mutation_files(tsv_dir)
+    logger.info("found %d mutation files (single-job mode)", len(inputs))
+    if not inputs:
+        return 0
+    groups: dict[str, list] = {}
+    for item in inputs:
+        groups.setdefault(_maf_header_sig(item.path), []).append(item)
+    frames = [
+        read_maf(spark, [it.path for it in g]) for g in groups.values()
+    ]
+    ranked = mut_ops.with_sequential_ids_multi(frames, start=start_event_id)
+    # broadcast manifest: scan file URI -> (study, profile); the rank
+    # frames keep the __file tag for exactly this join
+    manifest = [
+        (
+            Path(it.path).resolve().as_uri(),
+            it.cancer_study_id,
+            it.genetic_profile_id,
+        )
+        for g in groups.values()
+        for it in g
+    ]
+    mf = spark.createDataFrame(
+        manifest, "__file string, __study string, __profile string"
+    )
+    ev_parts, mut_parts = [], []
+    for r in ranked:
+        joined = r.join(F.broadcast(mf), "__file", "left").withColumn(
+            "__study",
+            F.when(
+                F.col("__study").isNull(),
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit(
+                            "convert_mutations_partitioned: scan file"
+                            " missing from manifest:"
+                        ),
+                        F.col("__file"),
+                    )
+                ).cast("string"),
+            ).otherwise(F.col("__study")),
+        )
+        ev_parts.append(mut_ops.mutation_event(joined))
+        mut_parts.append(
+            mut_ops.mutation(
+                joined, F.col("__study"), F.col("__profile")
+            )
+        )
+
+    def balanced(dfs: list[DataFrame]) -> DataFrame:
+        while len(dfs) > 1:
+            dfs = [
+                dfs[i].unionByName(dfs[i + 1]) if i + 1 < len(dfs) else dfs[i]
+                for i in range(0, len(dfs), 2)
+            ]
+        return dfs[0]
+
+    os.makedirs(parquet_dir, exist_ok=True)
+    write_parquet(
+        balanced(ev_parts),
+        os.path.join(parquet_dir, "mutation_event.parquet"),
+    )
+    # '' profile (meta-less file) would round-trip as NULL through a
+    # hive partition dir — same placeholder contract as the CNA mode
+    mut_all = balanced(mut_parts).withColumn(
+        "__p_profile",
+        F.when(
+            F.col("GENETIC_PROFILE_ID") == "", F.lit("(none)")
+        ).otherwise(F.col("GENETIC_PROFILE_ID")),
+    )
+    write_parquet(
+        mut_all,
+        os.path.join(parquet_dir, "mutation.parquet"),
+        partition_by=["__p_profile"],
+    )
+    return len(inputs)
+
+
 def combine_parquet(
     spark: SparkSession,
     pattern: str,

@@ -286,3 +286,82 @@ def test_convert_mutations_parallel_read_failure_consumes_no_ids(
     import os
 
     assert not any("s_bb" in n for n in os.listdir(out))
+
+
+def test_convert_mutations_partitioned_matches_per_study(
+    spark, study_tree, tmp_path
+):
+    """Single-job mutations mode: ids byte-identical to the sequential
+    loop (global prefix-sum across header groups in sorted-path
+    order), full row equality against the per-study convert's
+    outputs, two write jobs total. Three studies where the middle one
+    (sorted order) has a DIFFERENT header, so ids must interleave
+    across header groups."""
+    root = tmp_path / "studies_m"
+    mafs = {
+        # s_01 and s_03 share a header; s_02 differs (extra column and
+        # different order) -> 2 header groups, ids interleave 0..5
+        "s_01": (
+            "Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\t"
+            "Tumor_Sample_Barcode\n"
+            "TP53\t7157\t1\tSA\nBRCA1\t672\t2\tSA\n"
+        ),
+        "s_02": (
+            "#v2\nTumor_Sample_Barcode\tHugo_Symbol\tEntrez_Gene_Id\t"
+            "Center\tStart_Position\n"
+            "SB\tEGFR\t1956\tC1\t5\nSB\tKRAS\t3845\tC1\t7\n"
+        ),
+        "s_03": (
+            "Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\t"
+            "Tumor_Sample_Barcode\n"
+            "ALK\t238\t9\tSC\nMYC\t4609\t11\tSC\n"
+        ),
+    }
+    for name, body in mafs.items():
+        d = root / name
+        d.mkdir(parents=True)
+        (d / "meta_mutations.txt").write_text(
+            f"cancer_study_identifier: {name}\nstable_id: mutations\n"
+            "data_filename: data_mutations.txt\n"
+        )
+        (d / "data_mutations.txt").write_text(body)
+
+    per_study = tmp_path / "per_study_m"
+    single_job = tmp_path / "single_job_m"
+    pipelines.convert_mutations(spark, str(root), str(per_study))
+    n = pipelines.convert_mutations_partitioned(
+        spark, str(root), str(single_job)
+    )
+    assert n == 3
+
+    def rows(q):
+        return sorted(map(tuple, duckdb.sql(q).fetchall()))
+
+    ev_cols = "MUTATION_EVENT_ID, ENTREZ_GENE_ID, START_POSITION"
+    a = rows(
+        f"select {ev_cols} from read_parquet("
+        f"'{per_study}/*_mutation_event.parquet/*.parquet')"
+    )
+    b = rows(
+        f"select {ev_cols} from read_parquet("
+        f"'{single_job}/mutation_event.parquet/*.parquet')"
+    )
+    assert a == b and len(a) == 6
+    # ids dense and gapless corpus-wide, interleaving the header groups
+    assert [r[0] for r in b] == list(range(6))
+    # sorted-path order: s_02's rows (the other header group) sit at
+    # ids 2-3, BETWEEN the same-group files s_01 and s_03
+    by_id = {r[0]: r[1] for r in b}
+    assert by_id[2] == "1956" and by_id[3] == "3845"
+
+    m_cols = "MUTATION_EVENT_ID, GENETIC_PROFILE_ID, SAMPLE_ID"
+    ma = rows(
+        f"select {m_cols} from read_parquet("
+        f"'{per_study}/*_mutation.parquet/*.parquet')"
+    )
+    mb = rows(
+        f"select {m_cols} from read_parquet("
+        f"'{single_job}/mutation.parquet/*/*.parquet', "
+        f"hive_partitioning=true)"
+    )
+    assert ma == mb and len(ma) == 6
