@@ -78,7 +78,12 @@ def genetic_profile_samples(
         ("GENETIC_PROFILE", profile),
         ("ORDERED_SAMPLE_LIST", ordered),
     )
-    out = spark.range(1).select(
+    # numPartitions=1, NOT the default: bare spark.range(1) allocates
+    # defaultParallelism (32) partitions for ONE row, and the
+    # partitioned single-job mode unions one of these frames per study
+    # — 1000 studies made a 32,000-task write stage (measured), 31,999
+    # of them empty
+    out = spark.range(0, 1, 1, 1).select(
         *[
             F.when(F.col("id") >= 0, F.lit(v)).cast("string").alias(n)
             for n, v in values
