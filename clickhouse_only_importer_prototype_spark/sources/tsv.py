@@ -24,21 +24,85 @@ from clickhouse_only_importer_prototype_spark.schemas import (
 )
 
 
+def _header_only_schema(path: str, comment: str | None = None):
+    """Driver-side header -> explicit all-string StructType, or None to
+    fall back to Spark's header-inference scan.
+
+    Rationale (study-COUNT scale): ``spark.read.csv`` with header=true
+    and no schema runs one tiny Spark JOB per file at DataFrame
+    CREATION time just to read the header — at 1000 studies the
+    convert modes pay 1000-2000 scheduling round-trips before any real
+    work. One driver-side ``open()``/first-line read replaces each.
+
+    Name normalization replicates Spark's makeSafeHeader (public
+    source, csv/CSVDataSource.scala) so ``df.columns`` is IDENTICAL to
+    the inference path — pinned by a property test over the
+    adversarial-header corpus (duplicate names, empty cells, CRLF):
+      * empty header cell          -> ``_c<i>``
+      * duplicated name (case-insensitive, matching the default
+        spark.sql.caseSensitive=false) -> ``<name><i>`` on EVERY
+        occurrence, original case kept.
+    Falls back to inference (None) for: unreadable first line, empty /
+    comment-only files (must keep reading as empty zero-column frames,
+    the pinned degenerate behavior), and headers containing a quote
+    char (csv quote semantics belong to the real parser).
+    """
+    from collections import Counter
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    try:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            line = None
+            for raw in fh:
+                if comment and raw.startswith(comment):
+                    continue
+                line = raw
+                break
+    except OSError:
+        raise  # per-file error isolation (D4) handles it upstream
+    if line is None or line.strip("\r\n") == "" or '"' in line:
+        return None
+    names = line.rstrip("\r\n").split("\t")
+    lower_counts = Counter(n.lower() for n in names)
+    cols = []
+    for i, n in enumerate(names):
+        if n == "":
+            cols.append(f"_c{i}")
+        elif lower_counts[n.lower()] > 1:
+            cols.append(f"{n}{i}")
+        else:
+            cols.append(n)
+    return StructType([StructField(c, StringType(), True) for c in cols])
+
+
 def read_cna_matrix(spark: SparkSession, path: str) -> DataFrame:
     """Read a wide CNA matrix TSV; all columns string, header names kept.
 
     Column contract (cna/transformer.go:496-503): position 0 = gene
     symbol, 1 = entrez id, 2..N = one column per sample, in file order.
     Spark preserves header order in ``df.columns`` — the ordering
-    contract costs nothing.
+    contract costs nothing. Schema comes from a driver-side header
+    read (see _header_only_schema) — no inference job per file.
     """
-    return spark.read.options(**TSV_READ_OPTIONS).csv(path)
+    schema = _header_only_schema(path)
+    reader = spark.read.options(**TSV_READ_OPTIONS)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.csv(path)
 
 
 def read_maf(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    """Read mutation MAF TSV(s); leading '#' comments skipped natively."""
+    """Read mutation MAF TSV(s); leading '#' comments skipped natively.
+    Multi-path callers (the single-job mode) group files by identical
+    header, so the first path's driver-side header schema is the
+    group's schema — again, no inference job."""
     paths = [path] if isinstance(path, str) else list(path)
-    return spark.read.options(**MAF_READ_OPTIONS).csv(paths)
+    schema = _header_only_schema(paths[0], comment="#")
+    reader = spark.read.options(**MAF_READ_OPTIONS)
+    if schema is not None:
+        return reader.schema(schema).csv(paths)
+    return reader.csv(paths)
 
 
 def read_tsv_with_quarantine(

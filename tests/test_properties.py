@@ -1160,3 +1160,50 @@ def test_tsv_degenerate_files_read_empty(spark, tmp_path):
     e.write_text("")
     df = tsv_src.read_cna_matrix(spark, str(e))
     assert df.columns == [] and df.count() == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(_adversarial_cna())
+def test_header_schema_matches_spark_inference(spark, matrix):
+    """The driver-side header schema (sources/tsv._header_only_schema,
+    the zero-jobs-per-file path) must produce column names IDENTICAL
+    to Spark's own header inference on the adversarial corpus —
+    duplicate names (index-suffixed, case-insensitive dup detection),
+    empty cells (_cN), CRLF. Any divergence silently changes by-name
+    projections, so this is the load-bearing pin for the fast path."""
+    import os
+    import shutil
+    import tempfile
+
+    from clickhouse_only_importer_prototype_spark.schemas import (
+        TSV_READ_OPTIONS,
+    )
+    from clickhouse_only_importer_prototype_spark.sources import (
+        tsv as tsv_src,
+    )
+
+    genes, cells, edges = matrix
+    n_samples = len(cells[0]) if cells else 0
+    headers = [f"S{i + 1}" for i in range(n_samples)]
+    if "dup" in edges and n_samples >= 2:
+        headers[1] = headers[0]
+    if "empty_hdr" in edges and n_samples >= 1:
+        headers[-1] = ""
+    eol = "\r\n" if "crlf" in edges else "\n"
+    lines = ["\t".join(["Hugo_Symbol", "Entrez_Gene_Id"] + headers)]
+    for g, row in zip(genes, cells):
+        lines.append("\t".join([g, "7157"] + row))
+    d = tempfile.mkdtemp(prefix="tsv_hdr_")
+    try:
+        path = os.path.join(d, "data_cna.txt")
+        with open(path, "w", newline="") as fh:
+            fh.write(eol.join(lines) + eol)
+        fast = tsv_src.read_cna_matrix(spark, path)
+        inferred = spark.read.options(**TSV_READ_OPTIONS).csv(path)
+        assert fast.columns == inferred.columns
+        # values positional and identical through both paths
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, inferred.collect())
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
