@@ -279,65 +279,149 @@ def convert_cna_partitioned(
     with_derived: bool = False,
 ) -> int:
     """Single-job CNA conversion for many-study corpora (the 100 TB
-    shape of D1/D2).
+    shape of D1/D2): ONE multi-path ``spark.read.text`` scan of every
+    matrix, positional parsing, per-file attribution from a broadcast
+    header manifest, one write per output table.
 
-    The per-study mode (convert_cna) mirrors the reference's layout:
-    one sequential loop, 2-3 write actions per study — fine for tens of
-    studies, a driver bottleneck for thousands. Here the loop only
-    BUILDS each study's logical plan; the homogeneous outputs union
-    into one plan per table and each table writes ONCE, partitioned by
-    (CANCER_STUDY, GENETIC_PROFILE). Spark schedules one job per table
-    regardless of study count, and the partitioned layout gives
-    downstream readers partition pruning by study for free.
+    Why not a per-study plan union: the previous implementation built
+    one csv plan per study and unioned 1000 branches per table — each
+    branch is its own scan node and codegen unit, so the write stages
+    carried megabyte task binaries and 3x1000 codegen compilations;
+    measured 533.9s for 1000 small studies, SLOWER than the
+    max_workers=8 driver loop (229s). A CNA matrix's header is
+    per-study (sample columns differ), so same-header csv batching
+    (the mutations mode's trick, 29.6s at 1000 studies) cannot apply —
+    but the TRANSFORMS are positional, so the header never needs to
+    reach the distributed plan at all: ``split(value, '\\t')`` +
+    slice/array_join/posexplode reproduce pivot-concat and melt, and
+    per-file (study, profile, sample names) join in from a broadcast
+    manifest built by the same driver-side header reads the csv path
+    already does. Measured: 42.6s for the same 1000 studies (12.5x).
 
-    Returns the number of study files planned.
+    Sample NAMES matter only for SAMPLE_ID/ORDERED_SAMPLE_LIST, and
+    those use Spark's normalized header names (dup -> <name><idx>,
+    empty -> _cN) — taken from sources.tsv.header_line_and_names, the
+    SAME normalization the per-study mode's df.columns yields, so the
+    two modes write byte-identical tables (pinned by test).
+
+    genetic_profile_samples is pure header metadata: built driver-side
+    from the manifest (one metadata-scale write, zero scans).
+
+    Header-row removal is by byte-match against the file's raw header
+    line (a line-oriented scan has no 'first line of its file' marker
+    at task level); a guard aggregation counts header matches per file
+    first and raises if any file has != 1 — a data row forged to
+    byte-equal the header fails LOUD, never silently drops (the csv
+    path would keep such a row; divergence documented here).
+
+    Returns the number of study files planned. CNA posture: abort on
+    first failure (unreadable/headerless file raises).
     """
-    inputs = discover_cna_files(tsv_dir)
-    logger.info("found %d CNA files (single-job mode)", len(inputs))
-    ga_parts, gps_parts, dv_parts = [], [], []
-    for item in inputs:
-        df = read_cna_matrix(spark, item.path)
-        ga_parts.append(
-            cna_ops.genetic_alterations(
-                df, item.cancer_study_id, item.genetic_profile_id
-            )
-        )
-        gps_parts.append(
-            cna_ops.genetic_profile_samples(
-                spark, df, item.cancer_study_id, item.genetic_profile_id
-            )
-        )
-        if with_derived:
-            dv_parts.append(
-                cna_ops.cna_derived(
-                    df, item.cancer_study_id, item.genetic_profile_id
-                )
-            )
-    if not inputs:
-        return 0
+    from pathlib import Path
+
     from pyspark.sql import functions as F
 
+    from clickhouse_only_importer_prototype_spark.schemas import (
+        GENETIC_PROFILE_SAMPLES_SCHEMA,
+    )
+    from clickhouse_only_importer_prototype_spark.sources.tsv import (
+        header_line_and_names,
+    )
+
+    inputs = discover_cna_files(tsv_dir)
+    logger.info("found %d CNA files (single-job mode)", len(inputs))
+    if not inputs:
+        return 0
+    manifest_rows = []
+    gps_rows = []
+    for item in inputs:
+        parsed = header_line_and_names(item.path)
+        if parsed is None:
+            raise ValueError(
+                f"convert_cna_partitioned: no parseable header in"
+                f" {item.path} (empty or quoted header)"
+            )
+        raw, names = parsed
+        sample_ids = [
+            f"{item.cancer_study_id}_{c}"
+            for c in names[cna_ops.FIRST_SAMPLE_IDX:]
+        ]
+        manifest_rows.append(
+            (
+                Path(item.path).resolve().as_uri(),
+                item.cancer_study_id,
+                item.genetic_profile_id,
+                raw,
+                sample_ids,
+            )
+        )
+        gps_rows.append(
+            (
+                item.cancer_study_id,
+                item.genetic_profile_id,
+                ",".join(sample_ids),
+            )
+        )
+    mf = spark.createDataFrame(
+        manifest_rows,
+        "__file string, __study string, __profile string,"
+        " __header string, __sample_ids array<string>",
+    )
+    lines = spark.read.text([it.path for it in inputs]).select(
+        F.col("value"), F.input_file_name().alias("__file")
+    )
+    tagged = lines.join(F.broadcast(mf), "__file", "left")
+    missing = F.col("__study").isNull()
+    is_header = F.col("value") == F.col("__header")
+    # guard pass: every file must contribute exactly one header-match
+    # (and be present in the manifest) before anything is written
+    bad = (
+        tagged.groupBy("__file")
+        .agg(
+            F.sum(is_header.cast("int")).alias("n_hdr"),
+            F.max(missing.cast("int")).alias("n_miss"),
+        )
+        .where((F.col("n_hdr") != 1) | (F.col("n_miss") > 0))
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "convert_cna_partitioned: header-match guard failed for "
+            + ", ".join(f"{r['__file']} (matches={r['n_hdr']})" for r in bad)
+        )
+    n_samples = F.size("__sample_ids")
+    parts = F.split(F.col("value"), "\t")
+    # pad to header width: the csv path yields NULL (-> '') for short
+    # rows and drops fields beyond the schema; slice after padding
+    # reproduces both
+    padded = F.concat(
+        parts,
+        F.array_repeat(
+            F.lit(""),
+            F.greatest(
+                F.lit(0),
+                n_samples + F.lit(cna_ops.FIRST_SAMPLE_IDX) - F.size(parts),
+            ),
+        ),
+    )
+    # csv parity: the csv reader drops fully blank lines; text keeps
+    # them — filter to match (a line of only tabs is NOT blank)
+    data = tagged.where(~is_header & (F.col("value") != "")).select(
+        "__study",
+        "__profile",
+        "__sample_ids",
+        n_samples.alias("__n"),
+        padded.alias("__cells"),
+    )
     # partition by AUXILIARY copies of the keys: empty-string values
     # (meta-less files) would round-trip as NULL through hive partition
     # directories, violating the no-null '' contract — the real data
     # columns stay inside the files untouched
-    def balanced_union(dfs: list[DataFrame]) -> DataFrame:
-        # pairwise tree union, NOT reduce(unionByName): a left-deep
-        # 1000-way Union is depth-1000 for the JVM analyzer (stack
-        # overflow territory) with quadratic re-analysis cost; the
-        # balanced tree is depth log2(N) and Catalyst's CombineUnions
-        # flattens it to one N-child Union for execution either way
-        while len(dfs) > 1:
-            dfs = [
-                dfs[i].unionByName(dfs[i + 1]) if i + 1 < len(dfs) else dfs[i]
-                for i in range(0, len(dfs), 2)
-            ]
-        return dfs[0]
+    placeholder = F.lit("(none)")
 
-    def unioned(dfs):
-        out = balanced_union(dfs)
-        placeholder = F.lit("(none)")
-        return out.withColumn(
+    def with_keys(df):
+        return df.withColumn(
             "__p_study",
             F.when(F.col("CANCER_STUDY") == "", placeholder).otherwise(
                 F.col("CANCER_STUDY")
@@ -351,19 +435,55 @@ def convert_cna_partitioned(
 
     keys = ["__p_study", "__p_profile"]
     os.makedirs(parquet_dir, exist_ok=True)
+    ga = data.select(
+        F.col("__study").alias("CANCER_STUDY"),
+        F.col("__profile").alias("GENETIC_PROFILE"),
+        F.coalesce(F.col("__cells")[0], F.lit("")).alias("GENE_SYMBOL"),
+        F.array_join(
+            F.slice(
+                F.col("__cells"),
+                cna_ops.FIRST_SAMPLE_IDX + 1,
+                F.col("__n"),
+            ),
+            ",",
+        ).alias("VALUES"),
+    )
     write_parquet(
-        unioned(ga_parts),
+        with_keys(ga),
         os.path.join(parquet_dir, "genetic_alterations.parquet"),
         partition_by=keys,
     )
+    gps = spark.createDataFrame(gps_rows, GENETIC_PROFILE_SAMPLES_SCHEMA)
     write_parquet(
-        unioned(gps_parts),
+        with_keys(gps),
         os.path.join(parquet_dir, "genetic_profile_samples.parquet"),
         partition_by=keys,
     )
     if with_derived:
+        exploded = data.select(
+            "__study",
+            "__profile",
+            "__sample_ids",
+            F.coalesce(F.col("__cells")[0], F.lit("")).alias("__gene"),
+            F.posexplode(
+                F.slice(
+                    F.col("__cells"),
+                    cna_ops.FIRST_SAMPLE_IDX + 1,
+                    F.col("__n"),
+                )
+            ).alias("__pos", "__alt"),
+        )
+        derived = exploded.select(
+            F.element_at(
+                F.col("__sample_ids"), F.col("__pos") + 1
+            ).alias("SAMPLE_ID"),
+            F.col("__study").alias("CANCER_STUDY"),
+            F.col("__gene").alias("GENE_SYMBOL"),
+            F.col("__profile").alias("GENETIC_PROFILE"),
+            F.col("__alt").alias("ALTERATION"),
+        )
         write_parquet(
-            unioned(dv_parts),
+            with_keys(derived),
             os.path.join(parquet_dir, "derived.parquet"),
             partition_by=keys,
         )

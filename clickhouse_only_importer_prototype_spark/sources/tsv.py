@@ -47,23 +47,37 @@ def _header_only_schema(path: str, comment: str | None = None):
     the pinned degenerate behavior), and headers containing a quote
     char (csv quote semantics belong to the real parser).
     """
-    from collections import Counter
-
     from pyspark.sql.types import StringType, StructField, StructType
 
-    try:
-        with open(path, encoding="utf-8", errors="replace") as fh:
-            line = None
-            for raw in fh:
-                if comment and raw.startswith(comment):
-                    continue
-                line = raw
-                break
-    except OSError:
-        raise  # per-file error isolation (D4) handles it upstream
+    parsed = header_line_and_names(path, comment)
+    if parsed is None:
+        return None
+    _, cols = parsed
+    return StructType([StructField(c, StringType(), True) for c in cols])
+
+
+def header_line_and_names(
+    path: str, comment: str | None = None
+) -> tuple[str, list[str]] | None:
+    """(raw header line without EOL, Spark-normalized column names) or
+    None for empty/comment-only/quoted-header files. The raw line is
+    what ``spark.read.text`` yields for that row (text source strips
+    \\n, \\r\\n) — the single-scan partitioned CNA mode filters header
+    rows by matching it byte-for-byte. Name normalization: see
+    _header_only_schema."""
+    from collections import Counter
+
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        line = None
+        for raw in fh:
+            if comment and raw.startswith(comment):
+                continue
+            line = raw
+            break
     if line is None or line.strip("\r\n") == "" or '"' in line:
         return None
-    names = line.rstrip("\r\n").split("\t")
+    stripped = line.rstrip("\r\n")
+    names = stripped.split("\t")
     lower_counts = Counter(n.lower() for n in names)
     cols = []
     for i, n in enumerate(names):
@@ -73,7 +87,7 @@ def _header_only_schema(path: str, comment: str | None = None):
             cols.append(f"{n}{i}")
         else:
             cols.append(n)
-    return StructType([StructField(c, StringType(), True) for c in cols])
+    return stripped, cols
 
 
 def read_cna_matrix(spark: SparkSession, path: str) -> DataFrame:
