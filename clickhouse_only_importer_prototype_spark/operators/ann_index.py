@@ -337,7 +337,13 @@ def encode_new_vectors(
     return enc
 
 
-def _write_codes(enc: DataFrame, path: str, kind: str, mode: str) -> None:
+def _write_codes(
+    enc: DataFrame,
+    path: str,
+    kind: str,
+    mode: str,
+    dirname: str = "codes.parquet",
+) -> None:
     """ivf/ivfpq codes write hive-partitioned by cluster — the
     inverted-list layout (see AnnIndex.codes); appends use the same
     writer config so incremental ingest lands inside the partition
@@ -346,4 +352,96 @@ def _write_codes(enc: DataFrame, path: str, kind: str, mode: str) -> None:
     writer = enc.write.mode(mode)
     if kind in ("ivf", "ivfpq"):
         writer = writer.partitionBy("cluster")
-    writer.parquet(os.path.join(path, "codes.parquet"))
+    writer.parquet(os.path.join(path, dirname))
+
+
+def compact_ann_index(index: AnnIndex, spark: SparkSession) -> int:
+    """Rewrite the codes table to one well-sized file per inverted
+    list. Every ``encode_new_vectors`` append lands at least one new
+    file per touched cluster partition; after many ingest batches the
+    table accretes small files and the serve-time scan pays one task
+    (and one footer read) per fragment — the standard small-files
+    decay of any append-oriented layout. Compaction = read, cluster-
+    aligned repartition, write to a sibling dir, atomic swap — ids,
+    clusters, and codes are byte-identical (pinned by test, including
+    serving equality before/after).
+
+    Returns the number of data files after compaction. Run it on
+    ingest cadence, not query cadence — at 100 TB this is the same
+    background job tier as parquet compaction anywhere else."""
+    import shutil
+
+    src = os.path.join(index.path, "codes.parquet")
+    tmp_dirname = "codes.parquet.__compacting__"
+    tmp = os.path.join(index.path, tmp_dirname)
+    shutil.rmtree(tmp, ignore_errors=True)
+    codes = index.codes(spark)
+    if index.kind in ("ivf", "ivfpq"):
+        # hash-repartition on cluster with one slot per centroid: each
+        # partition dir ends up with ~1 file
+        enc = codes.repartition(int(index.n_centroids), F.col("cluster"))
+    else:
+        enc = codes.coalesce(max(1, spark.sparkContext.defaultParallelism // 8))
+    _write_codes(enc, index.path, index.kind, "overwrite", tmp_dirname)
+    shutil.rmtree(src)
+    os.rename(tmp, src)
+    return sum(
+        1
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def index_staleness_audit(
+    index: AnnIndex,
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    floor_per_1000: int = 450,
+) -> DataFrame:
+    """The rebuild-decision signal: recall of the PREBUILT serve
+    against exact brute force over the CURRENT corpus — one row
+    (kind, truth_pairs, recall_per_1000, meets_floor).
+
+    Two distinct drifts show up here and the module docs delegate the
+    rebuild decision to exactly this number:
+      * ingest lag — corpus rows the codes table never encoded cannot
+        be candidates, so recall caps at indexed/corpus (the audit
+        after ``encode_new_vectors`` recovers it; pinned by test);
+      * codebook/centroid drift — new vectors encode fine but land in
+        increasingly wrong cells/codes; recall decays gradually.
+    Below the floor -> rebuild (``build_ann_index``); at or above ->
+    keep serving the frozen artifact. The audit costs one brute-force
+    pass over the query SAMPLE (not the corpus fleet) — the
+    ann_recall_check cost class."""
+    from clickhouse_only_importer_prototype_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_ivfpq,
+        cosine_topk_pq,
+    )
+
+    serve_fn = {
+        "ivf": cosine_topk_ivf,
+        "pq": cosine_topk_pq,
+        "ivfpq": cosine_topk_ivfpq,
+    }[index.kind]
+    served = serve_fn(corpus, queries, dim, k=k, prebuilt=index)
+    truth = cosine_topk_bruteforce(corpus, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(
+        served.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    total = truth.agg(F.count(F.lit(1)).alias("total"))
+    recall = F.floor(F.lit(1000.0) * F.col("hits") / F.col("total"))
+    return hits.crossJoin(total).select(
+        F.lit(index.kind).alias("kind"),
+        F.col("total").cast("long").alias("truth_pairs"),
+        recall.cast("long").alias("recall_per_1000"),
+        (recall >= F.lit(floor_per_1000)).alias("meets_floor"),
+    )

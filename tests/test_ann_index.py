@@ -185,3 +185,88 @@ def test_codes_partitioned_by_cell_and_pruned(spark, built, emb):
         ln for ln in seg.splitlines() if ln.startswith("PartitionFilters")
     )
     assert "cluster" in pf_line and "IN" in pf_line.upper(), pf_line
+
+
+def test_staleness_audit_flags_ingest_lag_and_recovers(spark, emb, tmp_path):
+    """The lifecycle's decision loop: an index built BEFORE the corpus
+    grew caps its recall at indexed/corpus (unencoded rows can't be
+    candidates) — the audit must flag that; after encode_new_vectors
+    ingests the missing rows against the FROZEN codebooks, the audit
+    must recover above the floor. No retrain anywhere."""
+    path = str(tmp_path / "stale_ivfpq")
+    evens = emb.where(F.col("vec_id") % 2 == 0)
+    odds = emb.where(F.col("vec_id") % 2 == 1)
+    idx = ai.build_ann_index(evens, path, "ivfpq", dim=64)
+    q = emb.where(F.col("vec_id") < 6)
+
+    stale = ai.index_staleness_audit(
+        idx, emb, q, dim=64, k=5, floor_per_1000=600
+    ).first()
+    # half the corpus is unindexed: recall is capped well below a
+    # fresh index's (~absolute ceiling 500 + boundary luck)
+    assert not stale.meets_floor
+    assert stale.recall_per_1000 <= 600
+
+    ai.encode_new_vectors(idx, odds)
+    fresh = ai.index_staleness_audit(
+        ai.load_ann_index(path), emb, q, dim=64, k=5, floor_per_1000=450
+    ).first()
+    assert fresh.meets_floor
+    assert fresh.recall_per_1000 > stale.recall_per_1000
+
+
+def test_compaction_shrinks_files_preserves_codes_and_serving(
+    spark, emb, tmp_path
+):
+    """Append-oriented layouts decay into small files; compact_ann_index
+    must cut the file count while keeping every (vec_id, cluster,
+    codes) row byte-identical AND the served top-k unchanged."""
+    import os
+
+    path = str(tmp_path / "compact_ivfpq")
+    base = emb.where(F.col("vec_id") % 4 == 0)
+    idx = ai.build_ann_index(base, path, "ivfpq", dim=64)
+    for m in (1, 2, 3):  # three ingest batches -> files accrete
+        ai.encode_new_vectors(idx, emb.where(F.col("vec_id") % 4 == m))
+
+    def n_files():
+        root = os.path.join(path, "codes.parquet")
+        return sum(
+            1
+            for r, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before_files = n_files()
+    before_codes = {
+        r.vec_id: (r.cluster, tuple(r.codes))
+        for r in idx.codes(spark).collect()
+    }
+    q = emb.where(F.col("vec_id") < 4)
+    before_serve = sorted(
+        map(
+            tuple,
+            sim.cosine_topk_ivfpq(
+                emb, q, dim=64, k=5, prebuilt=ai.load_ann_index(path)
+            ).collect(),
+        )
+    )
+
+    after_files = ai.compact_ann_index(ai.load_ann_index(path), spark)
+    assert after_files < before_files
+    reloaded = ai.load_ann_index(path)
+    after_codes = {
+        r.vec_id: (r.cluster, tuple(r.codes))
+        for r in reloaded.codes(spark).collect()
+    }
+    assert after_codes == before_codes
+    after_serve = sorted(
+        map(
+            tuple,
+            sim.cosine_topk_ivfpq(
+                emb, q, dim=64, k=5, prebuilt=reloaded
+            ).collect(),
+        )
+    )
+    assert after_serve == before_serve
