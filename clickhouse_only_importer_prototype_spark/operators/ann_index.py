@@ -362,19 +362,38 @@ def compact_ann_index(index: AnnIndex, spark: SparkSession) -> int:
     table accretes small files and the serve-time scan pays one task
     (and one footer read) per fragment — the standard small-files
     decay of any append-oriented layout. Compaction = read, cluster-
-    aligned repartition, write to a sibling dir, atomic swap — ids,
-    clusters, and codes are byte-identical (pinned by test, including
-    serving equality before/after).
+    aligned repartition, write to a sibling dir, two-rename swap —
+    ids, clusters, and codes are byte-identical (pinned by test,
+    including serving equality before/after).
+
+    The swap is NOT atomic (no POSIX primitive renames one directory
+    over another) but it is recoverable at every intermediate state:
+    rename(src -> codes.parquet.__old__), rename(tmp -> src), delete
+    __old__. A crash between the renames leaves either the old table
+    parked at __old__ (restore = rename back) or the new table already
+    live — never a window with NO codes table, which a
+    rmtree(src)-then-rename ordering would have. Local POSIX paths
+    only (os.rename semantics): non-local paths are refused up front —
+    at 100 TB compaction commits through a table catalog's atomic
+    rewrite (Iceberg/Delta style), not directory renames.
 
     Returns the number of data files after compaction. Run it on
     ingest cadence, not query cadence — at 100 TB this is the same
     background job tier as parquet compaction anywhere else."""
     import shutil
 
+    if "://" in index.path and not index.path.startswith("file:"):
+        raise ValueError(
+            "compact_ann_index requires a local filesystem path; got "
+            f"{index.path!r} — non-local artifacts need a catalog-level "
+            "rewrite-commit, not directory renames"
+        )
     src = os.path.join(index.path, "codes.parquet")
     tmp_dirname = "codes.parquet.__compacting__"
     tmp = os.path.join(index.path, tmp_dirname)
+    old = os.path.join(index.path, "codes.parquet.__old__")
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     codes = index.codes(spark)
     if index.kind in ("ivf", "ivfpq"):
         # hash-repartition on cluster with one slot per centroid: each
@@ -383,8 +402,12 @@ def compact_ann_index(index: AnnIndex, spark: SparkSession) -> int:
     else:
         enc = codes.coalesce(max(1, spark.sparkContext.defaultParallelism // 8))
     _write_codes(enc, index.path, index.kind, "overwrite", tmp_dirname)
-    shutil.rmtree(src)
+    # Recoverable two-rename swap: the live name always points at a
+    # complete table, and the pre-compaction table survives at __old__
+    # until the new one is live.
+    os.rename(src, old)
     os.rename(tmp, src)
+    shutil.rmtree(old)
     return sum(
         1
         for root, _, files in os.walk(src)

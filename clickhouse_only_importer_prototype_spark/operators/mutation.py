@@ -139,28 +139,59 @@ def _rank_with_offsets(
 
 
 def with_sequential_ids_multi(
-    frames: list[DataFrame], start: int = 0
+    frames: list[DataFrame],
+    start: int = 0,
+    file_order: dict[str, int] | None = None,
 ) -> list[DataFrame]:
     """Gapless ids ACROSS several scan frames in one global
-    (sorted file path, partition) order — the single-job D3 shape.
+    (file, partition) order — the single-job D3 shape.
 
     Heterogeneous MAF headers force one csv scan per header group
     (Spark applies the first file's header to every file of a
     multi-path scan), but the id contract is corpus-wide: counts are
     collected per frame (one metadata-scale job each), prefix-summed
-    TOGETHER in global (path, pid) order, and each frame ranks with
+    TOGETHER in one global file order, and each frame ranks with
     its broadcast offsets — byte-identical ids to the sequential
     per-file loop, with every heavy pass running as a distributed
     scan. Output frames KEEP the ``__file`` tag so the caller can join
-    per-file attributes (study/profile) before projecting."""
+    per-file attributes (study/profile) before projecting.
+
+    ``file_order`` maps each scan file URI (``input_file_name()``
+    form) to its rank in the caller's processing order. The sequential
+    loop iterates files in DISCOVERY order over raw paths; the scan
+    tag is a percent-ENCODED URI, so sorting the URIs lexicographically
+    can permute files whose raw paths contain characters that encode
+    (``'a b' -> 'a%20b'``) — the caller must pass the discovery order
+    explicitly for the byte-identical-ids contract to survive exotic
+    filenames. ``None`` falls back to lexicographic URI order (only
+    correct when every path is encoding-invariant); a scanned URI
+    absent from the map raises rather than silently mis-ordering."""
     taggeds = [_tagged_scan(f) for f in frames]
     all_counts: list[tuple] = []
     for i, t in enumerate(taggeds):
         for row in t.groupBy(_FILE, "__pid").count().collect():
             all_counts.append((row[_FILE], row["__pid"], row["count"], i))
+    if file_order is not None:
+        missing = sorted(
+            {c[0] for c in all_counts if c[0] not in file_order}
+        )
+        if missing:
+            raise ValueError(
+                "with_sequential_ids_multi: scan file(s) missing from "
+                f"file_order map: {missing[:5]}"
+            )
+
+        def key(x):
+            return (file_order[x[0]], x[1])
+
+    else:
+
+        def key(x):
+            return (x[0], x[1])
+
     per_frame: list[list[tuple]] = [[] for _ in frames]
     acc = start
-    for fpath, pid, cnt, i in sorted(all_counts, key=lambda x: (x[0], x[1])):
+    for fpath, pid, cnt, i in sorted(all_counts, key=key):
         per_frame[i].append((fpath, pid, acc, cnt))
         acc += cnt
     return [

@@ -51,6 +51,19 @@ def _as_double(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+def _check_prebuilt_dim(prebuilt, dim: int) -> None:
+    """A prebuilt artifact pins dim at build time; the caller-passed
+    ``dim`` drives subspace slicing and LUT shapes, so a mismatch is
+    wrong answers (or an opaque numpy shape error), never a graceful
+    degrade — refuse loudly like the kind/centroids/codebooks checks."""
+    if int(prebuilt.dim) != int(dim):
+        raise ValueError(
+            f"prebuilt index was built with dim={prebuilt.dim}; serving "
+            f"called with dim={dim} — rebuild the index or pass the "
+            "artifact's dim"
+        )
+
+
 def quantize_embeddings(
     df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -436,6 +449,7 @@ def cosine_topk_ivf(
     (training is seeded/partition-stable and float64 survives parquet
     exactly; pinned by tests/test_ann_index.py)."""
     if prebuilt is not None:
+        _check_prebuilt_dim(prebuilt, dim)
         if prebuilt.centroids is None:
             raise ValueError(f"index kind {prebuilt.kind!r} has no centroids")
         cents = prebuilt.centroids
@@ -1254,6 +1268,7 @@ def cosine_topk_pq(
     the shortlist. Bit-identical to in-session with matching params
     (pinned by tests/test_ann_index.py)."""
     if prebuilt is not None:
+        _check_prebuilt_dim(prebuilt, dim)
         if prebuilt.codebooks is None:
             raise ValueError(f"index kind {prebuilt.kind!r} has no codebooks")
         codebooks = prebuilt.codebooks
@@ -1401,6 +1416,7 @@ def cosine_topk_ivfpq(
     Bit-identical to in-session with matching params (pinned by
     tests/test_ann_index.py)."""
     if prebuilt is not None:
+        _check_prebuilt_dim(prebuilt, dim)
         if prebuilt.centroids is None or prebuilt.codebooks is None:
             raise ValueError(
                 f"index kind {prebuilt.kind!r} lacks centroids or codebooks"

@@ -48,6 +48,33 @@ from clickhouse_only_importer_prototype_spark.sources.tsv import (
 logger = logging.getLogger(__name__)
 
 
+# Characters java.net.URI leaves RAW in a path component (what
+# Hadoop's Path/input_file_name actually emits): unreserved
+# "_-!.~'()*" + punct ",;:$&+=" + "/@". Python's Path.as_uri()
+# percent-encodes the sub-delims (= ! $ & ...) and would mismatch
+# the scan tag for any filename containing one (verified empirically:
+# the scan reports "x=y.txt", as_uri says "x%3Dy.txt").
+_JAVA_URI_PATH_SAFE = "/!'()*,;:$&+=@-_.~"
+
+
+def _spark_file_uri(path: str) -> str:
+    """The URI ``input_file_name()`` reports for a local file:
+    absolute, percent-encoded per java.net.URI path rules, NOT
+    symlink-resolved. Spark's scan never calls realpath, so building
+    manifest keys with ``Path.resolve()`` would make every file under
+    a symlinked tsv_dir miss the broadcast manifest (guard failure) —
+    abspath normalizes without resolving, matching the scan's own
+    view. Non-ASCII chars stay raw like java.net.URI.toString()."""
+    from urllib.parse import quote
+
+    p = os.path.abspath(path)
+    encoded = "".join(
+        c if ord(c) > 0x7F else quote(c, safe=_JAVA_URI_PATH_SAFE)
+        for c in p
+    )
+    return "file://" + encoded
+
+
 def output_base(tsv_path: str, parquet_dir: str) -> str:
     """``<studyDir>_<file>`` naming (cna/transformer.go:266-297)."""
     study_dir = os.path.basename(os.path.dirname(tsv_path))
@@ -317,8 +344,6 @@ def convert_cna_partitioned(
     Returns the number of study files planned. CNA posture: abort on
     first failure (unreadable/headerless file raises).
     """
-    from pathlib import Path
-
     from pyspark.sql import functions as F
 
     from clickhouse_only_importer_prototype_spark.schemas import (
@@ -348,7 +373,7 @@ def convert_cna_partitioned(
         ]
         manifest_rows.append(
             (
-                Path(item.path).resolve().as_uri(),
+                _spark_file_uri(item.path),
                 item.cancer_study_id,
                 item.genetic_profile_id,
                 raw,
@@ -374,21 +399,37 @@ def convert_cna_partitioned(
     missing = F.col("__study").isNull()
     is_header = F.col("value") == F.col("__header")
     # guard pass: every file must contribute exactly one header-match
-    # (and be present in the manifest) before anything is written
+    # (and be present in the manifest) before anything is written, and
+    # no line may contain the csv quote char — this mode parses rows
+    # with a raw split(value, '\t'), which has NO quote semantics,
+    # while the per-study csv mode applies the default quote='"'; a
+    # quoted cell would silently diverge between the two modes, so it
+    # fails loud instead (the header itself is already quote-free:
+    # header_line_and_names rejects quoted headers up front)
     bad = (
         tagged.groupBy("__file")
         .agg(
             F.sum(is_header.cast("int")).alias("n_hdr"),
             F.max(missing.cast("int")).alias("n_miss"),
+            F.sum(F.col("value").contains('"').cast("int")).alias("n_quote"),
         )
-        .where((F.col("n_hdr") != 1) | (F.col("n_miss") > 0))
+        .where(
+            (F.col("n_hdr") != 1)
+            | (F.col("n_miss") > 0)
+            | (F.col("n_quote") > 0)
+        )
         .limit(5)
         .collect()
     )
     if bad:
         raise ValueError(
-            "convert_cna_partitioned: header-match guard failed for "
-            + ", ".join(f"{r['__file']} (matches={r['n_hdr']})" for r in bad)
+            "convert_cna_partitioned: header/quote guard failed for "
+            + ", ".join(
+                f"{r['__file']} (header_matches={r['n_hdr']},"
+                f" quote_lines={r['n_quote']})"
+                for r in bad
+            )
+            + " — files with quoted cells need the per-study csv mode"
         )
     n_samples = F.size("__sample_ids")
     parts = F.split(F.col("value"), "\t")
@@ -533,8 +574,6 @@ def convert_mutations_partitioned(
     cheaper than partial-output bookkeeping. Returns the number of
     files planned.
     """
-    from pathlib import Path
-
     from pyspark.sql import functions as F
 
     inputs = discover_mutation_files(tsv_dir)
@@ -547,12 +586,21 @@ def convert_mutations_partitioned(
     frames = [
         read_maf(spark, [it.path for it in g]) for g in groups.values()
     ]
-    ranked = mut_ops.with_sequential_ids_multi(frames, start=start_event_id)
+    # global id order = DISCOVERY order (what the sequential loop
+    # iterates), carried by a URI->rank map: sorting the scan's
+    # percent-encoded URIs lexicographically could permute exotic
+    # filenames ('a b' -> 'a%20b') relative to the loop's raw paths
+    file_order = {
+        _spark_file_uri(it.path): i for i, it in enumerate(inputs)
+    }
+    ranked = mut_ops.with_sequential_ids_multi(
+        frames, start=start_event_id, file_order=file_order
+    )
     # broadcast manifest: scan file URI -> (study, profile); the rank
     # frames keep the __file tag for exactly this join
     manifest = [
         (
-            Path(it.path).resolve().as_uri(),
+            _spark_file_uri(it.path),
             it.cancer_study_id,
             it.genetic_profile_id,
         )

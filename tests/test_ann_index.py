@@ -97,6 +97,41 @@ def test_prebuilt_kind_mismatch_raises(spark, built, emb):
         sim.cosine_topk_ivfpq(emb, q, dim=64, prebuilt=pq_idx)
 
 
+def test_prebuilt_dim_mismatch_raises(spark, built, emb):
+    """ADVICE r9: dim drives subspace slicing and LUT shapes; a
+    caller-passed dim that contradicts the artifact's meta must refuse
+    loudly, not produce wrong slices or an opaque numpy shape error."""
+    q = emb.where(F.col("vec_id") < 2)
+    for kind, fn in (
+        ("ivf", sim.cosine_topk_ivf),
+        ("pq", sim.cosine_topk_pq),
+        ("ivfpq", sim.cosine_topk_ivfpq),
+    ):
+        idx = ai.load_ann_index(built[kind][1])
+        with pytest.raises(ValueError, match="built with dim=64"):
+            fn(emb, q, dim=32, prebuilt=idx)
+
+
+def test_compaction_refuses_nonlocal_path_and_parks_old(
+    spark, emb, tmp_path
+):
+    """ADVICE r9 (medium): the compaction swap must never leave a
+    window with NO codes table — the old table parks at __old__ until
+    the new one is live, and the parked copy is gone after success;
+    non-local paths (no os.rename semantics) are refused up front."""
+    import dataclasses
+    import os
+
+    path = str(tmp_path / "cmp_swap")
+    idx = ai.build_ann_index(emb.limit(200), path, "ivf", dim=64)
+    ai.compact_ann_index(idx, spark)
+    assert os.path.isdir(os.path.join(path, "codes.parquet"))
+    assert not os.path.exists(os.path.join(path, "codes.parquet.__old__"))
+    remote = dataclasses.replace(idx, path="s3://bucket/idx")
+    with pytest.raises(ValueError, match="local filesystem path"):
+        ai.compact_ann_index(remote, spark)
+
+
 def test_bad_kind_and_version_rejected(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="kind must be one of"):
         ai.build_ann_index(emb, str(tmp_path / "x"), "hnsw", dim=64)

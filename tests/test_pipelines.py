@@ -365,3 +365,97 @@ def test_convert_mutations_partitioned_matches_per_study(
         f"hive_partitioning=true)"
     )
     assert ma == mb and len(ma) == 6
+
+
+def test_convert_mutations_partitioned_exotic_names_via_symlink(
+    spark, tmp_path
+):
+    """ADVICE r9: two correctness traps in the single-job manifest/id
+    plumbing, both exercised at once.
+
+    (1) File URI percent-encoding can permute id order vs the
+    sequential loop's raw-path discovery order: 'x>y' scans as
+    'x%3Ey' and '%'(0x25) < '0'(0x30), so lexicographic-URI ordering
+    puts 'x>y.txt' BEFORE 'x0y.txt' while raw-path order is the
+    reverse — ids must follow discovery order (URI->rank map).
+
+    (2) Manifest keys built with Path.resolve() resolve symlinks but
+    input_file_name() does not (verified empirically), so a symlinked
+    tsv_dir made every scan tag miss the broadcast manifest.
+    """
+    import os
+
+    real_root = tmp_path / "real_studies"
+    d = real_root / "s_exotic"
+    d.mkdir(parents=True)
+    hdr = (
+        "Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\t"
+        "Tumor_Sample_Barcode\n"
+    )
+    # raw-path sorted (= discovery = sequential) order:
+    #   data_mutations_x0y.txt  then  data_mutations_x>y.txt
+    # lexicographic scan-URI order is the reverse.
+    (d / "meta_mutations_a.txt").write_text(
+        "cancer_study_identifier: s_exotic\nstable_id: mutations\n"
+        "data_filename: data_mutations_x0y.txt\n"
+    )
+    (d / "data_mutations_x0y.txt").write_text(
+        hdr + "TP53\t7157\t1\tSA\nBRCA1\t672\t2\tSA\n"
+    )
+    (d / "meta_mutations_b.txt").write_text(
+        "cancer_study_identifier: s_exotic\nstable_id: mutations2\n"
+        "data_filename: data_mutations_x>y.txt\n"
+    )
+    (d / "data_mutations_x>y.txt").write_text(
+        hdr + "EGFR\t1956\t5\tSB\nKRAS\t3845\t7\tSB\n"
+    )
+    link = tmp_path / "linked_studies"
+    os.symlink(real_root, link)
+
+    per_study = tmp_path / "per_study_x"
+    single_job = tmp_path / "single_job_x"
+    summary = pipelines.convert_mutations(spark, str(link), str(per_study))
+    assert summary.ok
+    n = pipelines.convert_mutations_partitioned(
+        spark, str(link), str(single_job)
+    )
+    assert n == 2
+
+    def rows(q):
+        return sorted(map(tuple, duckdb.sql(q).fetchall()))
+
+    cols = "MUTATION_EVENT_ID, ENTREZ_GENE_ID, START_POSITION"
+    a = rows(
+        f"select {cols} from read_parquet("
+        f"'{per_study}/*_mutation_event.parquet/*.parquet')"
+    )
+    b = rows(
+        f"select {cols} from read_parquet("
+        f"'{single_job}/mutation_event.parquet/*.parquet')"
+    )
+    assert a == b and len(a) == 4
+    # discovery (raw-path) order: x0y's rows take ids 0-1, x>y's 2-3 —
+    # lexicographic-URI ordering would have flipped them
+    by_id = {r[0]: r[1] for r in b}
+    assert by_id[0] == "7157" and by_id[2] == "1956"
+
+
+def test_convert_cna_partitioned_quote_guard(spark, tmp_path):
+    """ADVICE r9: the single-job CNA mode parses rows with a raw
+    split(value, '\\t') — no csv quote semantics — so a data cell
+    containing '\"' must fail LOUD (the per-study csv mode applies
+    default quote handling and would diverge silently)."""
+    root = tmp_path / "studies_q"
+    d = root / "s_q"
+    d.mkdir(parents=True)
+    (d / "meta_cna.txt").write_text(
+        "cancer_study_identifier: s_q\nstable_id: gistic\n"
+        "data_filename: data_cna.txt\n"
+    )
+    (d / "data_cna.txt").write_text(
+        'Hugo_Symbol\tEntrez_Gene_Id\tS1\nTP53\t7157\t"0"\n'
+    )
+    with pytest.raises(ValueError, match="quote"):
+        pipelines.convert_cna_partitioned(
+            spark, str(root), str(tmp_path / "out_q")
+        )
