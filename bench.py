@@ -446,6 +446,14 @@ def main() -> None:
                 f"  [bench] ann index {kind} skipped: {exc}",
                 file=sys.stderr,
             )
+    # the lifecycle gates' three-artifact fixture (half-build + frozen
+    # ingest + compaction) is offline-pipeline cost of the same class
+    try:
+        t0 = time.perf_counter()
+        q.ann_lifecycle_fixture(spark, sf_dir)
+        ann_build_secs["lifecycle"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # fixture build must never fail bench
+        print(f"  [bench] ann lifecycle skipped: {exc}", file=sys.stderr)
     if ann_build_secs:
         print(
             json.dumps(

@@ -28,6 +28,10 @@ MODES = (
     "convert-cna-partitioned",
     "convert-cna-partitioned-with-derived",
     "convert-mutations-partitioned",
+    # beyond the reference: single-job conversion that still writes the
+    # reference's per-study-file layout (partitionBy + driver rename;
+    # see pipelines.convert_mutations_grouped)
+    "convert-mutations-grouped",
     # beyond the reference: emit the ClickHouse CREATE TABLE statements
     # for the five catalog tables (the DDL the JDBC sink's inserts or an
     # out-of-band parquet load assume on the server)
@@ -252,6 +256,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.mode == "convert-mutations-partitioned":
             pipelines.convert_mutations_partitioned(
+                spark, args.tsv_dir, args.parquet_dir
+            )
+        elif args.mode == "convert-mutations-grouped":
+            pipelines.convert_mutations_grouped(
                 spark, args.tsv_dir, args.parquet_dir
             )
         elif args.mode == "convert-mutations":

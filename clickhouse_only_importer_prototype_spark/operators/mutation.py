@@ -209,21 +209,29 @@ def next_event_id(df_with_ids: DataFrame, start: int = 0) -> int:
     return (row["m"] + 1) if row["m"] is not None else start
 
 
-def mutation_event(df: DataFrame) -> DataFrame:
+def mutation_event(
+    df: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """MAF -> mutation_event projection (mutation/transformer.go:348-371).
 
     ``df`` must already carry MUTATION_EVENT_ID. Absent MAF columns and
     the 7 reserved columns become "" (constant-folded by Catalyst).
+    ``keep`` appends pass-through columns (e.g. a partition tag for the
+    grouped per-study write) after the table columns.
     """
     cols = [F.col(EVENT_ID)]
     for out_name, src in MUTATION_EVENT_COLUMNS:
         expr = field_or_empty(df, src) if src else F.lit("")
         cols.append(expr.alias(out_name))
+    cols.extend(F.col(k) for k in keep)
     return df.select(*cols)
 
 
 def mutation(
-    df: DataFrame, study: str | Column, profile: str | Column
+    df: DataFrame,
+    study: str | Column,
+    profile: str | Column,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """MAF -> mutation projection (mutation/transformer.go:373-407).
 
@@ -231,7 +239,8 @@ def mutation(
     GENETIC_PROFILE_ID is the profile literal; ANNOTATION_JSON "".
     ``study``/``profile`` may be Columns (the single-job partitioned
     mode derives them per file from a broadcast manifest); string
-    arguments fold to literals exactly as before.
+    arguments fold to literals exactly as before. ``keep`` appends
+    pass-through columns (see mutation_event).
     """
     cols = [
         F.col(EVENT_ID),
@@ -245,4 +254,5 @@ def mutation(
     for out_name, src in MUTATION_COLUMNS:
         expr = field_or_empty(df, src) if src else F.lit("")
         cols.append(expr.alias(out_name))
+    cols.extend(F.col(k) for k in keep)
     return df.select(*cols)

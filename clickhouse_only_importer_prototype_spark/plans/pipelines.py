@@ -543,6 +543,90 @@ def _maf_header_sig(path: str) -> str:
     return ""
 
 
+def _balanced_union(dfs: list[DataFrame]) -> DataFrame:
+    """Pairwise unionByName — a log-depth plan tree instead of a
+    left-deep chain (matters when unioning one frame per header
+    group)."""
+    while len(dfs) > 1:
+        dfs = [
+            dfs[i].unionByName(dfs[i + 1]) if i + 1 < len(dfs) else dfs[i]
+            for i in range(0, len(dfs), 2)
+        ]
+    return dfs[0]
+
+
+def _mutations_single_job_frames(
+    spark: SparkSession, tsv_dir: str, start_event_id: int
+) -> tuple[list, list[DataFrame]]:
+    """Shared scaffold of the single-job mutations modes: discovery,
+    header-signature grouping (Spark's multi-path csv scan applies the
+    first file's header to every file, so only same-header files may
+    share a scan), corpus-wide sequential ids in DISCOVERY order
+    (with_sequential_ids_multi + URI->rank map), and per-file
+    study/profile/output-base attribution joined from a broadcast
+    manifest keyed by the scan's file URI. Returns ``(inputs,
+    joined_frames)``; each joined frame carries the MAF columns +
+    MUTATION_EVENT_ID + __file/__study/__profile/__base. A scan file
+    missing from the manifest raises mid-plan (fail loud, never
+    silently unattributed)."""
+    from pyspark.sql import functions as F
+
+    inputs = discover_mutation_files(tsv_dir)
+    logger.info("found %d mutation files (single-job mode)", len(inputs))
+    if not inputs:
+        return [], []
+    groups: dict[str, list] = {}
+    for item in inputs:
+        groups.setdefault(_maf_header_sig(item.path), []).append(item)
+    frames = [
+        read_maf(spark, [it.path for it in g]) for g in groups.values()
+    ]
+    # global id order = DISCOVERY order (what the sequential loop
+    # iterates), carried by a URI->rank map: sorting the scan's
+    # percent-encoded URIs lexicographically could permute exotic
+    # filenames ('a b' -> 'a%20b') relative to the loop's raw paths
+    file_order = {
+        _spark_file_uri(it.path): i for i, it in enumerate(inputs)
+    }
+    ranked = mut_ops.with_sequential_ids_multi(
+        frames, start=start_event_id, file_order=file_order
+    )
+    manifest = [
+        (
+            _spark_file_uri(it.path),
+            it.cancer_study_id,
+            it.genetic_profile_id,
+            os.path.basename(output_base(it.path, "")),
+        )
+        for g in groups.values()
+        for it in g
+    ]
+    mf = spark.createDataFrame(
+        manifest,
+        "__file string, __study string, __profile string, __base string",
+    )
+    joined_frames = []
+    for r in ranked:
+        joined = r.join(F.broadcast(mf), "__file", "left").withColumn(
+            "__study",
+            F.when(
+                F.col("__study").isNull(),
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit(
+                            "single-job mutations mode: scan file"
+                            " missing from manifest:"
+                        ),
+                        F.col("__file"),
+                    )
+                ).cast("string"),
+            ).otherwise(F.col("__study")),
+        )
+        joined_frames.append(joined)
+    return inputs, joined_frames
+
+
 def convert_mutations_partitioned(
     spark: SparkSession,
     tsv_dir: str,
@@ -576,81 +660,27 @@ def convert_mutations_partitioned(
     """
     from pyspark.sql import functions as F
 
-    inputs = discover_mutation_files(tsv_dir)
-    logger.info("found %d mutation files (single-job mode)", len(inputs))
+    inputs, joined_frames = _mutations_single_job_frames(
+        spark, tsv_dir, start_event_id
+    )
     if not inputs:
         return 0
-    groups: dict[str, list] = {}
-    for item in inputs:
-        groups.setdefault(_maf_header_sig(item.path), []).append(item)
-    frames = [
-        read_maf(spark, [it.path for it in g]) for g in groups.values()
-    ]
-    # global id order = DISCOVERY order (what the sequential loop
-    # iterates), carried by a URI->rank map: sorting the scan's
-    # percent-encoded URIs lexicographically could permute exotic
-    # filenames ('a b' -> 'a%20b') relative to the loop's raw paths
-    file_order = {
-        _spark_file_uri(it.path): i for i, it in enumerate(inputs)
-    }
-    ranked = mut_ops.with_sequential_ids_multi(
-        frames, start=start_event_id, file_order=file_order
-    )
-    # broadcast manifest: scan file URI -> (study, profile); the rank
-    # frames keep the __file tag for exactly this join
-    manifest = [
-        (
-            _spark_file_uri(it.path),
-            it.cancer_study_id,
-            it.genetic_profile_id,
-        )
-        for g in groups.values()
-        for it in g
-    ]
-    mf = spark.createDataFrame(
-        manifest, "__file string, __study string, __profile string"
-    )
     ev_parts, mut_parts = [], []
-    for r in ranked:
-        joined = r.join(F.broadcast(mf), "__file", "left").withColumn(
-            "__study",
-            F.when(
-                F.col("__study").isNull(),
-                F.raise_error(
-                    F.concat_ws(
-                        " ",
-                        F.lit(
-                            "convert_mutations_partitioned: scan file"
-                            " missing from manifest:"
-                        ),
-                        F.col("__file"),
-                    )
-                ).cast("string"),
-            ).otherwise(F.col("__study")),
-        )
+    for joined in joined_frames:
         ev_parts.append(mut_ops.mutation_event(joined))
         mut_parts.append(
             mut_ops.mutation(
                 joined, F.col("__study"), F.col("__profile")
             )
         )
-
-    def balanced(dfs: list[DataFrame]) -> DataFrame:
-        while len(dfs) > 1:
-            dfs = [
-                dfs[i].unionByName(dfs[i + 1]) if i + 1 < len(dfs) else dfs[i]
-                for i in range(0, len(dfs), 2)
-            ]
-        return dfs[0]
-
     os.makedirs(parquet_dir, exist_ok=True)
     write_parquet(
-        balanced(ev_parts),
+        _balanced_union(ev_parts),
         os.path.join(parquet_dir, "mutation_event.parquet"),
     )
     # '' profile (meta-less file) would round-trip as NULL through a
     # hive partition dir — same placeholder contract as the CNA mode
-    mut_all = balanced(mut_parts).withColumn(
+    mut_all = _balanced_union(mut_parts).withColumn(
         "__p_profile",
         F.when(
             F.col("GENETIC_PROFILE_ID") == "", F.lit("(none)")
@@ -661,6 +691,139 @@ def convert_mutations_partitioned(
         os.path.join(parquet_dir, "mutation.parquet"),
         partition_by=["__p_profile"],
     )
+    return len(inputs)
+
+
+def convert_mutations_grouped(
+    spark: SparkSession,
+    tsv_dir: str,
+    parquet_dir: str,
+    start_event_id: int = 0,
+) -> int:
+    """Single-job mutations conversion that writes the REFERENCE's
+    per-study-file output layout (``<studyDir>_<stem>_mutation[_event]
+    .parquet`` — cna/transformer.go:266-297 naming applied by the
+    mutation CLI): the scale answer to the per-study loop's measured
+    DAGScheduler floor (round-9 verdict #2).
+
+    The loop mode pays ~12 scheduler stages PER FILE (rank counts +
+    window + 2 coalesce(1) writes + next-id agg), ~0.9s/study at
+    N=1,000 — pure per-job overhead, not data cost. Here the whole
+    corpus runs as the partitioned mode's plan (shared scaffold:
+    discovery-order ids, broadcast attribution) but each table is
+    written ONCE, hive-partitioned by a synthetic per-file key
+    (``__base`` = the reference's output stem), then a driver-side
+    rename pass moves each partition dir to its reference filename.
+    ``repartition(n, __base)`` confines every file's rows to one task
+    => exactly one part file per output, like the loop's
+    ``single_file=True``; ``sortWithinPartitions(__base, id)`` makes
+    file content order deterministic. Total Spark work: one scan +
+    one shuffle + one write stage per table, independent of study
+    count.
+
+    Inputs whose MAF has zero data rows produce no partition dir;
+    their outputs are written as schema-only parquet driver-side via
+    pyarrow (milliseconds; the Python local-relation write path costs
+    ~5s per tiny frame on this runtime — the round-8 finding), so the
+    output SET matches the loop mode exactly. Two distinct inputs
+    colliding onto one output base (same ``<studyDir>_<stem>`` under
+    different parents) raise up front — the loop mode would silently
+    let the later write clobber the earlier one.
+
+    Row-level parity with the loop mode is pinned by test (ids, rows,
+    one file per output, empty-input outputs). Failure posture:
+    all-or-nothing per run, like the partitioned mode. Returns the
+    number of files planned."""
+    import shutil
+    from urllib.parse import unquote
+
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from pyspark.sql import functions as F
+
+    inputs, joined_frames = _mutations_single_job_frames(
+        spark, tsv_dir, start_event_id
+    )
+    if not inputs:
+        return 0
+    bases = [os.path.basename(output_base(it.path, "")) for it in inputs]
+    dup = {b for b in bases if bases.count(b) > 1}
+    if dup:
+        raise ValueError(
+            "convert_mutations_grouped: multiple inputs map to the same"
+            f" output base(s) {sorted(dup)[:5]} — the per-study layout"
+            " cannot represent both"
+        )
+    ev_all = _balanced_union(
+        [mut_ops.mutation_event(j, keep=("__base",)) for j in joined_frames]
+    )
+    mut_all = _balanced_union(
+        [
+            mut_ops.mutation(
+                j, F.col("__study"), F.col("__profile"), keep=("__base",)
+            )
+            for j in joined_frames
+        ]
+    )
+    os.makedirs(parquet_dir, exist_ok=True)
+    staging = os.path.join(parquet_dir, ".grouped_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    nparts = max(
+        1, min(len(inputs), spark.sparkContext.defaultParallelism * 4)
+    )
+    for suffix, df in (
+        ("mutation_event", ev_all),
+        ("mutation", mut_all),
+    ):
+        stage_dir = os.path.join(staging, suffix)
+        (
+            df.repartition(nparts, F.col("__base"))
+            .sortWithinPartitions("__base", mut_ops.EVENT_ID)
+            .write.mode("overwrite")
+            .partitionBy("__base")
+            .parquet(stage_dir)
+        )
+        # rename pass: partition dir -> reference filename; dir names
+        # carry Spark's %XX partition-value escaping (unquote reverses)
+        found = {}
+        for d in os.listdir(stage_dir):
+            if d.startswith("__base="):
+                found[unquote(d[len("__base=") :])] = os.path.join(
+                    stage_dir, d
+                )
+        empty_schema = pa.schema(
+            [
+                pa.field(
+                    f.name,
+                    pa.int64()
+                    if f.dataType.simpleString() == "bigint"
+                    else pa.string(),
+                )
+                for f in df.schema.fields
+                if f.name != "__base"
+            ]
+        )
+        for base in bases:
+            dest = os.path.join(parquet_dir, f"{base}_{suffix}.parquet")
+            shutil.rmtree(dest, ignore_errors=True)
+            src = found.pop(base, None)
+            if src is not None:
+                os.rename(src, dest)
+            else:
+                # zero-data-row input: schema-only output like the
+                # loop mode's empty Spark write
+                os.makedirs(dest, exist_ok=True)
+                pa_pq.write_table(
+                    empty_schema.empty_table(),
+                    os.path.join(dest, "part-00000-empty.parquet"),
+                )
+        if found:
+            raise RuntimeError(
+                "convert_mutations_grouped: staging produced partition"
+                f" dirs with no matching input: {sorted(found)[:5]}"
+            )
+    shutil.rmtree(staging, ignore_errors=True)
     return len(inputs)
 
 

@@ -4078,6 +4078,171 @@ def ann_prebuilt_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ANN_LIFECYCLE_DIRS: dict[str, tuple[str, str, str]] = {}
+
+
+def ann_lifecycle_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Session-cached trio of ivfpq index artifacts staging the full
+    production lifecycle arc (operators/ann_index.py), shared by the
+    staleness and compaction gates so the build cost is paid once:
+
+      * ``stale``     — built on HALF the corpus (even vec_ids): the
+        ingest-lag posture whose recall audit must flag a rebuild;
+      * ``fresh``     — a copy of ``stale`` plus three
+        ``encode_new_vectors`` ingest batches covering the odd half
+        against the FROZEN codebooks (no retrain): recall recovered,
+        codes table accreted with per-append small files;
+      * ``compacted`` — a copy of ``fresh`` after
+        ``compact_ann_index``: same rows, ~1 file per inverted list.
+
+    Copies are cheap (the artifacts are KB-to-MB at gate scale); in
+    production the equivalents are three states of one durable table
+    over time, and the gates below certify the transitions."""
+    paths = _ANN_LIFECYCLE_DIRS.get(sf_dir)
+    if paths is None:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="ann_lifecycle_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        stale = os.path.join(base, "stale")
+        fresh = os.path.join(base, "fresh")
+        compacted = os.path.join(base, "compacted")
+        emb = load(spark, sf_dir, "embeddings")
+        annix_ops.build_ann_index(
+            emb.where(F.col("vec_id") % 2 == 0), stale, "ivfpq", dim=64
+        )
+        shutil.copytree(stale, fresh)
+        idx_fresh = annix_ops.load_ann_index(fresh)
+        # three ingest batches (vec_id % 6 in 1,3,5 partitions the odd
+        # half) so the codes table accretes append small files — the
+        # decay compaction exists to reverse
+        for r in (1, 3, 5):
+            annix_ops.encode_new_vectors(
+                idx_fresh, emb.where(F.col("vec_id") % 6 == r)
+            )
+        shutil.copytree(fresh, compacted)
+        annix_ops.compact_ann_index(
+            annix_ops.load_ann_index(compacted), spark
+        )
+        paths = (stale, fresh, compacted)
+        _ANN_LIFECYCLE_DIRS[sf_dir] = paths
+    return paths
+
+
+@register(
+    "ann_staleness_gate",
+    """
+    WITH t AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 8)
+    SELECT 'half_indexed' AS phase, CAST(t.nq * 5 AS BIGINT) AS truth_pairs,
+           TRUE AS needs_rebuild FROM t
+    UNION ALL
+    SELECT 'after_ingest', CAST(t.nq * 5 AS BIGINT), FALSE FROM t
+    """,
+)
+def ann_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild-decision signal, driver-gated (round-9 verdict #1):
+    ``index_staleness_audit`` = recall of the PREBUILT serve against
+    exact brute force over the CURRENT corpus. An index built on half
+    the corpus must audit below the floor (``needs_rebuild`` TRUE —
+    unindexed rows can never be candidates, so recall caps near the
+    indexed fraction), and the SAME artifact after frozen-codebook
+    ``encode_new_vectors`` ingest of the missing half must audit above
+    it (FALSE) — no retrain anywhere, which is the entire point of the
+    incremental posture. Floor 450/1000 sits between the measured arc
+    (~290-300 stale vs ~530-560 after ingest at sf0.001-0.1, the
+    ivfpq coarse-prune recall class from ann_recall_check).
+
+    The recall NUMBER is engine-only (approximate serving has no SQL
+    twin); the oracle pins the DECISION per phase plus the exact
+    truth-pair count — the ann_recall_check folding pattern."""
+    stale, fresh, _ = ann_lifecycle_fixture(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+
+    def audit(path: str, phase: str) -> DataFrame:
+        a = annix_ops.index_staleness_audit(
+            annix_ops.load_ann_index(path), emb, q, dim=64, k=5,
+            floor_per_1000=450,
+        )
+        return a.select(
+            F.lit(phase).alias("phase"),
+            F.col("truth_pairs"),
+            (~F.col("meets_floor")).alias("needs_rebuild"),
+        )
+
+    return audit(stale, "half_indexed").unionByName(
+        audit(fresh, "after_ingest")
+    )
+
+
+@register(
+    "ann_compaction_gate",
+    """
+    SELECT 'codes_identical' AS check_name, TRUE AS ok
+    UNION ALL SELECT 'files_shrunk', TRUE
+    UNION ALL SELECT 'serving_identical', TRUE
+    """,
+)
+def ann_compaction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction invariant gate (round-9 verdict #1): rewriting the
+    append-accreted codes table to ~1 file per inverted list must (a)
+    actually shrink the data file count, (b) preserve the codes table
+    row-for-row (vec_id, cluster, codes — symmetric exceptAll folded
+    to a boolean, the ann_prebuilt_equivalence pattern), and (c) serve
+    byte-identical top-k from the compacted artifact. (a) is file-
+    system metadata, computed driver-side and pinned as a literal; (b)
+    and (c) run in-engine. Any compaction bug — dropped appends, code
+    corruption, partition mislayout — flips a pinned boolean and
+    hash-mismatches the hard gate."""
+    import os
+
+    _, fresh, compacted = ann_lifecycle_fixture(spark, sf_dir)
+    idx_b = annix_ops.load_ann_index(fresh)
+    idx_d = annix_ops.load_ann_index(compacted)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+
+    def nfiles(p: str) -> int:
+        return sum(
+            1
+            for _, _, fs in os.walk(os.path.join(p, "codes.parquet"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    def both_empty(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        return (
+            a.exceptAll(b)
+            .agg(F.count(F.lit(1)).alias("x"))
+            .crossJoin(b.exceptAll(a).agg(F.count(F.lit(1)).alias("y")))
+            .select(
+                F.lit(name).alias("check_name"),
+                ((F.col("x") + F.col("y")) == F.lit(0)).alias("ok"),
+            )
+        )
+
+    codes_gate = both_empty(
+        idx_b.codes(spark), idx_d.codes(spark), "codes_identical"
+    )
+    serve_b = sim_ops.cosine_topk_ivfpq(
+        emb, q, dim=64, k=5, prebuilt=idx_b
+    ).persist()
+    serve_d = sim_ops.cosine_topk_ivfpq(
+        emb, q, dim=64, k=5, prebuilt=idx_d
+    ).persist()
+    serve_gate = both_empty(serve_b, serve_d, "serving_identical")
+    files_gate = spark.range(0, 1, 1, 1).select(
+        F.lit("files_shrunk").alias("check_name"),
+        F.lit(bool(nfiles(compacted) < nfiles(fresh))).alias("ok"),
+    )
+    return codes_gate.unionByName(files_gate).unionByName(serve_gate)
+
+
 def _write_ordered_source_files(src: str, parts) -> None:
     """Write ``(stem, df)`` parts as single-file parquets in ``src``
     with mtimes 60s apart, so FileStreamSource (oldest-modified first)
@@ -12699,49 +12864,49 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries registered, WHICH ones get hard-gate rows is a curated
 # decision, not registration order.
 #
-# ROUND-9 ROTATION (round-8 verdict #1: the two post-window twins are
-# the only oracled queries with zero driver rows — they lead; then the
-# entire round-4 evidence tier rotates through; the remainder fills
-# from the round-5 tier):
-#   * slots 1-2: the NEW round-9 oracled queries — the ANN
-#     index-persistence hard gate (round-8 verdict #2) and the
-#     winnowing fast-path gate (round-8 verdict next-#6), never-green;
-#   * slots 3-4: `stream_join_late_probe` + `stream_session_native` —
-#     registered after the round-8 window froze, oracled and
-#     pre-validated driver-style but never driver-seen;
-#   * slots 5-31: ALL 27 queries whose newest green driver row is
-#     round 4 (computed from the aggregated CORRECTNESS_r01-r08
-#     newest-green distribution {r4:27, r5:41, r6:46, r7:42, r8:50});
-#   * slots 32-50: 19 of the 41 round-5-newest rows, picked for plan
-#     complexity (iterative graph, BPE, attribution, as-of) — the
-#     queries where silent drift would matter most.
+# ROUND-10 ROTATION (round-9 verdict #1: register the two ANN
+# lifecycle ops as oracled gates and drain the round-5 evidence tail):
+#   * slots 1-2: the NEW round-10 oracled queries — the staleness
+#     (rebuild-decision) gate and the compaction invariant gate for
+#     the persisted ANN index lifecycle (`operators/ann_index.py`),
+#     never-green;
+#   * slots 3-24: ALL 22 queries whose newest green driver row is
+#     round 5 (computed from the aggregated CORRECTNESS_r01-r09
+#     newest-green distribution {r5:22, r6:46, r7:42, r8:50, r9:50});
+#   * slots 25-50: 26 of the 46 round-6-newest rows, picked for plan
+#     complexity/risk: the 12 TPC-H flagships in the tier, the
+#     iterative/graph family (pagerank, triangles, recs, k-means,
+#     near-dup, semantic dedup, fd_audit), the stats family
+#     (Mann-Whitney, chi-square, Benford), text ranking (BM25,
+#     TF-IDF, lang chi2) and attribution_decay.
 # After this window runs green, no oracled query's newest green row is
-# older than round 5. Rows-only entries never take window slots (their
+# older than round 6. Rows-only entries never take window slots (their
 # driver check is weaker by construction; see _ordered_names).
 _WINDOW_PRIORITY = [
-    # -- never-green: new round-9 oracled queries (2) --
-    "ann_prebuilt_equivalence", "winnow_fast_gate",
-    # -- never-driver-seen: the round-8 post-window twins (2) --
-    "stream_join_late_probe", "stream_session_native",
-    # -- stalest evidence: every round-4-newest row (27) --
-    "cdc_merge_checksum", "compaction_plan", "cube_pricing",
-    "customer_spend_deciles", "dq_audit", "embedding_norm_stats",
-    "event_paths_top10", "events_cohort_retention", "events_funnel",
-    "events_funnel_anymatch", "events_gap_filled_hourly",
-    "events_rolling_counts", "incremental_agg_cdc",
-    "incremental_agg_merge", "incremental_dedup_delta",
-    "incremental_join_delta", "join_skew_audit", "price_histogram",
-    "quality_score", "scd2_asof_lookup", "scd2_priority_history",
-    "skew_routed_join", "snapshot_diff_orders", "source_quota_sample",
-    "split_leakage_audit", "stratified_lang_sample",
-    "token_budget_sample",
-    # -- round-5 tier fill: 19 highest-complexity plans (19) --
-    "attribution_last_touch", "attribution_linear", "bpe_compression",
-    "bpe_merges", "curriculum_order", "customer_rfm", "doc_chunks",
-    "events_asof_forward", "events_cusum", "events_ohlc_hourly",
-    "events_wau", "feature_hashing", "fk_integrity_audit",
-    "fuzzy_part_clusters", "graph_bfs_hops", "grouping_sets_pricing",
-    "heavy_hitter_bigrams", "inverted_index", "pagerank_custsupp",
+    # -- never-green: new round-10 oracled queries (2) --
+    "ann_staleness_gate", "ann_compaction_gate",
+    # -- stalest evidence: every round-5-newest row (22) --
+    "ab_test_analysis", "bootstrap_chars_ci", "class_weights",
+    "customer_concentration", "event_transitions",
+    "events_gap_interpolated", "events_sma_decomposition",
+    "events_trend_slopes", "events_twap_hourly",
+    "funnel_time_to_convert", "metric_correlations",
+    "nation_revenue_share", "price_outliers_mad",
+    "priority_quantile_disc", "priority_winsorized_spend",
+    "quantile_sketch_audit", "schema_evolution_union",
+    "shard_assignment_audit", "source_similarity",
+    "source_token_drift", "vocab_top_tokens", "weighted_doc_sample",
+    # -- round-6 tier fill: 26 highest-complexity plans (26) --
+    "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q12_priority_lines", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q19_bracket_revenue",
+    "q20_promotion_parts", "q21_waiting_supplier",
+    "pagerank_personalized", "copurchase_triangles", "copurchase_recs",
+    "kmeans_embeddings", "embedding_neardup", "semantic_dedup",
+    "fd_audit", "mannwhitney_quality", "abn_test_chisq",
+    "benford_price_audit", "bm25_topdocs", "tfidf_top_terms",
+    "lang_chi2_tokens", "attribution_decay",
 ]
 # Queries registered AFTER a window is pinned queue here for the next
 # rotation (the window itself stays frozen once curated so re-proof

@@ -459,3 +459,84 @@ def test_convert_cna_partitioned_quote_guard(spark, tmp_path):
         pipelines.convert_cna_partitioned(
             spark, str(root), str(tmp_path / "out_q")
         )
+
+
+def test_convert_mutations_grouped_matches_loop_layout(spark, tmp_path):
+    """Round-9 verdict #2: the grouped single-job mode must reproduce
+    the per-study loop's OUTPUT LAYOUT exactly — same file names, same
+    rows per file, identical ids, one part file per output — while
+    running one write job per table instead of ~12 stages per file.
+    Includes a zero-data-row MAF (schema-only output both modes) and
+    two header groups (ids interleave)."""
+    import glob
+    import os
+
+    root = tmp_path / "studies_g"
+    mafs = {
+        "g_01": (
+            "Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\t"
+            "Tumor_Sample_Barcode\n"
+            "TP53\t7157\t1\tSA\nBRCA1\t672\t2\tSA\n"
+        ),
+        # different header -> second scan group
+        "g_02": (
+            "#v2\nTumor_Sample_Barcode\tHugo_Symbol\tEntrez_Gene_Id\t"
+            "Center\tStart_Position\n"
+            "SB\tEGFR\t1956\tC1\t5\n"
+        ),
+        # header only, zero data rows
+        "g_03": (
+            "Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\t"
+            "Tumor_Sample_Barcode\n"
+        ),
+        "g_04": (
+            "Hugo_Symbol\tEntrez_Gene_Id\tStart_Position\t"
+            "Tumor_Sample_Barcode\n"
+            "ALK\t238\t9\tSC\n"
+        ),
+    }
+    for name, body in mafs.items():
+        d = root / name
+        d.mkdir(parents=True)
+        (d / "meta_mutations.txt").write_text(
+            f"cancer_study_identifier: {name}\nstable_id: mutations\n"
+            "data_filename: data_mutations.txt\n"
+        )
+        (d / "data_mutations.txt").write_text(body)
+
+    loop_out = tmp_path / "loop_g"
+    grouped_out = tmp_path / "grouped_g"
+    assert pipelines.convert_mutations(spark, str(root), str(loop_out)).ok
+    n = pipelines.convert_mutations_grouped(
+        spark, str(root), str(grouped_out)
+    )
+    assert n == 4
+    assert not (grouped_out / ".grouped_staging").exists()
+
+    loop_files = sorted(os.listdir(loop_out))
+    grouped_files = sorted(
+        f for f in os.listdir(grouped_out) if not f.startswith(".")
+    )
+    assert loop_files == grouped_files  # identical output layout
+
+    for fname in loop_files:
+        parts = glob.glob(str(grouped_out / fname / "*.parquet"))
+        assert len(parts) == 1, f"{fname}: expected 1 part file"
+        a = duckdb.sql(
+            f"select * from read_parquet('{loop_out / fname}/*.parquet')"
+        ).df()
+        b = duckdb.sql(
+            f"select * from read_parquet('{grouped_out / fname}/*.parquet')"
+        ).df()
+        assert list(a.columns) == list(b.columns), fname
+        sa = sorted(map(tuple, a.itertuples(index=False)))
+        sb = sorted(map(tuple, b.itertuples(index=False)))
+        assert sa == sb, fname
+    # corpus-wide id check: dense, gapless, discovery order
+    ids = sorted(
+        duckdb.sql(
+            f"select MUTATION_EVENT_ID from read_parquet("
+            f"'{grouped_out}/*_mutation_event.parquet/*.parquet')"
+        ).df()["MUTATION_EVENT_ID"]
+    )
+    assert ids == [0, 1, 2, 3]
