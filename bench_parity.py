@@ -152,6 +152,20 @@ def run_tier(spark, n_studies: int) -> dict:
         os.path.join(work, "out_mpart"),
     )
     assert n == n_studies
+    # the single-job modes that KEEP the reference's per-study-file
+    # layout (round-9 verdict #2): partitionBy + driver rename
+    n = timed(
+        "convert_mutations_grouped",
+        pipelines.convert_mutations_grouped, spark, studies,
+        os.path.join(work, "out_mgrp"),
+    )
+    assert n == n_studies
+    n = timed(
+        "convert_cna_grouped_with_derived",
+        pipelines.convert_cna_grouped, spark, studies,
+        os.path.join(work, "out_cgrp"), True,
+    )
+    assert n == n_studies
     shutil.rmtree(work, ignore_errors=True)
     per_study = {
         k: round(v / n_studies, 4) for k, v in timings.items()

@@ -30,8 +30,10 @@ MODES = (
     "convert-mutations-partitioned",
     # beyond the reference: single-job conversion that still writes the
     # reference's per-study-file layout (partitionBy + driver rename;
-    # see pipelines.convert_mutations_grouped)
+    # see pipelines.convert_mutations_grouped / convert_cna_grouped)
     "convert-mutations-grouped",
+    "convert-cna-grouped",
+    "convert-cna-grouped-with-derived",
     # beyond the reference: emit the ClickHouse CREATE TABLE statements
     # for the five catalog tables (the DDL the JDBC sink's inserts or an
     # out-of-band parquet load assume on the server)
@@ -261,6 +263,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "convert-mutations-grouped":
             pipelines.convert_mutations_grouped(
                 spark, args.tsv_dir, args.parquet_dir
+            )
+        elif args.mode.startswith("convert-cna-grouped"):
+            pipelines.convert_cna_grouped(
+                spark,
+                args.tsv_dir,
+                args.parquet_dir,
+                with_derived=args.mode.endswith("with-derived"),
             )
         elif args.mode == "convert-mutations":
             summary = pipelines.convert_mutations(

@@ -299,6 +299,131 @@ def convert_mutations(
     return summary
 
 
+def _cna_single_job_scan(
+    spark: SparkSession, tsv_dir: str
+) -> tuple[list, list[tuple], DataFrame | None]:
+    """Shared scaffold of the single-job CNA modes: discovery, driver-
+    side header parse (manifest + per-study sample lists), ONE
+    multi-path ``spark.read.text`` scan, broadcast attribution join,
+    the header/quote guard aggregation, and positional cell parsing.
+    Returns ``(inputs, gps_rows, data)`` where ``gps_rows`` is aligned
+    with ``inputs`` (one (study, profile, ordered_sample_list) per
+    file) and ``data`` carries one row per data line with
+    __study/__profile/__base/__sample_ids/__n/__cells. See
+    convert_cna_partitioned for the full design rationale."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.sources.tsv import (
+        header_line_and_names,
+    )
+
+    inputs = discover_cna_files(tsv_dir)
+    logger.info("found %d CNA files (single-job mode)", len(inputs))
+    if not inputs:
+        return [], [], None
+    manifest_rows = []
+    gps_rows = []
+    for item in inputs:
+        parsed = header_line_and_names(item.path)
+        if parsed is None:
+            raise ValueError(
+                f"single-job CNA mode: no parseable header in"
+                f" {item.path} (empty or quoted header)"
+            )
+        raw, names = parsed
+        sample_ids = [
+            f"{item.cancer_study_id}_{c}"
+            for c in names[cna_ops.FIRST_SAMPLE_IDX:]
+        ]
+        manifest_rows.append(
+            (
+                _spark_file_uri(item.path),
+                item.cancer_study_id,
+                item.genetic_profile_id,
+                os.path.basename(output_base(item.path, "")),
+                raw,
+                sample_ids,
+            )
+        )
+        gps_rows.append(
+            (
+                item.cancer_study_id,
+                item.genetic_profile_id,
+                ",".join(sample_ids),
+            )
+        )
+    mf = spark.createDataFrame(
+        manifest_rows,
+        "__file string, __study string, __profile string,"
+        " __base string, __header string, __sample_ids array<string>",
+    )
+    lines = spark.read.text([it.path for it in inputs]).select(
+        F.col("value"), F.input_file_name().alias("__file")
+    )
+    tagged = lines.join(F.broadcast(mf), "__file", "left")
+    missing = F.col("__study").isNull()
+    is_header = F.col("value") == F.col("__header")
+    # guard pass: every file must contribute exactly one header-match
+    # (and be present in the manifest) before anything is written, and
+    # no line may contain the csv quote char — this mode parses rows
+    # with a raw split(value, '\t'), which has NO quote semantics,
+    # while the per-study csv mode applies the default quote='"'; a
+    # quoted cell would silently diverge between the two modes, so it
+    # fails loud instead (the header itself is already quote-free:
+    # header_line_and_names rejects quoted headers up front)
+    bad = (
+        tagged.groupBy("__file")
+        .agg(
+            F.sum(is_header.cast("int")).alias("n_hdr"),
+            F.max(missing.cast("int")).alias("n_miss"),
+            F.sum(F.col("value").contains('"').cast("int")).alias("n_quote"),
+        )
+        .where(
+            (F.col("n_hdr") != 1)
+            | (F.col("n_miss") > 0)
+            | (F.col("n_quote") > 0)
+        )
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "single-job CNA mode: header/quote guard failed for "
+            + ", ".join(
+                f"{r['__file']} (header_matches={r['n_hdr']},"
+                f" quote_lines={r['n_quote']})"
+                for r in bad
+            )
+            + " — files with quoted cells need the per-study csv mode"
+        )
+    n_samples = F.size("__sample_ids")
+    parts = F.split(F.col("value"), "\t")
+    # pad to header width: the csv path yields NULL (-> '') for short
+    # rows and drops fields beyond the schema; slice after padding
+    # reproduces both
+    padded = F.concat(
+        parts,
+        F.array_repeat(
+            F.lit(""),
+            F.greatest(
+                F.lit(0),
+                n_samples + F.lit(cna_ops.FIRST_SAMPLE_IDX) - F.size(parts),
+            ),
+        ),
+    )
+    # csv parity: the csv reader drops fully blank lines; text keeps
+    # them — filter to match (a line of only tabs is NOT blank)
+    data = tagged.where(~is_header & (F.col("value") != "")).select(
+        "__study",
+        "__profile",
+        "__base",
+        "__sample_ids",
+        n_samples.alias("__n"),
+        padded.alias("__cells"),
+    )
+    return inputs, gps_rows, data
+
+
 def convert_cna_partitioned(
     spark: SparkSession,
     tsv_dir: str,
@@ -349,112 +474,10 @@ def convert_cna_partitioned(
     from clickhouse_only_importer_prototype_spark.schemas import (
         GENETIC_PROFILE_SAMPLES_SCHEMA,
     )
-    from clickhouse_only_importer_prototype_spark.sources.tsv import (
-        header_line_and_names,
-    )
 
-    inputs = discover_cna_files(tsv_dir)
-    logger.info("found %d CNA files (single-job mode)", len(inputs))
+    inputs, gps_rows, data = _cna_single_job_scan(spark, tsv_dir)
     if not inputs:
         return 0
-    manifest_rows = []
-    gps_rows = []
-    for item in inputs:
-        parsed = header_line_and_names(item.path)
-        if parsed is None:
-            raise ValueError(
-                f"convert_cna_partitioned: no parseable header in"
-                f" {item.path} (empty or quoted header)"
-            )
-        raw, names = parsed
-        sample_ids = [
-            f"{item.cancer_study_id}_{c}"
-            for c in names[cna_ops.FIRST_SAMPLE_IDX:]
-        ]
-        manifest_rows.append(
-            (
-                _spark_file_uri(item.path),
-                item.cancer_study_id,
-                item.genetic_profile_id,
-                raw,
-                sample_ids,
-            )
-        )
-        gps_rows.append(
-            (
-                item.cancer_study_id,
-                item.genetic_profile_id,
-                ",".join(sample_ids),
-            )
-        )
-    mf = spark.createDataFrame(
-        manifest_rows,
-        "__file string, __study string, __profile string,"
-        " __header string, __sample_ids array<string>",
-    )
-    lines = spark.read.text([it.path for it in inputs]).select(
-        F.col("value"), F.input_file_name().alias("__file")
-    )
-    tagged = lines.join(F.broadcast(mf), "__file", "left")
-    missing = F.col("__study").isNull()
-    is_header = F.col("value") == F.col("__header")
-    # guard pass: every file must contribute exactly one header-match
-    # (and be present in the manifest) before anything is written, and
-    # no line may contain the csv quote char — this mode parses rows
-    # with a raw split(value, '\t'), which has NO quote semantics,
-    # while the per-study csv mode applies the default quote='"'; a
-    # quoted cell would silently diverge between the two modes, so it
-    # fails loud instead (the header itself is already quote-free:
-    # header_line_and_names rejects quoted headers up front)
-    bad = (
-        tagged.groupBy("__file")
-        .agg(
-            F.sum(is_header.cast("int")).alias("n_hdr"),
-            F.max(missing.cast("int")).alias("n_miss"),
-            F.sum(F.col("value").contains('"').cast("int")).alias("n_quote"),
-        )
-        .where(
-            (F.col("n_hdr") != 1)
-            | (F.col("n_miss") > 0)
-            | (F.col("n_quote") > 0)
-        )
-        .limit(5)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            "convert_cna_partitioned: header/quote guard failed for "
-            + ", ".join(
-                f"{r['__file']} (header_matches={r['n_hdr']},"
-                f" quote_lines={r['n_quote']})"
-                for r in bad
-            )
-            + " — files with quoted cells need the per-study csv mode"
-        )
-    n_samples = F.size("__sample_ids")
-    parts = F.split(F.col("value"), "\t")
-    # pad to header width: the csv path yields NULL (-> '') for short
-    # rows and drops fields beyond the schema; slice after padding
-    # reproduces both
-    padded = F.concat(
-        parts,
-        F.array_repeat(
-            F.lit(""),
-            F.greatest(
-                F.lit(0),
-                n_samples + F.lit(cna_ops.FIRST_SAMPLE_IDX) - F.size(parts),
-            ),
-        ),
-    )
-    # csv parity: the csv reader drops fully blank lines; text keeps
-    # them — filter to match (a line of only tabs is NOT blank)
-    data = tagged.where(~is_header & (F.col("value") != "")).select(
-        "__study",
-        "__profile",
-        "__sample_ids",
-        n_samples.alias("__n"),
-        padded.alias("__cells"),
-    )
     # partition by AUXILIARY copies of the keys: empty-string values
     # (meta-less files) would round-trip as NULL through hive partition
     # directories, violating the no-null '' contract — the real data
@@ -527,6 +550,129 @@ def convert_cna_partitioned(
             with_keys(derived),
             os.path.join(parquet_dir, "derived.parquet"),
             partition_by=keys,
+        )
+    return len(inputs)
+
+
+def convert_cna_grouped(
+    spark: SparkSession,
+    tsv_dir: str,
+    parquet_dir: str,
+    with_derived: bool = False,
+) -> int:
+    """Single-job CNA conversion that writes the REFERENCE's
+    per-study-file layout (``<studyDir>_<stem>_{genetic_alterations,
+    genetic_profile_samples[,derived]}.parquet`` —
+    cna/transformer.go:266-297): the CNA twin of
+    convert_mutations_grouped (round-9 verdict #2).
+
+    Same plan as convert_cna_partitioned (ONE text scan, positional
+    parse, broadcast header manifest), but alterations/derived are
+    hive-partitioned by the per-file output base and promoted to the
+    reference filenames by a driver rename pass — one shuffle + one
+    write stage per table regardless of study count, vs the loop
+    mode's 3 write jobs per study. genetic_profile_samples is pure
+    header metadata with EXACTLY one row per file: all N files are
+    written driver-side via pyarrow (milliseconds each; a Spark job
+    per 1-row frame is the ~5s local-relation tax times N — the
+    32,000-task write stage round 9 killed, in a different costume).
+
+    Zero-data-row matrices produce schema-only alterations/derived
+    parquet (like the loop mode's empty Spark write); their sample
+    list row still exists (header metadata needs no data rows —
+    cna/transformer.go:498-508). Duplicate output bases refused.
+    Layout + row parity vs the loop mode pinned by test. CNA posture:
+    abort on first failure. Returns the number of files planned."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+    from pyspark.sql import functions as F
+
+    inputs, gps_rows, data = _cna_single_job_scan(spark, tsv_dir)
+    if not inputs:
+        return 0
+    bases = _check_unique_bases("convert_cna_grouped", inputs)
+    os.makedirs(parquet_dir, exist_ok=True)
+    staging = os.path.join(parquet_dir, ".grouped_staging_cna")
+    shutil.rmtree(staging, ignore_errors=True)
+    nparts = max(
+        1, min(len(inputs), spark.sparkContext.defaultParallelism * 4)
+    )
+    sample_slice = F.slice(
+        F.col("__cells"), cna_ops.FIRST_SAMPLE_IDX + 1, F.col("__n")
+    )
+    ga = data.select(
+        "__base",
+        F.col("__study").alias("CANCER_STUDY"),
+        F.col("__profile").alias("GENETIC_PROFILE"),
+        F.coalesce(F.col("__cells")[0], F.lit("")).alias("GENE_SYMBOL"),
+        F.array_join(sample_slice, ",").alias("VALUES"),
+    )
+    tables = [("genetic_alterations", ga, ["GENE_SYMBOL", "VALUES"])]
+    if with_derived:
+        exploded = data.select(
+            "__base",
+            "__study",
+            "__profile",
+            "__sample_ids",
+            F.coalesce(F.col("__cells")[0], F.lit("")).alias("__gene"),
+            F.posexplode(sample_slice).alias("__pos", "__alt"),
+        )
+        derived = exploded.select(
+            "__base",
+            F.element_at(
+                F.col("__sample_ids"), F.col("__pos") + 1
+            ).alias("SAMPLE_ID"),
+            F.col("__study").alias("CANCER_STUDY"),
+            F.col("__gene").alias("GENE_SYMBOL"),
+            F.col("__profile").alias("GENETIC_PROFILE"),
+            F.col("__alt").alias("ALTERATION"),
+        )
+        tables.append(("derived", derived, ["GENE_SYMBOL", "SAMPLE_ID"]))
+    for suffix, df, sort_cols in tables:
+        stage_dir = os.path.join(staging, suffix)
+        (
+            df.repartition(nparts, F.col("__base"))
+            .sortWithinPartitions("__base", *sort_cols)
+            .write.mode("overwrite")
+            .partitionBy("__base")
+            .parquet(stage_dir)
+        )
+        _promote_partition_dirs(
+            stage_dir,
+            parquet_dir,
+            bases,
+            suffix,
+            _arrow_schema_without_base(df),
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    gps_schema = pa.schema(
+        [
+            pa.field(n, pa.string())
+            for n in (
+                "CANCER_STUDY",
+                "GENETIC_PROFILE",
+                "ORDERED_SAMPLE_LIST",
+            )
+        ]
+    )
+    for base, (study, profile, osl) in zip(bases, gps_rows):
+        dest = os.path.join(
+            parquet_dir, f"{base}_genetic_profile_samples.parquet"
+        )
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest, exist_ok=True)
+        pa_pq.write_table(
+            pa.table(
+                {
+                    "CANCER_STUDY": [study],
+                    "GENETIC_PROFILE": [profile],
+                    "ORDERED_SAMPLE_LIST": [osl],
+                },
+                schema=gps_schema,
+            ),
+            os.path.join(dest, "part-00000.parquet"),
         )
     return len(inputs)
 
@@ -694,6 +840,84 @@ def convert_mutations_partitioned(
     return len(inputs)
 
 
+def _check_unique_bases(mode: str, inputs: list) -> list[str]:
+    """Per-file output bases for the grouped modes; raises up front if
+    two inputs collide onto one ``<studyDir>_<stem>`` (the loop mode
+    would silently let the later write clobber the earlier one)."""
+    bases = [os.path.basename(output_base(it.path, "")) for it in inputs]
+    dup = {b for b in bases if bases.count(b) > 1}
+    if dup:
+        raise ValueError(
+            f"{mode}: multiple inputs map to the same output base(s)"
+            f" {sorted(dup)[:5]} — the per-study layout cannot"
+            " represent both"
+        )
+    return bases
+
+
+def _promote_partition_dirs(
+    stage_dir: str,
+    parquet_dir: str,
+    bases: list[str],
+    suffix: str,
+    empty_schema,
+) -> None:
+    """Driver-side rename pass of the grouped modes: move each
+    ``__base=<v>`` partition dir of a staged partitionBy write to the
+    reference's ``<base>_<suffix>.parquet`` name. Dir names carry
+    Spark's %XX partition-value escaping (urllib unquote reverses).
+    Bases with no partition dir (zero-data-row inputs) get a schema-
+    only parquet written via pyarrow — milliseconds, vs ~5s per tiny
+    frame through the Python local-relation write path (the round-8
+    finding). A staged dir matching no input raises: silent output
+    loss is never acceptable here."""
+    import shutil
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pa_pq
+
+    found = {}
+    for d in os.listdir(stage_dir):
+        if d.startswith("__base="):
+            found[unquote(d[len("__base=") :])] = os.path.join(stage_dir, d)
+    for base in bases:
+        dest = os.path.join(parquet_dir, f"{base}_{suffix}.parquet")
+        shutil.rmtree(dest, ignore_errors=True)
+        src = found.pop(base, None)
+        if src is not None:
+            os.rename(src, dest)
+        else:
+            os.makedirs(dest, exist_ok=True)
+            pa_pq.write_table(
+                empty_schema.empty_table(),
+                os.path.join(dest, "part-00000-empty.parquet"),
+            )
+    if found:
+        raise RuntimeError(
+            "grouped mode: staging produced partition dirs with no"
+            f" matching input: {sorted(found)[:5]}"
+        )
+
+
+def _arrow_schema_without_base(df: DataFrame):
+    """pyarrow schema of a grouped frame minus the __base tag (all
+    columns string except bigint ids) — for schema-only outputs."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(
+                f.name,
+                pa.int64()
+                if f.dataType.simpleString() == "bigint"
+                else pa.string(),
+            )
+            for f in df.schema.fields
+            if f.name != "__base"
+        ]
+    )
+
+
 def convert_mutations_grouped(
     spark: SparkSession,
     tsv_dir: str,
@@ -735,10 +959,6 @@ def convert_mutations_grouped(
     all-or-nothing per run, like the partitioned mode. Returns the
     number of files planned."""
     import shutil
-    from urllib.parse import unquote
-
-    import pyarrow as pa
-    import pyarrow.parquet as pa_pq
 
     from pyspark.sql import functions as F
 
@@ -747,14 +967,7 @@ def convert_mutations_grouped(
     )
     if not inputs:
         return 0
-    bases = [os.path.basename(output_base(it.path, "")) for it in inputs]
-    dup = {b for b in bases if bases.count(b) > 1}
-    if dup:
-        raise ValueError(
-            "convert_mutations_grouped: multiple inputs map to the same"
-            f" output base(s) {sorted(dup)[:5]} — the per-study layout"
-            " cannot represent both"
-        )
+    bases = _check_unique_bases("convert_mutations_grouped", inputs)
     ev_all = _balanced_union(
         [mut_ops.mutation_event(j, keep=("__base",)) for j in joined_frames]
     )
@@ -784,45 +997,13 @@ def convert_mutations_grouped(
             .partitionBy("__base")
             .parquet(stage_dir)
         )
-        # rename pass: partition dir -> reference filename; dir names
-        # carry Spark's %XX partition-value escaping (unquote reverses)
-        found = {}
-        for d in os.listdir(stage_dir):
-            if d.startswith("__base="):
-                found[unquote(d[len("__base=") :])] = os.path.join(
-                    stage_dir, d
-                )
-        empty_schema = pa.schema(
-            [
-                pa.field(
-                    f.name,
-                    pa.int64()
-                    if f.dataType.simpleString() == "bigint"
-                    else pa.string(),
-                )
-                for f in df.schema.fields
-                if f.name != "__base"
-            ]
+        _promote_partition_dirs(
+            stage_dir,
+            parquet_dir,
+            bases,
+            suffix,
+            _arrow_schema_without_base(df),
         )
-        for base in bases:
-            dest = os.path.join(parquet_dir, f"{base}_{suffix}.parquet")
-            shutil.rmtree(dest, ignore_errors=True)
-            src = found.pop(base, None)
-            if src is not None:
-                os.rename(src, dest)
-            else:
-                # zero-data-row input: schema-only output like the
-                # loop mode's empty Spark write
-                os.makedirs(dest, exist_ok=True)
-                pa_pq.write_table(
-                    empty_schema.empty_table(),
-                    os.path.join(dest, "part-00000-empty.parquet"),
-                )
-        if found:
-            raise RuntimeError(
-                "convert_mutations_grouped: staging produced partition"
-                f" dirs with no matching input: {sorted(found)[:5]}"
-            )
     shutil.rmtree(staging, ignore_errors=True)
     return len(inputs)
 

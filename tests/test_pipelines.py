@@ -540,3 +540,48 @@ def test_convert_mutations_grouped_matches_loop_layout(spark, tmp_path):
         ).df()["MUTATION_EVENT_ID"]
     )
     assert ids == [0, 1, 2, 3]
+
+
+def test_convert_cna_grouped_matches_loop_layout(spark, study_tree, tmp_path):
+    """CNA twin of the grouped-mode parity pin: identical output
+    layout and rows to the per-study loop, one part file per
+    Spark-written output, genetic_profile_samples written driver-side
+    (pyarrow) with its 1-row invariant intact."""
+    import glob
+    import os
+
+    loop_out = tmp_path / "loop_c"
+    grouped_out = tmp_path / "grouped_c"
+    assert pipelines.convert_cna(
+        spark, str(study_tree), str(loop_out), with_derived=True
+    ).ok
+    n = pipelines.convert_cna_grouped(
+        spark, str(study_tree), str(grouped_out), with_derived=True
+    )
+    assert n == 2
+    loop_files = sorted(os.listdir(loop_out))
+    grouped_files = sorted(
+        f for f in os.listdir(grouped_out) if not f.startswith(".")
+    )
+    assert loop_files == grouped_files
+    for fname in loop_files:
+        a = duckdb.sql(
+            f"select * from read_parquet('{loop_out / fname}/*.parquet')"
+        ).df()
+        b = duckdb.sql(
+            f"select * from read_parquet('{grouped_out / fname}/*.parquet')"
+        ).df()
+        assert list(a.columns) == list(b.columns), fname
+        assert sorted(map(tuple, a.itertuples(index=False))) == sorted(
+            map(tuple, b.itertuples(index=False))
+        ), fname
+        if "genetic_alterations" in fname or "derived" in fname:
+            parts = glob.glob(str(grouped_out / fname / "*.parquet"))
+            assert len(parts) == 1, fname
+    gps = duckdb.sql(
+        "select * from read_parquet("
+        f"'{grouped_out}/study_a_data_cna_genetic_profile_samples"
+        ".parquet/*.parquet')"
+    ).df()
+    assert len(gps) == 1  # 1-row invariant (cna/transformer.go:553-560)
+    assert gps.ORDERED_SAMPLE_LIST[0] == "study_a_S1,study_a_S2,study_a_S3"
