@@ -38,6 +38,11 @@ MODES = (
     # for the five catalog tables (the DDL the JDBC sink's inserts or an
     # out-of-band parquet load assume on the server)
     "ddl",
+    # beyond the reference: bulk-load converted parquet into a live
+    # ClickHouse over the jar-free HTTP interface (DDL + distributed
+    # CSV inserts; see pipelines.load_clickhouse). Credentials via
+    # CLICKHOUSE_USER / CLICKHOUSE_PASSWORD env vars.
+    "load-clickhouse",
     # beyond the reference: order-independent convergence fingerprint of
     # every parquet table under -parquet-dir (operators/profile.
     # table_checksum) — run on both sides of a replication/MERGE and
@@ -90,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         help="query mode: run the query AND its DuckDB oracle on the"
         " same parquet dir and print the driver-identical match"
         " verdict (rows / columns / order-insensitive value hash)",
+    )
+    parser.add_argument(
+        "-clickhouse-url", "--clickhouse-url", default=None,
+        help="load-clickhouse mode: HTTP interface endpoint, e.g."
+        " http://host:8123 (credentials via CLICKHOUSE_USER /"
+        " CLICKHOUSE_PASSWORD env vars)",
     )
     args = parser.parse_args(argv)
 
@@ -229,6 +240,8 @@ def main(argv: list[str] | None = None) -> int:
         return rc
     if args.mode.startswith("convert") and not args.tsv_dir:
         parser.error("-tsv-dir required for convert modes")
+    if args.mode == "load-clickhouse" and not args.clickhouse_url:
+        parser.error("-clickhouse-url required for load-clickhouse mode")
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     start = time.time()
@@ -286,6 +299,18 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.mode == "combine-mutations":
             pipelines.combine_mutations(spark, args.parquet_dir, output=args.output)
+        elif args.mode == "load-clickhouse":
+            import os as _os
+
+            counts = pipelines.load_clickhouse(
+                spark,
+                args.parquet_dir,
+                args.clickhouse_url,
+                user=_os.environ.get("CLICKHOUSE_USER"),
+                password=_os.environ.get("CLICKHOUSE_PASSWORD"),
+            )
+            for table, n in counts.items():
+                logging.info("loaded %s: %d rows", table, n)
     finally:
         # Total wall time, matching cmd/cli/main.go:107-108.
         logging.info("Total execution time: %.2fs", time.time() - start)

@@ -1008,6 +1008,66 @@ def convert_mutations_grouped(
     return len(inputs)
 
 
+def load_clickhouse(
+    spark: SparkSession,
+    parquet_dir: str,
+    url: str,
+    user: str | None = None,
+    password: str | None = None,
+    create_tables: bool = True,
+) -> dict[str, int]:
+    """convert -> load: the deployment tail of the S9 north star over
+    the jar-free HTTP interface. For each catalog kind, union-all every
+    ``*_<kind>.parquet`` (per-study outputs) plus a bare
+    ``<kind>.parquet`` (single-job combined outputs) under
+    ``parquet_dir`` in one multi-path scan and bulk-insert it with
+    ``write_clickhouse_http`` — one distributed job per table.
+    ``combined-*`` outputs are EXCLUDED: they are derivable duplicates
+    of the per-study files sitting in the same directory (running
+    combine then load would double every row); load the combined dir
+    explicitly if that is the intent.
+
+    ``create_tables`` first executes the catalog DDL (MergeTree
+    CREATE TABLE IF NOT EXISTS from sinks.clickhouse.catalog_ddl)
+    driver-side over the same interface. Returns {table: rows_sent}
+    for every kind that had files."""
+    from clickhouse_only_importer_prototype_spark.schemas import ALL_TABLES
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse import (
+        catalog_ddl,
+    )
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse_http import (
+        execute_clickhouse_http,
+        write_clickhouse_http,
+    )
+
+    ddls = catalog_ddl()
+    counts: dict[str, int] = {}
+    for kind in ALL_TABLES:
+        paths = sorted(
+            p
+            for p in (
+                _glob.glob(os.path.join(parquet_dir, f"*_{kind}.parquet"))
+                + _glob.glob(os.path.join(parquet_dir, f"{kind}.parquet"))
+            )
+            if not os.path.basename(p).startswith("combined")
+        )
+        if not paths:
+            continue
+        if create_tables:
+            execute_clickhouse_http(url, ddls[kind], user, password)
+        df = spark.read.parquet(*paths)
+        counts[kind] = write_clickhouse_http(
+            df, url, kind, user=user, password=password
+        )
+        logger.info(
+            "loaded %d rows from %d file(s) into %s",
+            counts[kind],
+            len(paths),
+            kind,
+        )
+    return counts
+
+
 def combine_parquet(
     spark: SparkSession,
     pattern: str,

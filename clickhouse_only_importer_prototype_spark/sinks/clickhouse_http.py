@@ -48,6 +48,35 @@ def _insert_url(url: str, table: str, columns: list[str]) -> str:
     return url.rstrip("/") + "/?" + urlencode({"query": query})
 
 
+def execute_clickhouse_http(
+    url: str,
+    sql: str,
+    user: str | None = None,
+    password: str | None = None,
+    timeout: float = 60.0,
+) -> str:
+    """Driver-side statement execution over the HTTP interface (DDL,
+    maintenance): the SQL travels as the POST body. Returns the
+    server's response text; non-2xx raises. Used by the CLI's
+    ``load-clickhouse`` mode to create the catalog tables before the
+    distributed insert jobs run."""
+    import urllib.request
+
+    headers = {"Content-Type": "text/plain"}
+    if user is not None:
+        headers["X-ClickHouse-User"] = user
+    if password is not None:
+        headers["X-ClickHouse-Key"] = password
+    req = urllib.request.Request(
+        url.rstrip("/") + "/",
+        data=sql.encode("utf-8"),
+        headers=headers,
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.read().decode("utf-8", errors="replace")
+
+
 def write_clickhouse_http(
     df: DataFrame,
     url: str,

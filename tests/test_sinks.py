@@ -563,3 +563,77 @@ def test_clickhouse_http_sink_batches_and_fails_loud(spark):
             )
     finally:
         bad.shutdown()
+
+
+def test_load_clickhouse_end_to_end(spark, tmp_path):
+    """The S9 deployment tail: convert a study tree, then
+    load-clickhouse pushes every catalog table over the HTTP interface
+    — DDL first (driver-side), then one distributed insert job per
+    table; combined-* duplicates excluded; row counts and body
+    contents verified against the parquet ground truth."""
+    import csv
+    import io
+    from urllib.parse import parse_qs, urlparse
+
+    from clickhouse_only_importer_prototype_spark.plans import pipelines
+
+    root = tmp_path / "studies_l"
+    d = root / "s_l"
+    d.mkdir(parents=True)
+    (d / "meta_cna.txt").write_text(
+        "cancer_study_identifier: s_l\nstable_id: gistic\n"
+        "data_filename: data_cna.txt\n"
+    )
+    (d / "data_cna.txt").write_text(
+        "Hugo_Symbol\tEntrez_Gene_Id\tS1\tS2\nTP53\t7157\t0\t-1\n"
+    )
+    (d / "meta_mutations.txt").write_text(
+        "cancer_study_identifier: s_l\nstable_id: mutations\n"
+        "data_filename: data_mutations.txt\n"
+    )
+    (d / "data_mutations.txt").write_text(
+        "Hugo_Symbol\tEntrez_Gene_Id\tTumor_Sample_Barcode\n"
+        "TP53\t7157\tS1\nKRAS\t3845\tS2\n"
+    )
+    out = tmp_path / "out_l"
+    assert pipelines.convert_cna(
+        spark, str(root), str(out), with_derived=True
+    ).ok
+    assert pipelines.convert_mutations(spark, str(root), str(out)).ok
+    # a combined duplicate that must NOT be loaded
+    pipelines.combine_cna(spark, str(out), with_derived=True)
+
+    srv, records = _capture_server()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        counts = pipelines.load_clickhouse(
+            spark, str(out), url, user="u", password="p"
+        )
+    finally:
+        srv.shutdown()
+    assert counts == {
+        "genetic_alterations": 1,
+        "genetic_profile_samples": 1,
+        "derived": 2,
+        "mutation_event": 2,
+        "mutation": 2,
+    }
+    ddl_stmts = []
+    inserted: dict[str, list] = {}
+    for path, headers, body in records:
+        q = parse_qs(urlparse(path).query).get("query", [None])[0]
+        text = body.decode("utf-8")
+        if q is None:  # DDL travels as the body
+            ddl_stmts.append(text)
+        else:
+            table = q.split()[2]
+            inserted.setdefault(table, []).extend(
+                csv.reader(io.StringIO(text))
+            )
+    assert len(ddl_stmts) == 5
+    assert all("CREATE TABLE IF NOT EXISTS" in s for s in ddl_stmts)
+    assert {len(v) for t, v in inserted.items()} == {1, 2}
+    ga = inserted["genetic_alterations"]
+    assert ga == [["s_l", "s_l_gistic", "TP53", "0,-1"]]
+    ev_ids = sorted(r[0] for r in inserted["mutation_event"])
+    assert ev_ids == ["0", "1"]
