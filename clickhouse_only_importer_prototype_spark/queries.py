@@ -4243,6 +4243,98 @@ def ann_compaction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes_gate.unionByName(files_gate).unionByName(serve_gate)
 
 
+@register(
+    "clickhouse_http_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_sent,
+           TRUE AS content_match, TRUE AS null_convention_ok
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def clickhouse_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 driver gate: the jar-free ClickHouse HTTP sink
+    (sinks/clickhouse_http.py) pushed through a real distributed write
+    against a local capturing HTTP server — the same harness posture
+    as the streaming twins (the infrastructure is test scaffold; the
+    DISTRIBUTED mechanics under audit are production code).
+
+    A deterministic orders slice (1-in-20 keys; a quoting-hazard
+    column and a NULL column added) is written via per-task
+    Arrow-batched CSV POSTs; the audit reconstructs every received
+    body driver-side and folds three invariants to oracled values:
+    ``rows_sent`` must equal the slice's exact count (the oracle
+    recomputes it), ``content_match`` pins row-for-row fidelity
+    including the quoted ``a,"b`` cell, and ``null_convention_ok``
+    pins the unquoted ``\\N`` NULL encoding ClickHouse's CSV reader
+    expects. Any serialization, batching, or fan-out bug
+    hash-mismatches the hard gate. The live-server half of S9 stays
+    env-gated (no ClickHouse in the container); this row certifies
+    everything up to the socket."""
+    import csv as _csv
+    import io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse_http import (
+        write_clickhouse_http,
+    )
+
+    frame = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.concat(F.lit('a,"b '), F.col("o_orderpriority")).alias("hazard"),
+            F.when(F.col("o_orderkey") % 40 == 0, F.lit(None))
+            .otherwise(F.lit("x"))
+            .cast("string")
+            .alias("maybe"),
+        )
+        .repartition(4)
+    )
+    records: list[bytes] = []
+
+    class _H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            records.append(self.rfile.read(n))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):  # keep driver stderr clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sent = write_clickhouse_http(
+            frame,
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            "audit_roundtrip",
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    got = []
+    for body in records:
+        got.extend(_csv.reader(io.StringIO(body.decode("utf-8"))))
+    expect = [
+        (r["k"], r["hazard"], r["maybe"]) for r in frame.collect()
+    ]
+    recon = [
+        (int(r[0]), r[1], None if r[2] == "\\N" else r[2]) for r in got
+    ]
+    content_match = sorted(recon) == sorted(expect)
+    n_nulls_sent = sum(1 for r in got if r[2] == "\\N")
+    n_nulls_expect = sum(1 for _, _, m in expect if m is None)
+    null_ok = n_nulls_sent == n_nulls_expect and n_nulls_expect > 0
+    return spark.range(0, 1, 1, 1).select(
+        F.lit(sent).cast("long").alias("rows_sent"),
+        F.lit(bool(content_match)).alias("content_match"),
+        F.lit(bool(null_ok)).alias("null_convention_ok"),
+    )
+
+
 def _write_ordered_source_files(src: str, parts) -> None:
     """Write ``(stem, df)`` parts as single-file parquets in ``src``
     with mtimes 60s apart, so FileStreamSource (oldest-modified first)
@@ -12910,8 +13002,9 @@ _WINDOW_PRIORITY = [
 ]
 # Queries registered AFTER a window is pinned queue here for the next
 # rotation (the window itself stays frozen once curated so re-proof
-# slots keep their meaning). Empty at round-9 curation time.
-_DEFERRED_TO_NEXT_WINDOW: list[str] = []
+# slots keep their meaning). clickhouse_http_roundtrip landed after
+# the round-10 window was curated and pre-validated.
+_DEFERRED_TO_NEXT_WINDOW: list[str] = ["clickhouse_http_roundtrip"]
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects
 # evidence coverage — they follow the window in registration order.
