@@ -629,7 +629,12 @@ def convert_cna_grouped(
             F.col("__profile").alias("GENETIC_PROFILE"),
             F.col("__alt").alias("ALTERATION"),
         )
-        tables.append(("derived", derived, ["GENE_SYMBOL", "SAMPLE_ID"]))
+        # ALTERATION in the sort key: a duplicated gene row with
+        # different values would otherwise tie on (gene, sample) and
+        # leave file byte-order run-dependent
+        tables.append(
+            ("derived", derived, ["GENE_SYMBOL", "SAMPLE_ID", "ALTERATION"])
+        )
     for suffix, df, sort_cols in tables:
         stage_dir = os.path.join(staging, suffix)
         (
@@ -844,8 +849,10 @@ def _check_unique_bases(mode: str, inputs: list) -> list[str]:
     """Per-file output bases for the grouped modes; raises up front if
     two inputs collide onto one ``<studyDir>_<stem>`` (the loop mode
     would silently let the later write clobber the earlier one)."""
+    from collections import Counter
+
     bases = [os.path.basename(output_base(it.path, "")) for it in inputs]
-    dup = {b for b in bases if bases.count(b) > 1}
+    dup = {b for b, n in Counter(bases).items() if n > 1}
     if dup:
         raise ValueError(
             f"{mode}: multiple inputs map to the same output base(s)"
