@@ -1034,6 +1034,13 @@ def load_clickhouse(
     combine then load would double every row); load the combined dir
     explicitly if that is the intent.
 
+    Both naming forms present for one kind is REFUSED up front (same
+    posture as the grouped modes' duplicate-base check): per-study
+    ``*_<kind>.parquet`` files next to a bare ``<kind>.parquet`` means
+    a loop/grouped run and a partitioned (fused-combined) run wrote
+    into the same -parquet-dir — loading the union would silently
+    double every row of that kind (round-10 advice).
+
     ``create_tables`` first executes the catalog DDL (MergeTree
     CREATE TABLE IF NOT EXISTS from sinks.clickhouse.catalog_ddl)
     driver-side over the same interface. Returns {table: rows_sent}
@@ -1050,14 +1057,24 @@ def load_clickhouse(
     ddls = catalog_ddl()
     counts: dict[str, int] = {}
     for kind in ALL_TABLES:
-        paths = sorted(
+        per_study = sorted(
             p
-            for p in (
-                _glob.glob(os.path.join(parquet_dir, f"*_{kind}.parquet"))
-                + _glob.glob(os.path.join(parquet_dir, f"{kind}.parquet"))
-            )
+            for p in _glob.glob(os.path.join(parquet_dir, f"*_{kind}.parquet"))
             if not os.path.basename(p).startswith("combined")
         )
+        bare = sorted(
+            _glob.glob(os.path.join(parquet_dir, f"{kind}.parquet"))
+        )
+        if per_study and bare:
+            raise ValueError(
+                f"load_clickhouse: {kind!r} exists in BOTH naming forms"
+                f" under {parquet_dir} — per-study"
+                f" {[os.path.basename(p) for p in per_study[:3]]}... and"
+                f" combined {[os.path.basename(p) for p in bare]};"
+                " loading both would double every row. Point"
+                " -parquet-dir at one run's output, or remove one form."
+            )
+        paths = per_study + bare
         if not paths:
             continue
         if create_tables:

@@ -4258,20 +4258,24 @@ def clickhouse_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the streaming twins (the infrastructure is test scaffold; the
     DISTRIBUTED mechanics under audit are production code).
 
-    A deterministic orders slice (1-in-20 keys; a quoting-hazard
-    column and a NULL column added) is written via per-task
-    Arrow-batched CSV POSTs; the audit reconstructs every received
-    body driver-side and folds three invariants to oracled values:
-    ``rows_sent`` must equal the slice's exact count (the oracle
-    recomputes it), ``content_match`` pins row-for-row fidelity
-    including the quoted ``a,"b`` cell, and ``null_convention_ok``
-    pins the unquoted ``\\N`` NULL encoding ClickHouse's CSV reader
-    expects. Any serialization, batching, or fan-out bug
-    hash-mismatches the hard gate. The live-server half of S9 stays
-    env-gated (no ClickHouse in the container); this row certifies
-    everything up to the socket."""
-    import csv as _csv
-    import io
+    A deterministic orders slice (1-in-20 keys) is written via
+    per-task Arrow-batched JSONEachRow POSTs. The slice carries every
+    serialization hazard the round-10 advice named: a NULL-bearing
+    BIGINT column (Arrow widens the batch to float64; the sink must
+    restore exact int64, never ``123.0``), a string column holding
+    literal backslashes and the exact two-character ``\\N`` CSV-NULL
+    literal (must survive byte-exact, not read back as NULL), and a
+    quoting hazard (comma + double quote). The audit reconstructs
+    every received body driver-side and folds three invariants to
+    oracled values: ``rows_sent`` must equal the slice's exact count
+    (the oracle recomputes it), ``content_match`` pins row-for-row
+    value fidelity across all hazard columns, and
+    ``null_convention_ok`` pins NULL<->JSON-null round-tripping on
+    both the string and the bigint column. Any serialization,
+    batching, or fan-out bug hash-mismatches the hard gate. The
+    live-server half of S9 stays env-gated (no ClickHouse in the
+    container); this row certifies everything up to the socket."""
+    import json as _json
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -4284,11 +4288,20 @@ def clickhouse_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderkey") % 20 == 0)
         .select(
             F.col("o_orderkey").cast("long").alias("k"),
-            F.concat(F.lit('a,"b '), F.col("o_orderpriority")).alias("hazard"),
+            F.concat(F.lit('a,"b \\ '), F.col("o_orderpriority")).alias(
+                "hazard"
+            ),
             F.when(F.col("o_orderkey") % 40 == 0, F.lit(None))
-            .otherwise(F.lit("x"))
+            .otherwise(
+                F.when(F.col("o_orderkey") % 60 == 0, F.lit("\\N"))
+                .otherwise(F.lit("x"))
+            )
             .cast("string")
             .alias("maybe"),
+            F.when(F.col("o_orderkey") % 80 == 0, F.lit(None))
+            .otherwise(F.col("o_orderkey") * F.lit(1_000_000_007))
+            .cast("long")
+            .alias("big"),
         )
         .repartition(4)
     )
@@ -4317,20 +4330,34 @@ def clickhouse_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.server_close()
     got = []
     for body in records:
-        got.extend(_csv.reader(io.StringIO(body.decode("utf-8"))))
+        for line in body.decode("utf-8").splitlines():
+            got.append(_json.loads(line))
     expect = [
-        (r["k"], r["hazard"], r["maybe"]) for r in frame.collect()
+        (r["k"], r["hazard"], r["maybe"], r["big"])
+        for r in frame.collect()
     ]
-    recon = [
-        (int(r[0]), r[1], None if r[2] == "\\N" else r[2]) for r in got
-    ]
-    content_match = sorted(recon) == sorted(expect)
-    n_nulls_sent = sum(1 for r in got if r[2] == "\\N")
-    n_nulls_expect = sum(1 for _, _, m in expect if m is None)
-    null_ok = n_nulls_sent == n_nulls_expect and n_nulls_expect > 0
+    recon = [(o["k"], o["hazard"], o["maybe"], o["big"]) for o in got]
+    # exact-int fidelity: every non-null big must round-trip as a JSON
+    # int (json.loads gives int, never float) and match k*1e9+7 exactly
+    ints_exact = all(
+        isinstance(o["big"], int) for o in got if o["big"] is not None
+    )
+    content_match = bool(sorted(recon, key=str) == sorted(expect, key=str))
+    n_nulls_sent = sum(1 for o in got if o["maybe"] is None)
+    n_big_nulls_sent = sum(1 for o in got if o["big"] is None)
+    n_nulls_expect = sum(1 for _, _, m, _ in expect if m is None)
+    n_big_nulls_expect = sum(1 for *_, b in expect if b is None)
+    n_escaped = sum(1 for o in got if o["maybe"] == "\\N")
+    null_ok = (
+        n_nulls_sent == n_nulls_expect
+        and n_big_nulls_sent == n_big_nulls_expect
+        and n_nulls_expect > 0
+        and n_big_nulls_expect > 0
+        and n_escaped > 0  # literal \N string stayed a string
+    )
     return spark.range(0, 1, 1, 1).select(
         F.lit(sent).cast("long").alias("rows_sent"),
-        F.lit(bool(content_match)).alias("content_match"),
+        F.lit(bool(content_match and ints_exact)).alias("content_match"),
         F.lit(bool(null_ok)).alias("null_convention_ok"),
     )
 
@@ -12956,55 +12983,58 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries registered, WHICH ones get hard-gate rows is a curated
 # decision, not registration order.
 #
-# ROUND-10 ROTATION (round-9 verdict #1: register the two ANN
-# lifecycle ops as oracled gates and drain the round-5 evidence tail):
-#   * slots 1-2: the NEW round-10 oracled queries — the staleness
-#     (rebuild-decision) gate and the compaction invariant gate for
-#     the persisted ANN index lifecycle (`operators/ann_index.py`),
-#     never-green;
-#   * slots 3-24: ALL 22 queries whose newest green driver row is
-#     round 5 (computed from the aggregated CORRECTNESS_r01-r09
-#     newest-green distribution {r5:22, r6:46, r7:42, r8:50, r9:50});
-#   * slots 25-50: 26 of the 46 round-6-newest rows, picked for plan
-#     complexity/risk: the 12 TPC-H flagships in the tier, the
-#     iterative/graph family (pagerank, triangles, recs, k-means,
-#     near-dup, semantic dedup, fd_audit), the stats family
-#     (Mann-Whitney, chi-square, Benford), text ranking (BM25,
-#     TF-IDF, lang chi2) and attribution_decay.
+# ROUND-11 ROTATION (round-10 verdict #1: clickhouse_http_roundtrip
+# first, then drain the round-6 evidence tail, then round-7 rows):
+#   * slot 1: clickhouse_http_roundtrip — the S9 write-path gate,
+#     oracled since round 10 but deferred past that window's curation,
+#     so it is the single oracled query with zero driver evidence;
+#   * slots 2-21: ALL 20 queries whose newest green driver row is
+#     round 6 (computed from the aggregated CORRECTNESS_r01-r10
+#     newest-green distribution {r6:20, r7:42, r8:50, r9:50, r10:50});
+#   * slots 22-50: 29 of the 42 round-7-newest rows, picked for plan
+#     complexity/risk: the full streaming-twin family (8), the
+#     CDC/as-of/interval join trio, the dedup family (exact,
+#     containment, n-gram Jaccard, SimHash pairs+signatures, MinHash-
+#     LSH, clusters, ingest/streaming, fingerprint), the duplicate-
+#     span trio, decontamination (2), leakage-safe split, corpus
+#     curation, embedding quantize, and q18's grouped-having scan.
 # After this window runs green, no oracled query's newest green row is
-# older than round 6. Rows-only entries never take window slots (their
+# older than round 7 (13 round-7 rows remain: simpler single-shuffle
+# plans — anti-join, rollup, hourly agg, n-gram counts — next in line
+# for round 12). Rows-only entries never take window slots (their
 # driver check is weaker by construction; see _ordered_names).
 _WINDOW_PRIORITY = [
-    # -- never-green: new round-10 oracled queries (2) --
-    "ann_staleness_gate", "ann_compaction_gate",
-    # -- stalest evidence: every round-5-newest row (22) --
-    "ab_test_analysis", "bootstrap_chars_ci", "class_weights",
-    "customer_concentration", "event_transitions",
-    "events_gap_interpolated", "events_sma_decomposition",
-    "events_trend_slopes", "events_twap_hourly",
-    "funnel_time_to_convert", "metric_correlations",
-    "nation_revenue_share", "price_outliers_mad",
-    "priority_quantile_disc", "priority_winsorized_spend",
-    "quantile_sketch_audit", "schema_evolution_union",
-    "shard_assignment_audit", "source_similarity",
-    "source_token_drift", "vocab_top_tokens", "weighted_doc_sample",
-    # -- round-6 tier fill: 26 highest-complexity plans (26) --
-    "q2_min_cost_supplier", "q3_shipping_priority", "q5_local_supplier",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q12_priority_lines", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q19_bracket_revenue",
-    "q20_promotion_parts", "q21_waiting_supplier",
-    "pagerank_personalized", "copurchase_triangles", "copurchase_recs",
-    "kmeans_embeddings", "embedding_neardup", "semantic_dedup",
-    "fd_audit", "mannwhitney_quality", "abn_test_chisq",
-    "benford_price_audit", "bm25_topdocs", "tfidf_top_terms",
-    "lang_chi2_tokens", "attribution_decay",
+    # -- never driver-green: the S9 write-path gate (1) --
+    "clickhouse_http_roundtrip",
+    # -- stalest evidence: every round-6-newest row (20) --
+    "ann_ranking_quality", "attribution_position",
+    "contrastive_negatives", "corpus_datacard", "corpus_diversity",
+    "curriculum_shuffle_audit", "embedding_centroid_shift",
+    "events_anomaly_zscore", "events_interarrival_stats",
+    "events_seasonality_profile", "events_wau_approx",
+    "join_cardinality_estimate", "kfold_balance",
+    "mixture_temperature", "order_reconciliation",
+    "orders_open_timeline", "split_novelty_rate",
+    "token_freq_of_freqs", "trending_parts", "weighted_median_price",
+    # -- round-7 tier fill: 29 highest-complexity plans (29) --
+    "stream_hourly", "stream_ohlc", "stream_sessionize",
+    "stream_sliding_counts", "stream_stream_join",
+    "stream_stream_outer_join", "stream_throttle_audit",
+    "stream_dim_join",
+    "cdc_merge_orders", "events_asof_join", "events_interval_join",
+    "dedup_exact", "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "simhash_signatures",
+    "minhash_lsh_candidates", "dedup_clusters", "ingest_dedup",
+    "doc_fingerprint",
+    "dup_span_detect", "dup_span_coverage", "dup_span_strip",
+    "decontaminate_corpus", "decontamination_hits",
+    "leakage_safe_split", "corpus_curation", "embedding_quantize",
+    "q18_large_orders",
 ]
 # Queries registered AFTER a window is pinned queue here for the next
 # rotation (the window itself stays frozen once curated so re-proof
-# slots keep their meaning). clickhouse_http_roundtrip landed after
-# the round-10 window was curated and pre-validated.
-_DEFERRED_TO_NEXT_WINDOW: list[str] = ["clickhouse_http_roundtrip"]
+# slots keep their meaning).
+_DEFERRED_TO_NEXT_WINDOW: list[str] = []
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects
 # evidence coverage — they follow the window in registration order.

@@ -18,9 +18,14 @@ SF_DIR_CORRECTNESS = os.environ.get(
 @pytest.fixture(scope="session")
 def spark():
     cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+    # local[N,2]: maxFailures=2 so ONE task re-attempt exists — the
+    # HTTP sink's at-least-once retry-duplication contract needs a
+    # real Spark retry to pin (test_clickhouse_http_sink_retry_
+    # duplicates_posted_batches). Fail-loud tests still fail their
+    # jobs; they just pay one extra (tiny) task attempt first.
     s = get_spark(
         app_name="cips-tests",
-        master=f"local[{cpus}]",
+        master=f"local[{cpus},2]",
         shuffle_partitions=8,
     )
     yield s

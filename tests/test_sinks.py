@@ -452,12 +452,11 @@ def _capture_server():
 
 def test_clickhouse_http_sink_posts_all_partitions(spark):
     """S9 HTTP path: the DISTRIBUTED write mechanics exercised end to
-    end — 4 tasks POST Arrow-batched CSV bodies to a capturing local
-    server; the INSERT names its columns, auth headers travel, NULL
-    becomes \\N, and the union of the bodies reproduces the frame
-    row-for-row."""
-    import csv
-    import io
+    end — 4 tasks POST Arrow-batched JSONEachRow bodies to a capturing
+    local server; the INSERT names its columns (backtick-quoted, table
+    name included), auth headers travel, NULL becomes JSON null, and
+    the union of the bodies reproduces the frame row-for-row."""
+    import json
     from urllib.parse import parse_qs, urlparse
 
     from pyspark.sql import functions as F
@@ -495,25 +494,165 @@ def test_clickhouse_http_sink_posts_all_partitions(spark):
         for path, headers, body in records:
             q = parse_qs(urlparse(path).query)["query"][0]
             assert q.startswith(
-                "INSERT INTO cgds.mutation_event "
-                "(`MUTATION_EVENT_ID`, `CHR`, `NOTE`, `MAYBE`) FORMAT CSV"
+                "INSERT INTO `cgds`.`mutation_event` "
+                "(`MUTATION_EVENT_ID`, `CHR`, `NOTE`, `MAYBE`) "
+                "FORMAT JSONEachRow"
             )
             # urllib normalizes header casing (X-clickhouse-user);
             # HTTP headers are case-insensitive, compare accordingly
             lower = {k.lower(): v for k, v in headers.items()}
             assert lower["x-clickhouse-user"] == "ingest"
             assert lower["x-clickhouse-key"] == "pw"
-            rows.extend(csv.reader(io.StringIO(body.decode("utf-8"))))
+            rows.extend(
+                json.loads(line)
+                for line in body.decode("utf-8").splitlines()
+            )
         assert len(rows) == 1000
-        by_id = {int(r[0]): r for r in rows}
+        by_id = {r["MUTATION_EVENT_ID"]: r for r in rows}
         assert sorted(by_id) == list(range(1000))
-        assert by_id[0][2] == 'a,"b"' and by_id[1][2] == "plain"
-        # ClickHouse CSV NULL convention: unquoted \N (csv.reader hands
-        # back the raw two chars)
-        assert by_id[0][3] == "\\N" and by_id[1][3] == "x"
-        assert by_id[3][1] == "chr3"
+        assert by_id[0]["NOTE"] == 'a,"b"' and by_id[1]["NOTE"] == "plain"
+        # NULL convention: JSON null, never a sentinel string
+        assert by_id[0]["MAYBE"] is None and by_id[1]["MAYBE"] == "x"
+        assert by_id[3]["CHR"] == "chr3"
     finally:
         srv.shutdown()
+
+
+def test_clickhouse_http_sink_fidelity_edges(spark):
+    """Round-10 advice regression: the exact silent-corruption edges
+    CSV carried. A BIGINT column whose batch holds a NULL (Arrow
+    widens to float64 — values must still arrive as exact JSON ints,
+    never 123.0, pinned at 2^63-8); a string equal to the literal
+    two-character ``\\N`` CSV-NULL sentinel; strings with backslashes,
+    embedded newlines, and non-ASCII — all must round-trip
+    value-exact through the JSONEachRow body."""
+    import json
+
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse_http import (
+        write_clickhouse_http,
+    )
+
+    srv, records = _capture_server()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        big = 9223372036854775800  # 2^63-8: float64 would mangle it
+        data = [
+            (big, "C:\\dir\\file", "ok"),
+            (None, "\\N", "null-int-in-batch"),
+            (7, "line1\nline2", "café ☕"),
+        ]
+        df = spark.createDataFrame(
+            data, "BIG_ID long, PATHY string, NOTE string"
+        ).coalesce(1)
+        total = write_clickhouse_http(df, url, "edge")
+        assert total == 3
+        rows = []
+        for _path, _headers, body in records:
+            rows.extend(
+                json.loads(line)
+                for line in body.decode("utf-8").splitlines()
+            )
+        by_note = {r["NOTE"]: r for r in rows}
+        got_big = by_note["ok"]["BIG_ID"]
+        assert got_big == big and isinstance(got_big, int)
+        assert by_note["null-int-in-batch"]["BIG_ID"] is None
+        assert by_note["null-int-in-batch"]["PATHY"] == "\\N"  # a STRING
+        assert by_note["ok"]["PATHY"] == "C:\\dir\\file"
+        assert by_note["café ☕"]["PATHY"] == "line1\nline2"
+        assert by_note["café ☕"]["BIG_ID"] == 7
+    finally:
+        srv.shutdown()
+
+
+def test_clickhouse_http_insert_url_identifier_escaping():
+    """Round-10 advice: identifiers are escaped, the table name is
+    quoted part-by-part, and malformed table names fail loud instead
+    of emitting broken SQL."""
+    from urllib.parse import parse_qs, urlparse
+
+    import pytest as _pytest
+
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse_http import (
+        _insert_url,
+    )
+
+    url = _insert_url("http://h:8123", "db.t", ["a", "weird`col"])
+    q = parse_qs(urlparse(url).query)["query"][0]
+    assert q == (
+        "INSERT INTO `db`.`t` (`a`, `weird``col`) FORMAT JSONEachRow"
+    )
+    with _pytest.raises(ValueError, match="malformed table"):
+        _insert_url("http://h:8123", "db.", ["a"])
+
+
+def test_clickhouse_http_sink_retry_duplicates_posted_batches(spark):
+    """The documented at-least-once contract, pinned (round-10 verdict
+    #2): a task that dies AFTER a successful POST re-sends that batch
+    on its retry attempt. The capture server 500s exactly the second
+    request it ever sees — attempt 1 lands batch 1 then fails on
+    batch 2; the Spark retry (local[N,2] session) replays the whole
+    task. The job still succeeds and reports the frame's true row
+    count once; the capture log shows batch 1 twice, byte-identical
+    (determinism is what lets MergeTree insert-block dedup absorb the
+    replay)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse_http import (
+        write_clickhouse_http,
+    )
+
+    ok_bodies: list[bytes] = []
+    lock = threading.Lock()
+    seen = [0]
+
+    class FlakyOnce(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            with lock:
+                seen[0] += 1
+                fail = seen[0] == 2
+                if not fail:
+                    ok_bodies.append(body)
+            self.send_response(500 if fail else 200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), FlakyOnce)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = (
+            spark.range(0, 300)
+            .select(F.col("id").cast("string").alias("v"))
+            .coalesce(1)  # ONE task -> deterministic request order
+        )
+        total = write_clickhouse_http(
+            df,
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            "t",
+            batch_rows=100,
+        )
+    finally:
+        srv.shutdown()
+    assert total == 300  # counted once, not once per attempt
+    # attempt 1: batch1 ok, batch2 500 -> task fails; attempt 2:
+    # batches 1,2,3 ok -> 4 successful bodies, batch 1 duplicated
+    assert len(ok_bodies) == 4
+    assert ok_bodies[0] == ok_bodies[1]  # byte-identical replay
+    import json
+
+    rows = [
+        json.loads(line)["v"]
+        for b in ok_bodies
+        for line in b.decode("utf-8").splitlines()
+    ]
+    assert len(rows) == 400  # the documented duplication, visible
+    assert sorted(set(rows), key=int) == [str(i) for i in range(300)]
 
 
 def test_clickhouse_http_sink_batches_and_fails_loud(spark):
@@ -571,8 +710,7 @@ def test_load_clickhouse_end_to_end(spark, tmp_path):
     — DDL first (driver-side), then one distributed insert job per
     table; combined-* duplicates excluded; row counts and body
     contents verified against the parquet ground truth."""
-    import csv
-    import io
+    import json
     from urllib.parse import parse_qs, urlparse
 
     from clickhouse_only_importer_prototype_spark.plans import pipelines
@@ -626,14 +764,38 @@ def test_load_clickhouse_end_to_end(spark, tmp_path):
         if q is None:  # DDL travels as the body
             ddl_stmts.append(text)
         else:
-            table = q.split()[2]
+            table = q.split()[2].strip("`")
             inserted.setdefault(table, []).extend(
-                csv.reader(io.StringIO(text))
+                json.loads(line) for line in text.splitlines()
             )
     assert len(ddl_stmts) == 5
     assert all("CREATE TABLE IF NOT EXISTS" in s for s in ddl_stmts)
     assert {len(v) for t, v in inserted.items()} == {1, 2}
     ga = inserted["genetic_alterations"]
-    assert ga == [["s_l", "s_l_gistic", "TP53", "0,-1"]]
-    ev_ids = sorted(r[0] for r in inserted["mutation_event"])
-    assert ev_ids == ["0", "1"]
+    assert ga == [
+        {
+            "CANCER_STUDY": "s_l",
+            "GENETIC_PROFILE": "s_l_gistic",
+            "GENE_SYMBOL": "TP53",
+            "VALUES": "0,-1",
+        }
+    ]
+    ev_ids = sorted(r["MUTATION_EVENT_ID"] for r in inserted["mutation_event"])
+    assert ev_ids == [0, 1]
+
+
+def test_load_clickhouse_refuses_mixed_naming_forms(spark, tmp_path):
+    """Round-10 advice: a -parquet-dir holding BOTH per-study
+    ``*_<kind>.parquet`` and a bare ``<kind>.parquet`` (loop/grouped
+    output next to a partitioned fused-combined run) would
+    double-insert every row of that kind — refused up front, naming
+    the conflict, before any HTTP traffic."""
+    from clickhouse_only_importer_prototype_spark.plans import pipelines
+
+    d = tmp_path / "mixed"
+    (d / "s_a_genetic_alterations.parquet").mkdir(parents=True)
+    (d / "genetic_alterations.parquet").mkdir()
+    with pytest.raises(ValueError, match="BOTH naming forms"):
+        pipelines.load_clickhouse(
+            spark, str(d), "http://127.0.0.1:1"  # never reached
+        )
