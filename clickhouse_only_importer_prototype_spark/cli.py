@@ -32,6 +32,10 @@ MODES = (
     # reference's per-study-file layout (partitionBy + driver rename;
     # see pipelines.convert_mutations_grouped / convert_cna_grouped)
     "convert-mutations-grouped",
+    # grouped write + the loop mode's per-file failure isolation
+    # (probe -> grouped over healthy files -> loop replay of the
+    # failure manifest; pipelines.convert_mutations_grouped_salvage)
+    "convert-mutations-grouped-salvage",
     "convert-cna-grouped",
     "convert-cna-grouped-with-derived",
     # beyond the reference: emit the ClickHouse CREATE TABLE statements
@@ -277,6 +281,11 @@ def main(argv: list[str] | None = None) -> int:
             pipelines.convert_mutations_grouped(
                 spark, args.tsv_dir, args.parquet_dir
             )
+        elif args.mode == "convert-mutations-grouped-salvage":
+            summary = pipelines.convert_mutations_grouped_salvage(
+                spark, args.tsv_dir, args.parquet_dir
+            )
+            rc = 0 if summary.ok else 1
         elif args.mode.startswith("convert-cna-grouped"):
             pipelines.convert_cna_grouped(
                 spark,

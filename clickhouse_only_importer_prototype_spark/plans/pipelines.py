@@ -707,7 +707,10 @@ def _balanced_union(dfs: list[DataFrame]) -> DataFrame:
 
 
 def _mutations_single_job_frames(
-    spark: SparkSession, tsv_dir: str, start_event_id: int
+    spark: SparkSession,
+    tsv_dir: str,
+    start_event_id: int,
+    inputs: list | None = None,
 ) -> tuple[list, list[DataFrame]]:
     """Shared scaffold of the single-job mutations modes: discovery,
     header-signature grouping (Spark's multi-path csv scan applies the
@@ -719,10 +722,16 @@ def _mutations_single_job_frames(
     joined_frames)``; each joined frame carries the MAF columns +
     MUTATION_EVENT_ID + __file/__study/__profile/__base. A scan file
     missing from the manifest raises mid-plan (fail loud, never
-    silently unattributed)."""
+    silently unattributed).
+
+    ``inputs`` overrides discovery with a pre-filtered list (the
+    salvage mode hands in only its probe-healthy files; id assignment
+    then skips failed files exactly like the loop, where a failed
+    read consumes no ids)."""
     from pyspark.sql import functions as F
 
-    inputs = discover_mutation_files(tsv_dir)
+    if inputs is None:
+        inputs = discover_mutation_files(tsv_dir)
     logger.info("found %d mutation files (single-job mode)", len(inputs))
     if not inputs:
         return [], []
@@ -877,7 +886,14 @@ def _promote_partition_dirs(
     only parquet written via pyarrow — milliseconds, vs ~5s per tiny
     frame through the Python local-relation write path (the round-8
     finding). A staged dir matching no input raises: silent output
-    loss is never acceptable here."""
+    loss is never acceptable here.
+
+    Scale note (round-10 verdict): this pass is driver-serial — one
+    ``os.rename`` per output, ~zero cost to N=1,000 (measured inside
+    the 42.7s grouped run) but the bottleneck at N~100k studies; if
+    that shape ever materializes, thread-pool the renames (they are
+    independent same-filesystem moves) or commit the mapping to a
+    catalog instead of materializing reference filenames."""
     import shutil
     from urllib.parse import unquote
 
@@ -930,6 +946,7 @@ def convert_mutations_grouped(
     tsv_dir: str,
     parquet_dir: str,
     start_event_id: int = 0,
+    inputs: list | None = None,
 ) -> int:
     """Single-job mutations conversion that writes the REFERENCE's
     per-study-file output layout (``<studyDir>_<stem>_mutation[_event]
@@ -963,14 +980,17 @@ def convert_mutations_grouped(
 
     Row-level parity with the loop mode is pinned by test (ids, rows,
     one file per output, empty-input outputs). Failure posture:
-    all-or-nothing per run, like the partitioned mode. Returns the
+    all-or-nothing per run, like the partitioned mode — use
+    convert_mutations_grouped_salvage for the loop mode's per-file
+    isolation (D4) at grouped cost. ``inputs`` overrides discovery
+    (the salvage wrapper passes its probe-healthy subset). Returns the
     number of files planned."""
     import shutil
 
     from pyspark.sql import functions as F
 
     inputs, joined_frames = _mutations_single_job_frames(
-        spark, tsv_dir, start_event_id
+        spark, tsv_dir, start_event_id, inputs=inputs
     )
     if not inputs:
         return 0
@@ -1013,6 +1033,123 @@ def convert_mutations_grouped(
         )
     shutil.rmtree(staging, ignore_errors=True)
     return len(inputs)
+
+
+def convert_mutations_grouped_salvage(
+    spark: SparkSession,
+    tsv_dir: str,
+    parquet_dir: str,
+    start_event_id: int = 0,
+    max_workers: int = 8,
+) -> RunSummary:
+    """convert_mutations_grouped with the loop mode's per-file failure
+    isolation (D4, mutation/transformer.go:37-73) — round-10 verdict
+    #3: the grouped single-job write is all-or-nothing, so one corrupt
+    MAF used to cost the whole corpus a replay.
+
+    Three phases:
+
+      1. **Probe** — one column-pruned count scan per file (thread
+         pool; the exact read the loop mode performs, so a probe
+         failure IS a loop-mode read failure). Failing files go to the
+         failure manifest (``RunSummary.failed``) and consume no ids —
+         identical to the loop, so phase 2's ids stay byte-equal to a
+         loop run over the same tree.
+      2. **Grouped write** — convert_mutations_grouped over only the
+         healthy files: one scan + one shuffle + one write per table,
+         the corrupt file excluded instead of poisoning the job.
+         Duplicate output bases are checked over ALL inputs up front
+         (a replayed file must never clobber a healthy output).
+      3. **Salvage replay** — each failed file retried through the
+         LOOP path (read -> ids -> both writes, partial outputs
+         removed on failure). A deterministic corruption fails again
+         and stays in the manifest; a transient failure recovers. A
+         replayed success takes ids PAST the healthy range (unique,
+         ordered, gapless within each phase) — splicing it back into
+         discovery order would require rewriting every later file,
+         which is the all-or-nothing posture this mode exists to
+         avoid; documented, and the manifest names exactly which files
+         took late ids.
+
+    Cost on the happy path: the probe's count scans (the same phase-A
+    scans convert_mutations max_workers>1 already pays) on top of the
+    grouped job. Returns the loop modes' RunSummary (processed +
+    failure manifest)."""
+    from concurrent.futures import as_completed
+
+    inputs = discover_mutation_files(tsv_dir)
+    logger.info("found %d mutation files (grouped-salvage)", len(inputs))
+    summary = RunSummary()
+    if not inputs:
+        return summary
+    _check_unique_bases("convert_mutations_grouped_salvage", inputs)
+    os.makedirs(parquet_dir, exist_ok=True)
+
+    counts: dict[str, int] = {}
+    with _pipeline_pool(max_workers) as pool:
+
+        def count_one(item) -> tuple[str, int]:
+            return item.path, read_maf(spark, item.path).count()
+
+        futures = {pool.submit(count_one, it): it for it in inputs}
+        for fut in as_completed(futures):
+            item = futures[fut]
+            try:
+                path, n = fut.result()
+                counts[path] = n
+            except Exception as exc:  # noqa: BLE001 — D4 isolation
+                logger.error("probe failed for %s: %s", item.path, exc)
+                summary.failed[item.path] = str(exc)
+
+    healthy = [it for it in inputs if it.path in counts]
+    if healthy:
+        convert_mutations_grouped(
+            spark, tsv_dir, parquet_dir, start_event_id, inputs=healthy
+        )
+        summary.processed = [it.path for it in healthy]
+
+    # salvage replay of the manifest through the loop path, fresh ids
+    # past the healthy range
+    next_id = start_event_id + sum(counts.values())
+    for item in inputs:  # discovery order, deterministic replay ids
+        if item.path not in summary.failed:
+            continue
+        base = output_base(item.path, parquet_dir)
+        out_paths = (
+            f"{base}_mutation_event.parquet",
+            f"{base}_mutation.parquet",
+        )
+        try:
+            df = read_maf(spark, item.path)
+            with_ids = mut_ops.with_sequential_ids(df, start=next_id)
+            with_ids = with_ids.persist()
+            write_parquet(mut_ops.mutation_event(with_ids), out_paths[0])
+            write_parquet(
+                mut_ops.mutation(
+                    with_ids, item.cancer_study_id, item.genetic_profile_id
+                ),
+                out_paths[1],
+            )
+            next_id = mut_ops.next_event_id(with_ids, start=next_id)
+            with_ids.unpersist()
+            del summary.failed[item.path]
+            summary.processed.append(item.path)
+            logger.info("salvaged %s (next id now %d)", item.path, next_id)
+        except Exception as exc:  # noqa: BLE001 — D4 isolation
+            logger.error("salvage replay failed for %s: %s", item.path, exc)
+            summary.failed[item.path] = str(exc)
+            for p in out_paths:
+                shutil.rmtree(p, ignore_errors=True)
+
+    summary.processed.sort()
+    if summary.failed:
+        logger.error(
+            "%d/%d mutation files failed (manifest): %s",
+            len(summary.failed),
+            len(inputs),
+            sorted(summary.failed),
+        )
+    return summary
 
 
 def load_clickhouse(
