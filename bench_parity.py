@@ -160,6 +160,14 @@ def run_tier(spark, n_studies: int) -> dict:
         os.path.join(work, "out_mgrp"),
     )
     assert n == n_studies
+    # grouped + D4 isolation: the happy-path price is the probe's
+    # per-file count scans on top of the grouped job
+    s = timed(
+        "convert_mutations_grouped_salvage",
+        pipelines.convert_mutations_grouped_salvage, spark, studies,
+        os.path.join(work, "out_msal"),
+    )
+    assert len(s.processed) == n_studies, s.failed
     n = timed(
         "convert_cna_grouped_with_derived",
         pipelines.convert_cna_grouped, spark, studies,

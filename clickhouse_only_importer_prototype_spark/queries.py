@@ -4362,6 +4362,121 @@ def clickhouse_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouped_salvage_gate",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_converted,
+           TRUE AS ids_gapless, TRUE AS outputs_complete
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def grouped_salvage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4 driver gate for convert_mutations_grouped_salvage
+    (plans/pipelines.py — round-10 verdict #3): the probe -> grouped
+    single-job write -> rename machinery driven end-to-end inside the
+    query, same harness posture as clickhouse_http_roundtrip (the
+    study tree is test scaffold; the three-phase pipeline under audit
+    is production code; the FAILURE seam itself is pytest-pinned via
+    monkeypatch because PERMISSIVE csv makes organic read failures
+    unreachable by construction).
+
+    A deterministic orders slice (1-in-50 keys; bounded driver
+    collect, ~3k rows at sf0.1 — the documented bounded class) is
+    written as three MAF studies (study = o_orderkey % 3, rows sorted
+    by key). The salvage conversion runs, then the outputs are read
+    back and folded to oracled values: ``rows_converted`` must equal
+    the slice's exact count (the oracle recomputes it),
+    ``ids_gapless`` pins the corpus-wide dense 0..n-1 id contract
+    across the grouped write (distinct == n, min 0, max n-1), and
+    ``outputs_complete`` pins the reference output layout (both
+    parquet files per study, per-study row counts equal to the
+    slice's per-study counts). Any probe, id prefix-sum, shuffle, or
+    rename-promotion bug hash-mismatches the hard gate."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from clickhouse_only_importer_prototype_spark.plans.pipelines import (
+        convert_mutations_grouped_salvage,
+    )
+
+    rows = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .collect()
+    )
+    per_study: dict[str, list] = {"s0": [], "s1": [], "s2": []}
+    for r in rows:
+        per_study[f"s{int(r['o_orderkey']) % 3}"].append(r)
+    work = _tempfile.mkdtemp(prefix="salvage_gate_")
+    try:
+        tsv_dir = _os.path.join(work, "studies")
+        for study, srows in per_study.items():
+            d = _os.path.join(tsv_dir, study)
+            _os.makedirs(d, exist_ok=True)
+            with open(_os.path.join(d, "meta_mutations.txt"), "w") as fh:
+                fh.write(
+                    f"cancer_study_identifier: {study}\n"
+                    "stable_id: mutations\n"
+                    "data_filename: data_mutations.txt\n"
+                )
+            with open(_os.path.join(d, "data_mutations.txt"), "w") as fh:
+                fh.write(
+                    "Hugo_Symbol\tEntrez_Gene_Id\tTumor_Sample_Barcode\n"
+                )
+                for r in sorted(srows, key=lambda x: int(x["o_orderkey"])):
+                    fh.write(
+                        f"P{r['o_custkey']}\t{r['o_orderkey']}\t"
+                        f"S{r['o_orderkey']}_{r['o_orderpriority']}\n"
+                    )
+        out = _os.path.join(work, "out")
+        summary = convert_mutations_grouped_salvage(spark, tsv_dir, out)
+        n = len(rows)
+        outputs_complete = len(summary.processed) == 3 and not summary.failed
+        id_stats = None
+        for study, srows in per_study.items():
+            paths = (
+                _os.path.join(out, f"{study}_data_mutations_mutation_event.parquet"),
+                _os.path.join(out, f"{study}_data_mutations_mutation.parquet"),
+            )
+            if not all(_os.path.isdir(p) for p in paths):
+                outputs_complete = False
+                continue
+            ev = spark.read.parquet(paths[0])
+            if ev.count() != len(srows):
+                outputs_complete = False
+            part = ev.select("MUTATION_EVENT_ID")
+            id_stats = part if id_stats is None else id_stats.union(part)
+        if id_stats is None:
+            gapless, read_back = False, 0
+        else:
+            agg = id_stats.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("MUTATION_EVENT_ID").alias("d"),
+                F.min("MUTATION_EVENT_ID").alias("lo"),
+                F.max("MUTATION_EVENT_ID").alias("hi"),
+            ).first()
+            read_back = int(agg["n"])
+            gapless = (
+                agg["d"] == read_back
+                and (
+                    read_back == 0
+                    or (agg["lo"] == 0 and agg["hi"] == read_back - 1)
+                )
+            )
+        # rows_converted is the READ-BACK total, so a dropped or
+        # duplicated row breaks the oracled count itself, not just a
+        # boolean
+        return spark.range(0, 1, 1, 1).select(
+            F.lit(read_back).cast("long").alias("rows_converted"),
+            F.lit(bool(gapless)).alias("ids_gapless"),
+            F.lit(bool(outputs_complete)).alias("outputs_complete"),
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def _write_ordered_source_files(src: str, parts) -> None:
     """Write ``(stem, df)`` parts as single-file parquets in ``src``
     with mtimes 60s apart, so FileStreamSource (oldest-modified first)
@@ -13033,8 +13148,10 @@ _WINDOW_PRIORITY = [
 ]
 # Queries registered AFTER a window is pinned queue here for the next
 # rotation (the window itself stays frozen once curated so re-proof
-# slots keep their meaning).
-_DEFERRED_TO_NEXT_WINDOW: list[str] = []
+# slots keep their meaning). grouped_salvage_gate landed after the
+# round-11 window was curated and pre-validated (same pattern as
+# clickhouse_http_roundtrip in round 10).
+_DEFERRED_TO_NEXT_WINDOW: list[str] = ["grouped_salvage_gate"]
 # Queries rotated OUT this round all hold green rows from rounds 1-5
 # (that was the rotation criterion), so no ordering among them affects
 # evidence coverage — they follow the window in registration order.

@@ -127,7 +127,7 @@ def test_gate_window_holds_priority_evidence():
     assert set(_WINDOW_PRIORITY) <= oracled
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     gated: set[str] = set()
-    for rnd in range(1, 10):
+    for rnd in range(1, 30):
         path = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
             with open(path) as fh:
