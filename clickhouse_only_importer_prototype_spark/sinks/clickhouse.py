@@ -92,14 +92,23 @@ def clickhouse_ddl(
     names dictionary-encoded columns — the natural choice for enum-ish
     reference columns like chromosome, variant type, or study id.
     """
+    # identifier quoting shared with the HTTP sink's INSERT builder so
+    # DDL and inserts can never disagree on escaping (round-10 advice:
+    # backticks in identifiers are escaped, table names may be
+    # db-qualified, malformed names fail loud)
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse_http import (
+        _quote_ident,
+        _quote_table,
+    )
+
     low_cardinality = low_cardinality or frozenset()
     key_cols = order_by if order_by is not None else [schema.fields[0].name]
     missing = set(key_cols) - {f.name for f in schema.fields}
     if missing:
         raise ValueError(f"order_by columns not in schema: {sorted(missing)}")
     cols = ",\n    ".join(
-        "`{}` {}".format(
-            f.name,
+        "{} {}".format(
+            _quote_ident(f.name),
             clickhouse_type(
                 f.dataType,
                 nullable=f.nullable and f.name not in key_cols,
@@ -109,12 +118,12 @@ def clickhouse_ddl(
         for f in schema.fields
     )
     order_clause = (
-        "({})".format(", ".join(f"`{c}`" for c in key_cols))
+        "({})".format(", ".join(_quote_ident(c) for c in key_cols))
         if key_cols
         else "tuple()"
     )
     parts = [
-        f"CREATE TABLE IF NOT EXISTS `{table}` (\n    {cols}\n)",
+        f"CREATE TABLE IF NOT EXISTS {_quote_table(table)} (\n    {cols}\n)",
         f"ENGINE = {engine}",
     ]
     if partition_by:

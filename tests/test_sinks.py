@@ -583,6 +583,19 @@ def test_clickhouse_http_insert_url_identifier_escaping():
     )
     with _pytest.raises(ValueError, match="malformed table"):
         _insert_url("http://h:8123", "db.", ["a"])
+    # DDL shares the same quoting helpers (inserts and CREATE TABLE
+    # can never disagree on escaping)
+    from pyspark.sql import types as T
+
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse import (
+        clickhouse_ddl,
+    )
+
+    ddl = clickhouse_ddl(
+        T.StructType([T.StructField("we`ird", T.StringType())]), "t`bl"
+    )
+    assert "CREATE TABLE IF NOT EXISTS `t``bl`" in ddl
+    assert "`we``ird`" in ddl
 
 
 def test_clickhouse_http_sink_retry_duplicates_posted_batches(spark):
