@@ -54,8 +54,14 @@ Semantics and scale posture:
   * The INSERT names its columns explicitly (backtick-escaped; the
     JSON keys repeat them per row), so server-side column order or
     defaulted extra columns don't silently misalign.
-  * Timestamps serialize as ISO-8601 with microseconds
-    (``date_unit="us"``); DateTime64 targets parse these natively.
+  * Timestamps serialize as UTC-marked ISO-8601 with microseconds
+    (``date_unit="us"``; the session timezone is UTC engine-wide).
+    The trailing ``Z`` needs ``date_time_input_format=best_effort``
+    on the server (ClickHouse's basic parser rejects zone suffixes);
+    set it per-insert via the URL or the target user's profile.
+    DATE columns are Arrow-cast to bare ``YYYY-MM-DD`` strings before
+    serialization (ClickHouse's Date parser wants that form, not the
+    ISO-datetime midnight string pandas emits for date objects).
 
 Reference: N/A — S9 is the BASELINE.json north star, not a reference
 operator (README.md:5-8 stops at ClickHouse-shaped parquet).
@@ -185,9 +191,17 @@ def write_clickhouse_http(
             nonlocal pending, pending_rows, sent
             if not pending_rows:
                 return
-            frame = pa.Table.from_batches(pending).to_pandas(
-                types_mapper=_types_mapper
-            )
+            tbl = pa.Table.from_batches(pending)
+            for i, fld in enumerate(tbl.schema):
+                # DATE columns -> plain 'YYYY-MM-DD' strings (Arrow
+                # cast, vectorized): ClickHouse's Date parser wants
+                # the bare form, not the ISO-datetime midnight string
+                # pandas would emit for date objects
+                if pa.types.is_date(fld.type):
+                    tbl = tbl.set_column(
+                        i, fld.name, tbl.column(i).cast(pa.string())
+                    )
+            frame = tbl.to_pandas(types_mapper=_types_mapper)
             body = frame.to_json(
                 orient="records",
                 lines=True,

@@ -564,6 +564,43 @@ def test_clickhouse_http_sink_fidelity_edges(spark):
         srv.shutdown()
 
 
+def test_clickhouse_http_sink_temporal_columns(spark):
+    """DATE columns serialize as bare YYYY-MM-DD strings (ClickHouse
+    Date parser form; Arrow cast, not pandas' ISO-midnight),
+    timestamps as UTC-marked ISO-8601 with MICROSECONDS (date_unit=us
+    — the default ms would truncate; the Z marker needs ClickHouse's
+    date_time_input_format=best_effort, noted in the sink docstring),
+    NULLs as null."""
+    import datetime as dt
+    import json
+
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse_http import (
+        write_clickhouse_http,
+    )
+
+    srv, records = _capture_server()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = spark.createDataFrame(
+            [
+                (dt.date(2024, 2, 29), dt.datetime(2024, 1, 2, 3, 4, 5, 123456), "a"),
+                (None, None, "b"),
+            ],
+            "D date, T timestamp, K string",
+        ).coalesce(1)
+        assert write_clickhouse_http(df, url, "tmp") == 2
+        rows = {}
+        for _p, _h, body in records:
+            for line in body.decode("utf-8").splitlines():
+                o = json.loads(line)
+                rows[o["K"]] = o
+        assert rows["a"]["D"] == "2024-02-29"
+        assert rows["a"]["T"] == "2024-01-02T03:04:05.123456Z"
+        assert rows["b"]["D"] is None and rows["b"]["T"] is None
+    finally:
+        srv.shutdown()
+
+
 def test_clickhouse_http_insert_url_identifier_escaping():
     """Round-10 advice: identifiers are escaped, the table name is
     quoted part-by-part, and malformed table names fail loud instead
