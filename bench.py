@@ -407,7 +407,7 @@ def main() -> None:
         np_s = time.perf_counter() - t0
         return {"python_loop_2m": round(py, 3), "matmul_1024x3": round(np_s, 3)}
 
-    calibration = {"start": _calibrate()}
+    calibration = {"start_pre_jvm": _calibrate()}
 
     spark = get_spark(app_name="cips-bench")
     registry = q.queries()
@@ -575,7 +575,10 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    calibration["end"] = _calibrate()
+    # key names disclose the asymmetry: the start probe runs before the
+    # JVM exists, the end probe with it still live (GC/cleaner threads
+    # resident) — compare like with like across rounds, not start-vs-end
+    calibration["end_jvm_live"] = _calibrate()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

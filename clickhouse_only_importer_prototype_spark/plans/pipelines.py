@@ -178,6 +178,81 @@ def convert_cna(
     return summary
 
 
+def _write_mutation_outputs(
+    spark: SparkSession,
+    item,
+    parquet_dir: str,
+    start: int,
+    single_file: bool = True,
+) -> int:
+    """The per-file mutation write shared by the sequential loop, the
+    parallel phase-B, and the salvage replay (one implementation so
+    id/cleanup/layout semantics cannot drift): read the MAF, assign
+    ids from ``start``, write both per-study outputs (ONE part file
+    each when ``single_file``). Returns the next free id (an empty
+    MAF keeps the counter unchanged — must not reset). On failure,
+    partial outputs are removed (a stale mutation_event parquet would
+    enter the combine glob with an id range another file may
+    legitimately hold) and the error re-raised; the cached frame is
+    unpersisted on EVERY path so a failed file never pins executor
+    storage for the session."""
+    base = output_base(item.path, parquet_dir)
+    out_paths = (f"{base}_mutation_event.parquet", f"{base}_mutation.parquet")
+    try:
+        df = read_maf(spark, item.path)
+        with_ids = mut_ops.with_sequential_ids(df, start=start).persist()
+        try:
+            write_parquet(
+                mut_ops.mutation_event(with_ids),
+                out_paths[0],
+                single_file=single_file,
+            )
+            write_parquet(
+                mut_ops.mutation(
+                    with_ids, item.cancer_study_id, item.genetic_profile_id
+                ),
+                out_paths[1],
+                single_file=single_file,
+            )
+            return mut_ops.next_event_id(with_ids, start=start)
+        finally:
+            with_ids.unpersist()
+    except Exception:
+        for p in out_paths:
+            shutil.rmtree(p, ignore_errors=True)
+        raise
+
+
+def _probe_maf_counts(
+    spark: SparkSession,
+    inputs: list,
+    max_workers: int,
+    failed: dict[str, str],
+) -> dict[str, int]:
+    """Phase-A probe shared by convert_mutations(max_workers>1) and
+    the salvage mode: one column-pruned count scan per file via driver
+    threads. A file failing its read lands in ``failed`` and consumes
+    no ids — exactly the sequential loop's read-failure semantics."""
+    from concurrent.futures import as_completed
+
+    counts: dict[str, int] = {}
+    with _pipeline_pool(max_workers) as pool:
+
+        def count_one(item) -> tuple[str, int]:
+            return item.path, read_maf(spark, item.path).count()
+
+        futures = {pool.submit(count_one, it): it for it in inputs}
+        for fut in as_completed(futures):
+            item = futures[fut]
+            try:
+                path, n = fut.result()
+                counts[path] = n
+            except Exception as exc:  # noqa: BLE001 — D4 isolation
+                logger.error("failed to read %s: %s", item.path, exc)
+                failed[item.path] = str(exc)
+    return counts
+
+
 def convert_mutations(
     spark: SparkSession,
     tsv_dir: str,
@@ -216,31 +291,15 @@ def convert_mutations(
         """Assign ids from ``start``, write both outputs; returns the
         next free id on success (None on failure — the caller decides
         whether the range was reserved)."""
-        base = output_base(item.path, parquet_dir)
-        out_paths = (f"{base}_mutation_event.parquet", f"{base}_mutation.parquet")
         try:
-            df = read_maf(spark, item.path)
-            with_ids = mut_ops.with_sequential_ids(df, start=start)
-            with_ids = with_ids.persist()
-            event_df = mut_ops.mutation_event(with_ids)
-            mut_df = mut_ops.mutation(
-                with_ids, item.cancer_study_id, item.genetic_profile_id
+            nxt = _write_mutation_outputs(
+                spark, item, parquet_dir, start, single_file=single_file
             )
-            write_parquet(event_df, out_paths[0], single_file=single_file)
-            write_parquet(mut_df, out_paths[1], single_file=single_file)
-            # an empty MAF keeps the counter unchanged (must not reset)
-            nxt = mut_ops.next_event_id(with_ids, start=start)
-            with_ids.unpersist()
             summary.processed.append(item.path)
             return nxt
         except Exception as exc:  # noqa: BLE001 — D4 per-file isolation
             logger.error("failed to process %s: %s", item.path, exc)
             summary.failed[item.path] = str(exc)
-            # remove partial outputs: a stale mutation_event parquet from
-            # a half-failed file would enter the combine glob with an id
-            # range another file may legitimately hold
-            for p in out_paths:
-                shutil.rmtree(p, ignore_errors=True)
             return None
 
     if max_workers <= 1:
@@ -254,22 +313,7 @@ def convert_mutations(
 
         # phase A: concurrent row counts (column-pruned scans);
         # read errors recorded here consume no ids
-        counts: dict[str, int] = {}
-        with _pipeline_pool(max_workers) as pool:
-
-            def count_one(item) -> tuple[str, int]:
-                df = read_maf(spark, item.path)
-                return item.path, df.count()
-
-            futures = {pool.submit(count_one, it): it for it in inputs}
-            for fut in as_completed(futures):
-                item = futures[fut]
-                try:
-                    path, n = fut.result()
-                    counts[path] = n
-                except Exception as exc:  # noqa: BLE001 — D4 isolation
-                    logger.error("failed to read %s: %s", item.path, exc)
-                    summary.failed[item.path] = str(exc)
+        counts = _probe_maf_counts(spark, inputs, max_workers, summary.failed)
         # driver prefix-sum in sorted-path order (inputs are sorted by
         # discovery) -> identical id assignment to the sequential loop
         starts: dict[str, int] = {}
@@ -1075,8 +1119,6 @@ def convert_mutations_grouped_salvage(
     scans convert_mutations max_workers>1 already pays) on top of the
     grouped job. Returns the loop modes' RunSummary (processed +
     failure manifest)."""
-    from concurrent.futures import as_completed
-
     inputs = discover_mutation_files(tsv_dir)
     logger.info("found %d mutation files (grouped-salvage)", len(inputs))
     summary = RunSummary()
@@ -1085,22 +1127,7 @@ def convert_mutations_grouped_salvage(
     _check_unique_bases("convert_mutations_grouped_salvage", inputs)
     os.makedirs(parquet_dir, exist_ok=True)
 
-    counts: dict[str, int] = {}
-    with _pipeline_pool(max_workers) as pool:
-
-        def count_one(item) -> tuple[str, int]:
-            return item.path, read_maf(spark, item.path).count()
-
-        futures = {pool.submit(count_one, it): it for it in inputs}
-        for fut in as_completed(futures):
-            item = futures[fut]
-            try:
-                path, n = fut.result()
-                counts[path] = n
-            except Exception as exc:  # noqa: BLE001 — D4 isolation
-                logger.error("probe failed for %s: %s", item.path, exc)
-                summary.failed[item.path] = str(exc)
-
+    counts = _probe_maf_counts(spark, inputs, max_workers, summary.failed)
     healthy = [it for it in inputs if it.path in counts]
     if healthy:
         convert_mutations_grouped(
@@ -1108,38 +1135,24 @@ def convert_mutations_grouped_salvage(
         )
         summary.processed = [it.path for it in healthy]
 
-    # salvage replay of the manifest through the loop path, fresh ids
-    # past the healthy range
+    # salvage replay of the manifest through the loop path (the SHARED
+    # per-file writer, so layout/id/cleanup semantics are the loop's
+    # by construction — incl. single_file=True), fresh ids past the
+    # healthy range
     next_id = start_event_id + sum(counts.values())
     for item in inputs:  # discovery order, deterministic replay ids
         if item.path not in summary.failed:
             continue
-        base = output_base(item.path, parquet_dir)
-        out_paths = (
-            f"{base}_mutation_event.parquet",
-            f"{base}_mutation.parquet",
-        )
         try:
-            df = read_maf(spark, item.path)
-            with_ids = mut_ops.with_sequential_ids(df, start=next_id)
-            with_ids = with_ids.persist()
-            write_parquet(mut_ops.mutation_event(with_ids), out_paths[0])
-            write_parquet(
-                mut_ops.mutation(
-                    with_ids, item.cancer_study_id, item.genetic_profile_id
-                ),
-                out_paths[1],
+            next_id = _write_mutation_outputs(
+                spark, item, parquet_dir, next_id
             )
-            next_id = mut_ops.next_event_id(with_ids, start=next_id)
-            with_ids.unpersist()
             del summary.failed[item.path]
             summary.processed.append(item.path)
             logger.info("salvaged %s (next id now %d)", item.path, next_id)
         except Exception as exc:  # noqa: BLE001 — D4 isolation
             logger.error("salvage replay failed for %s: %s", item.path, exc)
             summary.failed[item.path] = str(exc)
-            for p in out_paths:
-                shutil.rmtree(p, ignore_errors=True)
 
     summary.processed.sort()
     if summary.failed:

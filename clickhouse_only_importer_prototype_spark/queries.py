@@ -4330,8 +4330,11 @@ def clickhouse_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.server_close()
     got = []
     for body in records:
-        for line in body.decode("utf-8").splitlines():
-            got.append(_json.loads(line))
+        # '\n'-split, not splitlines(): JSON strings may carry raw
+        # U+2028/U+2029 under force_ascii=False (self-review finding)
+        for line in body.decode("utf-8").split("\n"):
+            if line:
+                got.append(_json.loads(line))
     expect = [
         (r["k"], r["hazard"], r["maybe"], r["big"])
         for r in frame.collect()

@@ -56,9 +56,17 @@ Semantics and scale posture:
     defaulted extra columns don't silently misalign.
   * Timestamps serialize as UTC-marked ISO-8601 with microseconds
     (``date_unit="us"``; the session timezone is UTC engine-wide).
-    The trailing ``Z`` needs ``date_time_input_format=best_effort``
-    on the server (ClickHouse's basic parser rejects zone suffixes);
-    set it per-insert via the URL or the target user's profile.
+    The trailing ``Z`` needs ``date_time_input_format=best_effort``,
+    which the insert URL carries as a query parameter itself —
+    ClickHouse's basic parser rejects zone suffixes, and a documented
+    server-config requirement is a deployment landmine.
+  * Floats serialize at ``double_precision=15`` (the pandas JSON
+    writer's maximum; its default of 10 silently rounds — a
+    self-review catch). 15 significant digits covers every value
+    printed by ClickHouse itself; values whose shortest round-trip
+    repr needs 16-17 digits land <=1 ulp off. DECIMAL columns never
+    touch float64: they are Arrow-cast to exact decimal strings
+    (quoted values are accepted by ClickHouse's Decimal parser).
     DATE columns are Arrow-cast to bare ``YYYY-MM-DD`` strings before
     serialization (ClickHouse's Date parser wants that form, not the
     ISO-datetime midnight string pandas emits for date objects).
@@ -97,7 +105,15 @@ def _insert_url(url: str, table: str, columns: list[str]) -> str:
 
     cols = ", ".join(_quote_ident(c) for c in columns)
     query = f"INSERT INTO {_quote_table(table)} ({cols}) FORMAT JSONEachRow"
-    return url.rstrip("/") + "/?" + urlencode({"query": query})
+    params = {
+        "query": query,
+        # timestamps serialize UTC-marked ('...Z'); the default basic
+        # parser rejects zone suffixes, so carry the setting with the
+        # insert instead of leaving a server-config landmine (settings
+        # travel as URL parameters on the HTTP interface)
+        "date_time_input_format": "best_effort",
+    }
+    return url.rstrip("/") + "/?" + urlencode(params)
 
 
 def execute_clickhouse_http(
@@ -196,8 +212,14 @@ def write_clickhouse_http(
                 # DATE columns -> plain 'YYYY-MM-DD' strings (Arrow
                 # cast, vectorized): ClickHouse's Date parser wants
                 # the bare form, not the ISO-datetime midnight string
-                # pandas would emit for date objects
-                if pa.types.is_date(fld.type):
+                # pandas would emit for date objects. DECIMAL columns
+                # -> exact decimal strings: pandas' JSON writer would
+                # route Decimal objects through float64, rounding
+                # >15-16 significant digits (self-review finding);
+                # ClickHouse's Decimal parser accepts quoted values
+                if pa.types.is_date(fld.type) or pa.types.is_decimal(
+                    fld.type
+                ):
                     tbl = tbl.set_column(
                         i, fld.name, tbl.column(i).cast(pa.string())
                     )
@@ -208,6 +230,12 @@ def write_clickhouse_http(
                 force_ascii=False,
                 date_format="iso",
                 date_unit="us",
+                # pandas' default double_precision=10 silently rounds
+                # float64 (0.30000000000000004 -> 0.3, 1e-15 -> 0.0) —
+                # 15 is the writer's max; the residual <=1-ulp gap vs
+                # 17-digit shortest-repr is documented in the module
+                # docstring
+                double_precision=15,
             )
             req = urllib.request.Request(
                 target,

@@ -385,6 +385,14 @@ def test_convert_mutations_grouped_salvage_replays_transient_failure(
     assert sorted(ev_a.MUTATION_EVENT_ID) == [0]
     assert sorted(ev_c.MUTATION_EVENT_ID) == [1, 2]
     assert sorted(ev_b.MUTATION_EVENT_ID) == [3]
+    # the replay goes through the SHARED per-file writer, so the
+    # salvaged output keeps the loop's one-part-file layout
+    import glob as _glob
+
+    parts = _glob.glob(
+        str(out / "s_bb_data_mutations_mutation_event.parquet" / "*.parquet")
+    )
+    assert len(parts) == 1, parts
 
 
 def test_convert_mutations_partitioned_matches_per_study(

@@ -505,7 +505,7 @@ def test_clickhouse_http_sink_posts_all_partitions(spark):
             assert lower["x-clickhouse-key"] == "pw"
             rows.extend(
                 json.loads(line)
-                for line in body.decode("utf-8").splitlines()
+                for line in body.decode("utf-8").split("\n") if line
             )
         assert len(rows) == 1000
         by_id = {r["MUTATION_EVENT_ID"]: r for r in rows}
@@ -550,7 +550,7 @@ def test_clickhouse_http_sink_fidelity_edges(spark):
         for _path, _headers, body in records:
             rows.extend(
                 json.loads(line)
-                for line in body.decode("utf-8").splitlines()
+                for line in body.decode("utf-8").split("\n") if line
             )
         by_note = {r["NOTE"]: r for r in rows}
         got_big = by_note["ok"]["BIG_ID"]
@@ -560,6 +560,57 @@ def test_clickhouse_http_sink_fidelity_edges(spark):
         assert by_note["ok"]["PATHY"] == "C:\\dir\\file"
         assert by_note["café ☕"]["PATHY"] == "line1\nline2"
         assert by_note["café ☕"]["BIG_ID"] == 7
+    finally:
+        srv.shutdown()
+
+
+def test_clickhouse_http_sink_float_and_decimal_fidelity(spark):
+    """Self-review regression: pandas' JSON writer defaults to
+    double_precision=10, silently rounding float64 (1e-15 became 0.0);
+    the sink pins 15 (the writer's max — the documented residual is
+    <=1 ulp on 16-17-digit shortest-repr values). DECIMALs never touch
+    float64 at all: Arrow-cast to exact strings."""
+    import json
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from clickhouse_only_importer_prototype_spark.sinks.clickhouse_http import (
+        write_clickhouse_http,
+    )
+
+    srv, records = _capture_server()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        schema = T.StructType(
+            [
+                T.StructField("F", T.DoubleType()),
+                T.StructField("DEC", T.DecimalType(38, 2)),
+                T.StructField("K", T.StringType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [
+                (1e-15, Decimal("12345678901234567890.12"), "tiny"),
+                (0.123456789012345, None, "digits15"),
+                (None, Decimal("0.10"), "nullf"),
+            ],
+            schema,
+        ).coalesce(1)
+        assert write_clickhouse_http(df, url, "t") == 3
+        rows = {}
+        for _p, _h, body in records:
+            for line in body.decode("utf-8").split("\n"):
+                if line:
+                    o = json.loads(line)
+                    rows[o["K"]] = o
+        assert rows["tiny"]["F"] == 1e-15  # NOT 0.0
+        assert rows["digits15"]["F"] == 0.123456789012345  # 15 sig digits exact
+        assert rows["nullf"]["F"] is None
+        # decimals arrive as exact strings, never float-rounded
+        assert rows["tiny"]["DEC"] == "12345678901234567890.12"
+        assert rows["digits15"]["DEC"] is None
+        assert rows["nullf"]["DEC"] == "0.10"
     finally:
         srv.shutdown()
 
@@ -591,7 +642,9 @@ def test_clickhouse_http_sink_temporal_columns(spark):
         assert write_clickhouse_http(df, url, "tmp") == 2
         rows = {}
         for _p, _h, body in records:
-            for line in body.decode("utf-8").splitlines():
+            for line in body.decode("utf-8").split("\n"):
+                if not line:
+                    continue
                 o = json.loads(line)
                 rows[o["K"]] = o
         assert rows["a"]["D"] == "2024-02-29"
@@ -699,7 +752,7 @@ def test_clickhouse_http_sink_retry_duplicates_posted_batches(spark):
     rows = [
         json.loads(line)["v"]
         for b in ok_bodies
-        for line in b.decode("utf-8").splitlines()
+        for line in b.decode("utf-8").split("\n") if line
     ]
     assert len(rows) == 400  # the documented duplication, visible
     assert sorted(set(rows), key=int) == [str(i) for i in range(300)]
@@ -816,7 +869,7 @@ def test_load_clickhouse_end_to_end(spark, tmp_path):
         else:
             table = q.split()[2].strip("`")
             inserted.setdefault(table, []).extend(
-                json.loads(line) for line in text.splitlines()
+                json.loads(line) for line in text.split("\n") if line
             )
     assert len(ddl_stmts) == 5
     assert all("CREATE TABLE IF NOT EXISTS" in s for s in ddl_stmts)
