@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
 from clickhouse_only_importer_prototype_spark.operators.text import (
     _norm,
     shingles,
@@ -866,7 +867,7 @@ def neardup_clusters(
             [(r[0], r[1]) for r in raw_edges.collect()]
         )
         raw_edges.unpersist()
-        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+        return arrow_local_df(spark, rows, "doc_id long, cluster_id long")
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(1, min(default_parts, n_edges // 50_000 + 1))
     edges = raw_edges

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from clickhouse_only_importer_prototype_spark import stats
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
 
 
 def rank_gapless(
@@ -74,7 +75,7 @@ def rank_gapless(
     for b in sorted(counts):
         offsets.append((b, acc))
         acc += counts[b]
-    off_df = spark.createDataFrame(offsets, "__bkt int, __offset long")
+    off_df = arrow_local_df(spark, offsets, "__bkt int, __offset long")
     w = Window.partitionBy("__bkt").orderBy(*order_cols)
     return (
         bucketed.join(F.broadcast(off_df), "__bkt")

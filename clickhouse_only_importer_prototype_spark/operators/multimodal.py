@@ -20,6 +20,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -277,7 +279,7 @@ def synthetic_media(spark, n: int = 8) -> DataFrame:
                 3000 if mtype == "video" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return arrow_local_df(spark, rows, MEDIA_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from clickhouse_only_importer_prototype_spark.functions import ns, underscore_join
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
 from clickhouse_only_importer_prototype_spark.schemas import (
     MUTATION_COLUMNS,
     MUTATION_EVENT_COLUMNS,
@@ -95,8 +96,8 @@ def _rank_with_offsets(
     (file, pid, offset, expected-count) rows; the drift guard raises
     mid-plan on any packing change (see with_sequential_ids)."""
     spark = tagged.sparkSession
-    offsets_df = spark.createDataFrame(
-        offsets, f"{_FILE} string, __pid int, __offset long, __expect long"
+    offsets_df = arrow_local_df(
+        spark, offsets, f"{_FILE} string, __pid int, __offset long, __expect long"
     )
     w = Window.partitionBy(_FILE, "__pid").orderBy("__mid")
     # same partition keys as `w`: shares its exchange, adds no shuffle

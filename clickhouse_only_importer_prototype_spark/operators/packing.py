@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from clickhouse_only_importer_prototype_spark import stats
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
 
 
 def pack_sequences(
@@ -96,7 +97,7 @@ def pack_sequences(
     for b in sorted(totals):
         offsets.append((b, acc))
         acc += int(totals[b])
-    off_df = df.sparkSession.createDataFrame(offsets, "__bkt int, __offset long")
+    off_df = arrow_local_df(df.sparkSession, offsets, "__bkt int, __offset long")
     w = (
         Window.partitionBy("__bkt")
         .orderBy(order_col)

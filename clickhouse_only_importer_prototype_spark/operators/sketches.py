@@ -37,6 +37,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
+
 
 def bigram_tokens(text_norm: Column) -> Column:
     """Adjacent-word-pair array from a normalized text column: split
@@ -151,7 +153,7 @@ def heavy_hitters(
     schema = out.schema
     rows = out.collect()
     tokens.unpersist()
-    return tokens.sparkSession.createDataFrame(rows, schema)
+    return arrow_local_df(tokens.sparkSession, rows, schema)
 
 
 def rolling_distinct_estimate(

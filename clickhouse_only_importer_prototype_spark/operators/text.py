@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
+
 # Per-language marker words for the n-gram/stopword heuristic. Counting
 # uses non-regex replace => identical in Spark and DuckDB.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -1270,7 +1272,8 @@ def _bpe_iterate(words: DataFrame, n_merges: int):
         if row is None:
             break
         rules.append((k, row.left_sym, row.right_sym, row.pair_count))
-        best_lit = spark.createDataFrame(
+        best_lit = arrow_local_df(
+            spark,
             [(row.left_sym, row.right_sym, row.pair_count)],
             "left_sym string, right_sym string, pair_count long",
         )
@@ -1313,7 +1316,8 @@ def bpe_train(words: DataFrame, n_merges: int) -> DataFrame:
         else:
             states, rules = _bpe_iterate(words, n_merges)
             states.unpersist()
-        return words.sparkSession.createDataFrame(
+        return arrow_local_df(
+            words.sparkSession,
             [tuple(r) for r in rules],
             "step long, left_sym string, right_sym string, "
             "pair_count long",
@@ -1338,7 +1342,8 @@ def bpe_encode(words: DataFrame, n_merges: int) -> DataFrame:
             rows = words.collect()
             wc = {r["word"]: r["n"] for r in rows}
             _, states = _bpe_train_local(wc, n_merges)
-            return words.sparkSession.createDataFrame(
+            return arrow_local_df(
+                words.sparkSession,
                 [
                     (
                         w,

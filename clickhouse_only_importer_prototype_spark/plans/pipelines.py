@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
 from clickhouse_only_importer_prototype_spark.operators import cna as cna_ops
 from clickhouse_only_importer_prototype_spark.operators import mutation as mut_ops
 from clickhouse_only_importer_prototype_spark.sinks.parquet import write_parquet
@@ -396,7 +397,8 @@ def _cna_single_job_scan(
                 ",".join(sample_ids),
             )
         )
-    mf = spark.createDataFrame(
+    mf = arrow_local_df(
+        spark,
         manifest_rows,
         "__file string, __study string, __profile string,"
         " __base string, __header string, __sample_ids array<string>",
@@ -561,7 +563,7 @@ def convert_cna_partitioned(
         os.path.join(parquet_dir, "genetic_alterations.parquet"),
         partition_by=keys,
     )
-    gps = spark.createDataFrame(gps_rows, GENETIC_PROFILE_SAMPLES_SCHEMA)
+    gps = arrow_local_df(spark, gps_rows, GENETIC_PROFILE_SAMPLES_SCHEMA)
     write_parquet(
         with_keys(gps),
         os.path.join(parquet_dir, "genetic_profile_samples.parquet"),
@@ -805,7 +807,8 @@ def _mutations_single_job_frames(
         for g in groups.values()
         for it in g
     ]
-    mf = spark.createDataFrame(
+    mf = arrow_local_df(
+        spark,
         manifest,
         "__file string, __study string, __profile string, __base string",
     )

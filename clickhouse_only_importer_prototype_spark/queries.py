@@ -46,6 +46,7 @@ from clickhouse_only_importer_prototype_spark.operators import (
 from clickhouse_only_importer_prototype_spark.operators.cna import (
     genetic_alterations_from_long,
 )
+from clickhouse_only_importer_prototype_spark.localframe import arrow_local_df
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -5514,8 +5515,12 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
         scratch = tempfile.mkdtemp(prefix="sentinel_")
-        spark.createDataFrame(
-            rows, "event_id long, ts " + t.simpleString()
+        # arrow_local_df, not createDataFrame(list): the pickle-path
+        # local relation executes as a Python-RDD scan whose write
+        # task paid ~4.3s of Python round-trips (r11 optimization,
+        # guide §4 — measured in plans/r11)
+        arrow_local_df(
+            spark, rows, "event_id long, ts " + t.simpleString()
             + ", user_id long, event_type string, value double,"
             " props string"
         ).coalesce(1).write.mode("overwrite").parquet(scratch)
@@ -6244,7 +6249,8 @@ def zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(cx, 2).alias("file_x"),
     )
     dims = ["o_custkey", "o_totalprice"]
-    pred_rows = spark.createDataFrame(
+    pred_rows = arrow_local_df(
+        spark,
         _ZORDER_PREDS,
         "pred_id long, fx_lo double, fx_hi double, fy_lo double, fy_hi double",
     )
@@ -13082,7 +13088,8 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total", F.sum("n").over(Window.partitionBy()).cast("long")
         )
     )
-    exp_t = spark.createDataFrame(
+    exp_t = arrow_local_df(
+        spark,
         [(d + 1, v) for d, v in enumerate(_BENFORD_1E6)],
         "digit long, benford_1e6 long",
     )
