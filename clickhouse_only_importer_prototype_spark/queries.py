@@ -4039,9 +4039,15 @@ def ann_prebuilt_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seeded, partition-stable init) and float64 survives the parquet
     round-trip bit-exactly — so the oracle pins ``identical`` TRUE per
     variant and any artifact-layout, loader, or serving-path drift
-    hash-mismatches the hard gate. The comparison runs in-engine
-    (symmetric exceptAll counts folded to one boolean per variant);
-    both sides persist so each serve plan executes once.
+    hash-mismatches the hard gate. The comparison runs in-engine as a
+    signed-multiplicity fold: union the sides with weight +1/-1, group
+    by the full row, and the multisets are equal iff no group's weight
+    sum is nonzero — exactly symmetric-exceptAll emptiness, in ONE
+    aggregation per variant instead of two exceptAll joins + crossJoin
+    over two persisted frames (r11 optimization: each side is now
+    referenced once, so the persists and their materialization jobs
+    are gone; guide §2.4 — shared-subtree jobs removed outright;
+    plan files in plans/r11).
 
     Scale rationale: at 100 TB the index IS the product — retraining
     per query is a toy posture. This gate certifies that switching to
@@ -4056,21 +4062,20 @@ def ann_prebuilt_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq", sim_ops.cosine_topk_pq),
     ):
         idx = ann_index_fixture(spark, sf_dir, kind)
-        insession = fn(emb, q, dim=64, k=5).persist()
-        served = fn(emb, q, dim=64, k=5, prebuilt=idx).persist()
+        insession = fn(emb, q, dim=64, k=5)
+        served = fn(emb, q, dim=64, k=5, prebuilt=idx)
+        cols = insession.columns
+        signed = insession.withColumn("__w", F.lit(1)).unionByName(
+            served.withColumn("__w", F.lit(-1))
+        )
         plans.append(
-            insession.exceptAll(served)
-            .agg(F.count(F.lit(1)).alias("extra_insession"))
-            .crossJoin(
-                served.exceptAll(insession)
-                .agg(F.count(F.lit(1)).alias("extra_served"))
-            )
+            signed.groupBy(*cols)
+            .agg(F.sum("__w").alias("__d"))
+            .where(F.col("__d") != 0)
+            .agg(F.count(F.lit(1)).alias("n_diff"))
             .select(
                 F.lit(kind).alias("variant"),
-                (
-                    (F.col("extra_insession") + F.col("extra_served"))
-                    == F.lit(0)
-                ).alias("identical"),
+                (F.col("n_diff") == 0).alias("identical"),
             )
         )
     out = plans[0]
