@@ -141,6 +141,52 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+_FOOTER_META: dict[tuple[str, str], tuple[int, int] | None] = {}
+
+
+def _sload(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``load`` + scan fan-out for CPU-dense per-row pipelines
+    (shingling, tokenize+explode, hashing): guide §2.5's
+    unsplittable-input fix, footer-gated so it disappears at scale.
+
+    A parquet file splits into at most one scan task per ROW GROUP, so
+    the single-row-group bench fixtures (documents: 5k rows, 1 group)
+    run every downstream explode/hash in ONE task however many cores
+    exist — measured r11: dedup_containment's shingle build 1.6s and
+    bigram_lm_scores' three concurrent explode subtrees 2.7s each, all
+    single-task. A round-robin repartition right after the read spreads
+    that work across the session's cores.
+
+    Footer gate (same metadata-only pattern as _collapse_gate): when
+    the file already carries >= half-the-cores row groups the scan
+    parallelizes by itself and the frame passes through UNTOUCHED — at
+    production layouts (the 10x/100x gen writes ~16 MB groups) this
+    helper adds no exchange, no plan change. Tiny frames (< 256 rows)
+    also pass through: the exchange would cost more than it spreads.
+    Only used by queries whose downstream per-row work dwarfs the
+    one-task parquet decode; plain scan+aggregate queries keep bare
+    ``load`` (the decode itself is their floor, and an extra exchange
+    buys nothing)."""
+    df = load(spark, sf_dir, table)
+    key = (sf_dir, table)
+    if key not in _FOOTER_META:
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+            _FOOTER_META[key] = (md.num_rows, md.num_row_groups)
+        except Exception:
+            _FOOTER_META[key] = None
+    meta = _FOOTER_META[key]
+    if meta is None:
+        return df
+    rows, groups = meta
+    cores = spark.sparkContext.defaultParallelism
+    if rows < 256 or groups >= max(2, cores // 2):
+        return df
+    return df.repartition(min(cores, max(8, rows // 64)))
+
+
 _MEDIA_FIXTURE_DIRS: dict[tuple[str, str], str] = {}
 
 _MEDIA_SYNTH = {
@@ -2062,7 +2108,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs >= 0.8 via inverted-index
     join (operators/dedup.ngram_jaccard_pairs)."""
     return dedup_ops.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"),
+        _sload(spark, sf_dir, "documents"),
         n=3,
         threshold=0.8,
         collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
@@ -2146,7 +2192,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals
     (operators/text.repetition_features)."""
-    return text_ops.repetition_features(load(spark, sf_dir, "documents"), n=3)
+    return text_ops.repetition_features(_sload(spark, sf_dir, "documents"), n=3)
 
 
 @register(
@@ -2238,7 +2284,7 @@ def top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lang_id", None)  # SQL generated below from the same markers
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic (operators/text.language_id)."""
-    return text_ops.language_id(load(spark, sf_dir, "documents"))
+    return text_ops.language_id(_sload(spark, sf_dir, "documents"))
 
 
 def _lang_score_sql_parts() -> tuple[str, str, str]:
@@ -2286,7 +2332,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled operator; the composition stays one declarative plan —
     Catalyst pipelines the filters into the scan and the only shuffles
     are the dedup groupBy and its keeper semi-join."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _sload(spark, sf_dir, "documents")
     pred, _ = text_ops.language_expr(F.col("text"))
     # one projection fuses tokenization + language-ID: a single scan,
     # filters push into it, no join
@@ -2854,7 +2900,7 @@ def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     REGIONS inside otherwise-distinct documents (license boilerplate,
     quoted passages, templated headers)."""
     return text_ops.dup_spans(
-        load(spark, sf_dir, "documents"),
+        _sload(spark, sf_dir, "documents"),
         n=12,
         collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
@@ -2916,7 +2962,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything. Overlapping hits merge gaps-and-islands style so coverage
     never double-counts."""
     return text_ops.dup_span_coverage(
-        load(spark, sf_dir, "documents"),
+        _sload(spark, sf_dir, "documents"),
         n=12,
         collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
@@ -2990,7 +3036,7 @@ def dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets them, strip applies them; all three share one window-scan
     stage and the island merge."""
     return text_ops.dup_span_strip(
-        load(spark, sf_dir, "documents"),
+        _sload(spark, sf_dir, "documents"),
         n=12,
         collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
     )
@@ -3773,7 +3819,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d <= 3 (a pair within distance 3 must agree on a full chunk); the
     quadratic form is oracle-only, the engine path stays bucketed."""
     return dedup_ops.simhash_neardup_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
+        _sload(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
     )
 
 
@@ -3831,7 +3877,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     j >= 0.8 is below 1e-7 (no false negatives in practice) — same
     argument that oracles dedup_clusters."""
     return dedup_ops.minhash_dedup_pairs(
-        load(spark, sf_dir, "documents"),
+        _sload(spark, sf_dir, "documents"),
         num_hashes=32,
         bands=16,
         threshold=0.8,
@@ -3851,7 +3897,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized blake2b variant remains as operators/dedup.simhash,
     pinned by tests/test_dedup.py."""
     return dedup_ops.simhash_portable(
-        load(spark, sf_dir, "documents"), collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000)
+        _sload(spark, sf_dir, "documents"), collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000)
     )
 
 
@@ -4750,7 +4796,7 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bookkeeping. Complements the exact/minhash/simhash/jaccard family
     at the finer-than-document granularity RefinedWeb-style pipelines
     rewrite with."""
-    return dedup_ops.chunk_dedup(load(spark, sf_dir, "documents"))
+    return dedup_ops.chunk_dedup(_sload(spark, sf_dir, "documents"))
 
 
 @register(
@@ -6726,7 +6772,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (operators/text.rarity_top_terms) — the keyword-extraction
     pass of a corpus exploration pipeline, log-free so both engines
     produce bit-identical scores (see operator docstring)."""
-    return text_ops.rarity_top_terms(load(spark, sf_dir, "documents"), k=3)
+    return text_ops.rarity_top_terms(_sload(spark, sf_dir, "documents"), k=3)
 
 
 @register(
@@ -7875,7 +7921,7 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is observed-bigram-sized and AQE broadcasts it while it fits, with
     a plain shuffle join as the web-scale-vocab fallback. Per-key
     scoring is a map-side-combinable groupBy."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _sload(spark, sf_dir, "documents").select("doc_id", "text")
     # footer pre-gate (round-6 verdict #3): below the threshold the HLL
     # probe job costs more than any collapse could save — skip both
     # (both-paths-equal is pinned by tests, so this is cost-only)
