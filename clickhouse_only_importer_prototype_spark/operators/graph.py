@@ -227,8 +227,10 @@ def triangle_stats(
     Returns one row: (n_edges, n_wedges, n_triangles, clustering_1e6).
     """
     e = edges.persist()
+    n_edges = None
     if broadcast_adjacency is None:
-        broadcast_adjacency = e.count() <= _ADJ_BROADCAST_MAX_EDGES
+        n_edges = e.count()
+        broadcast_adjacency = n_edges <= _ADJ_BROADCAST_MAX_EDGES
     adj = e.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
     if not broadcast_adjacency:
         # shuffle path: two consumers (adj_a, adj_b) on DIFFERENT join
@@ -244,10 +246,25 @@ def triangle_stats(
         adj = adj.persist()
     adj_a = adj.select(F.col("a"), F.col("nbrs").alias("__nbrs_a"))
     adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("__nbrs_b"))
+    tri_src = e
     if broadcast_adjacency:
         adj_a, adj_b = F.broadcast(adj_a), F.broadcast(adj_b)
+        # The per-edge intersect is CPU-bound (~µs per adjacency
+        # element) while its input rows are two longs: byte-based
+        # partition sizing (AQE coalescing / the cached layout) gives
+        # the stage a handful of tasks and leaves the cluster idle
+        # (r11 profile: 11 tasks on 32 cores, ~45s of task CPU behind
+        # a 5.7s-max straggler). Widen to the session's parallelism —
+        # the broadcast gate already bounds |E| here (<= 20M edges,
+        # ~320 MB), so the extra round-robin exchange is noise next to
+        # the intersect work at any scale; the shuffle path keeps its
+        # own |E|-scale partitioning untouched.
+        if n_edges is not None and n_edges >= 50_000:
+            tri_src = e.repartition(
+                e.sparkSession.sparkContext.defaultParallelism
+            )
     tri = (
-        e.join(adj_a, "a")
+        tri_src.join(adj_a, "a")
         # inner join: an edge whose endpoint has no forward neighbors
         # can't close a triangle — dropping it equals intersecting
         # with an empty list
