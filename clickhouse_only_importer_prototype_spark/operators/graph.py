@@ -257,12 +257,20 @@ def triangle_stats(
         # a 5.7s-max straggler). Widen to the session's parallelism —
         # the broadcast gate already bounds |E| here (<= 20M edges,
         # ~320 MB), so the extra round-robin exchange is noise next to
-        # the intersect work at any scale; the shuffle path keeps its
-        # own |E|-scale partitioning untouched.
-        if n_edges is not None and n_edges >= 50_000:
-            tri_src = e.repartition(
-                e.sparkSession.sparkContext.defaultParallelism
-            )
+        # the intersect work; the shuffle path keeps its own |E|-scale
+        # partitioning untouched. Width-gated: only when the cached
+        # layout is actually narrower than half the cores (the 10x
+        # fixture caches ~25-33 partitions already — measured there
+        # the unconditional exchange cost ~1s for nothing), and the
+        # partition probe is metadata-only because n_edges' count()
+        # just materialized the cache.
+        cores = e.sparkSession.sparkContext.defaultParallelism
+        if (
+            n_edges is not None
+            and n_edges >= 50_000
+            and e.rdd.getNumPartitions() < max(2, cores // 2)
+        ):
+            tri_src = e.repartition(cores)
     tri = (
         tri_src.join(adj_a, "a")
         # inner join: an edge whose endpoint has no forward neighbors

@@ -144,7 +144,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _FOOTER_META: dict[tuple[str, str], tuple[int, int] | None] = {}
 
 
-def _sload(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _sload(
+    spark: SparkSession, sf_dir: str, table: str, max_rows: int | None = None
+) -> DataFrame:
     """``load`` + scan fan-out for CPU-dense per-row pipelines
     (shingling, tokenize+explode, hashing): guide §2.5's
     unsplittable-input fix, footer-gated so it disappears at scale.
@@ -166,7 +168,15 @@ def _sload(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     Only used by queries whose downstream per-row work dwarfs the
     one-task parquet decode; plain scan+aggregate queries keep bare
     ``load`` (the decode itself is their floor, and an extra exchange
-    buys nothing)."""
+    buys nothing).
+
+    ``max_rows``: per-site ceiling for consumers whose plan changes
+    shape past a corpus size — dedup_ngram_jaccard's representative
+    collapse (gate: 20k rows) moves the explode onto the collapsed
+    frame, where a pre-collapse fan-out only disturbs the join-size
+    statistics (measured at the 10x tier: 5.9s -> 8.4s with fan-out,
+    all other _sload sites improved). Align the ceiling with the
+    consumer's own collapse threshold."""
     df = load(spark, sf_dir, table)
     key = (sf_dir, table)
     if key not in _FOOTER_META:
@@ -183,6 +193,8 @@ def _sload(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     rows, groups = meta
     cores = spark.sparkContext.defaultParallelism
     if rows < 256 or groups >= max(2, cores // 2):
+        return df
+    if max_rows is not None and rows > max_rows:
         return df
     return df.repartition(min(cores, max(8, rows // 64)))
 
@@ -2107,8 +2119,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs >= 0.8 via inverted-index
     join (operators/dedup.ngram_jaccard_pairs)."""
+    # fan-out ceiling = the collapse gate's threshold: past it the
+    # explode runs on the collapsed frame and pre-collapse fan-out
+    # only hurt (measured 10x: 5.9s -> 8.4s; 1x win 4.1s -> 2.0s kept)
     return dedup_ops.ngram_jaccard_pairs(
-        _sload(spark, sf_dir, "documents"),
+        _sload(spark, sf_dir, "documents", max_rows=20_000),
         n=3,
         threshold=0.8,
         collapse=_collapse_gate(sf_dir, "documents", min_rows=20_000),
