@@ -13,6 +13,13 @@ timing loop) taken after warm-up of each lazily-initialized runtime
 subsystem (batch JIT, pandas_udf worker pool + Arrow, streaming
 state-store machinery — see _warm_subsystems).
 
+The LAST stdout line (the one a tail-capturing driver parses) also
+carries a "queries" map packed with as many slowest-first per-query
+entries as fit its ~2000-byte capture window (round 12: restores the
+driver's per-query/scaling visibility; the full vector is always in
+line 1 and in the full_timings_file artifact, now also written
+cpu-suffixed so multi-core-count runs never clobber each other).
+
 Repeatable 10x stress gate (one command, mechanical diff per round):
   python bench.py --gen-10x /tmp/sf10x      # deterministic 10x tables
   python bench.py --sf-dir /tmp/sf10x       # same JSON line at 10x
@@ -536,11 +543,28 @@ def main() -> None:
     # reproducible from one bench.py run and the estimator change is
     # visible in the artifact itself, not just in SURVEY prose
     in_session_timings = dict(timings)
-    prior_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_full.json"
+    # prior vector for the re-probe rule: prefer the cpu-suffixed
+    # artifact (same core count -> like-for-like ratios; the driver
+    # benches at two core counts and each run of the unsuffixed file
+    # overwrote the other's vector until round 12), fall back to the
+    # unsuffixed name
+    cpus_label = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _base = (
+        "BENCH_full"
         if sf_dir == os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        else f"BENCH_full_{os.path.basename(os.path.normpath(sf_dir))}.json",
+        else f"BENCH_full_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    prior_path = next(
+        (
+            p
+            for p in (
+                os.path.join(_here, f"{_base}_c{cpus_label}.json"),
+                os.path.join(_here, f"{_base}.json"),
+            )
+            if os.path.exists(p)
+        ),
+        os.path.join(_here, f"{_base}.json"),
     )
     if only is None and os.path.exists(prior_path):
         try:
@@ -600,69 +624,92 @@ def main() -> None:
     # (2) print a second, compact line that always fits the tail
     # window: total, query count, the five slowest, and the full-file
     # path so the judge can find (1).
-    default_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    fname = (
-        "BENCH_full.json"
-        if sf_dir == default_sf
-        # non-default dir (e.g. the 10x gate): suffix by dir basename so
-        # a stress run never clobbers the driver-run 1x artifact
-        else f"BENCH_full_{os.path.basename(os.path.normpath(sf_dir))}.json"
-    )
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+    full_path = os.path.join(_here, f"{_base}.json")
     if only is not None:
         full_path = None  # targeted run: never clobber the full artifact
     try:
         if full_path is None:
             raise OSError
+        artifact = {
+            "metric": "headline_queries_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "cpus": cpus_label,
+        }
+        artifact["estimator"] = (
+            "per-query best-of-2 in one session; queries >2.5x "
+            "their prior committed time are re-probed at end-of-run "
+            "and min-merged ('reprobed' holds both numbers); "
+            "value_in_session is the raw pre-merge total from this "
+            "single invocation"
+        )
+        artifact["value_in_session"] = round(
+            sum(in_session_timings.values()), 3
+        )
+        if synth_secs:
+            # scaffolding cost, reported but never inside query rows
+            artifact["media_fixture_synthesis_sec"] = synth_secs
+        if ann_build_secs:
+            # offline-pipeline cost (train + encode + write),
+            # reported but never inside query rows
+            artifact["ann_index_build_sec"] = ann_build_secs
+        if reprobed:
+            artifact["reprobed"] = reprobed
+        # host-speed probe at run start/end: compare rounds via
+        # engine-ratio / calibration-ratio, not absolute seconds
+        artifact["host_calibration_sec"] = calibration
         with open(full_path, "w") as fh:
-            artifact = {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-            artifact["estimator"] = (
-                "per-query best-of-2 in one session; queries >2.5x "
-                "their prior committed time are re-probed at end-of-run "
-                "and min-merged ('reprobed' holds both numbers); "
-                "value_in_session is the raw pre-merge total from this "
-                "single invocation"
-            )
-            artifact["value_in_session"] = round(
-                sum(in_session_timings.values()), 3
-            )
-            if synth_secs:
-                # scaffolding cost, reported but never inside query rows
-                artifact["media_fixture_synthesis_sec"] = synth_secs
-            if ann_build_secs:
-                # offline-pipeline cost (train + encode + write),
-                # reported but never inside query rows
-                artifact["ann_index_build_sec"] = ann_build_secs
-            if reprobed:
-                artifact["reprobed"] = reprobed
-            # host-speed probe at run start/end: compare rounds via
-            # engine-ratio / calibration-ratio, not absolute seconds
-            artifact["host_calibration_sec"] = calibration
+            json.dump(artifact, fh, indent=1)
+        # cpu-suffixed copy: the driver benches the SAME tree at two
+        # core counts and each run rewrites the unsuffixed file — the
+        # round-11 c8 run destroyed the c32 per-query vector. The
+        # suffixed copies keep both vectors recoverable per round.
+        with open(
+            os.path.join(_here, f"{_base}_c{cpus_label}.json"), "w"
+        ) as fh:
             json.dump(artifact, fh, indent=1)
     except OSError:  # read-only checkout: stdout line (1) still has it
         full_path = None
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "bench_summary",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "slowest": slowest,
-                "sf": sf_dir,
-                "full_timings_file": full_path,
-            }
-        )
-    )
+    # Final line: the one the driver actually parses (it keeps only the
+    # LAST ~2000 bytes of stdout — the round-3 full line, ~6 KB, lost
+    # its head to that window and parsed as nothing, which is why this
+    # compact line exists). Round-12 fix for the empty PERF per-query
+    # table: pack as many slowest-first per-query entries into the
+    # line's "queries" key as keep the WHOLE line under the capture
+    # window, so per-query deltas and the cpu-scaling block populate
+    # for every query that materially contributes seconds. The full
+    # 221-entry vector stays in line 1 above and in full_timings_file;
+    # "queries_in_line"/"n_queries" disclose the packing.
+    summary = {
+        "metric": "bench_summary",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": {},
+        "queries_in_line": 0,
+        "slowest": slowest,
+        "sf": sf_dir,
+        "cpus": cpus_label,
+        "full_timings_file": full_path,
+    }
+    budget = 1900  # driver stdout capture is its tail ~2000 bytes
+    compact = {"separators": (",", ":")}  # line printed compact below
+    used = len(json.dumps(summary, **compact))
+    qpart: dict[str, float] = {}
+    for name, t in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        cost = len(json.dumps(name)) + len(json.dumps(t)) + 2  # "k":v,
+        if used + cost > budget:
+            break
+        qpart[name] = t
+        used += cost
+    summary["queries"] = qpart
+    summary["queries_in_line"] = len(qpart)
+    print(json.dumps(summary, **compact))
     spark.stop()
 
 

@@ -20,8 +20,12 @@ converter does not cover, so callers can use it unconditionally.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+_WARNED_FALLBACK = False
 
 
 def arrow_local_df(spark: SparkSession, rows, schema) -> DataFrame:
@@ -32,6 +36,12 @@ def arrow_local_df(spark: SparkSession, rows, schema) -> DataFrame:
     sketch rescores, metadata) — the same classes that were previously
     built with ``spark.createDataFrame(rows, schema)``; this is a
     plan-shape change only, results are identical.
+
+    Caller contract: pass values already of the schema's Python types
+    (int for integral, datetime for timestamps, ...). ``pa.array``
+    coerces some mistyped inputs (e.g. ISO strings into timestamp
+    columns) that the classic verifier would reject with a TypeError —
+    this helper does not re-validate, it only pins the declared types.
     """
     data = list(rows)
     try:
@@ -53,8 +63,19 @@ def arrow_local_df(spark: SparkSession, rows, schema) -> DataFrame:
         if out.schema != st:
             raise ValueError("arrow round-trip changed the schema")
         return out
-    except Exception:
+    except Exception as exc:
         # honest fallback: exotic element types (or a session whose
         # Arrow conversion path rejects the table) keep working through
-        # the classic code path at the old cost
+        # the classic code path at the old cost. Warn ONCE per process
+        # so a permanently-degraded environment (e.g. missing pyarrow)
+        # is visible instead of silently eating the pickle-path cost.
+        global _WARNED_FALLBACK
+        if not _WARNED_FALLBACK:
+            _WARNED_FALLBACK = True
+            warnings.warn(
+                f"arrow_local_df fell back to the classic (pickled-RDD) "
+                f"path: {type(exc).__name__}: {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return spark.createDataFrame(data, schema)

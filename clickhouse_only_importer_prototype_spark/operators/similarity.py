@@ -287,8 +287,17 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     train_fraction: float | None = None,
     train_points_per_centroid: int = 256,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means centroids, trained distributed.
+
+    ``n_rows``: exact row count of ``df``, when the caller already
+    knows it (e.g. from the parquet footer of an unfiltered table
+    scan) — skips the count job. Used ONLY for training-sliver sizing
+    and the driver/distributed Lloyd crossover; a wrong value changes
+    the training sliver and therefore the centroids, so callers must
+    pass the exact count or nothing (r12, guide §1.2 step 1: the count
+    job was pure fixed overhead on every ANN query).
 
     Init is a deterministic pseudo-random sample (the n_centroids rows
     with smallest xxhash64(seed, id) — no RNG state, stable across
@@ -311,7 +320,7 @@ def ivf_train_centroids(
         raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
     # parquet count(*) is metadata-only under Spark's row-count
     # optimization; at worst it is a column-pruned id scan
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     target = n_centroids * train_points_per_centroid
     if train_fraction is None:
         train_fraction = 1.0 if n <= target else target / n
@@ -429,8 +438,15 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     train_fraction: float | None = None,
     prebuilt=None,
+    cents: np.ndarray | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    ``corpus_rows``: exact row count of ``corpus`` when the caller
+    already knows it (parquet footer of an unfiltered scan) — forwarded
+    to the trainer so the sizing count job is skipped (see
+    ``ivf_train_centroids``).
 
     The corpus partitions into n_centroids Voronoi cells (one cluster
     id per vector — the 'inverted lists'); each query probes its nprobe
@@ -447,7 +463,17 @@ def cosine_topk_ivf(
     only read for the exact within-cell rerank. Results are
     bit-identical to the in-session path with matching parameters
     (training is seeded/partition-stable and float64 survives parquet
-    exactly; pinned by tests/test_ann_index.py)."""
+    exactly; pinned by tests/test_ann_index.py).
+
+    ``cents`` (consulted only when ``prebuilt`` is None) injects
+    pre-trained coarse centroids: callers evaluating several variants
+    over the SAME corpus with the SAME training params (n_centroids,
+    iters, seed, train_fraction) train once via ``ivf_train_centroids``
+    and share the array — training is deterministic, so the result is
+    bit-identical to retraining here (pinned by
+    tests/test_similarity_shared_training.py); r12 optimization, guide
+    §2.4: the duplicate count+collect training jobs are removed
+    outright."""
     if prebuilt is not None:
         _check_prebuilt_dim(prebuilt, dim)
         if prebuilt.centroids is None:
@@ -474,10 +500,11 @@ def cosine_topk_ivf(
             _as_double(vec_col).alias("cv"),
         ).join(cells, "neighbor_id")
     else:
-        cents = ivf_train_centroids(
-            corpus, dim, n_centroids, iters, seed, id_col, vec_col,
-            train_fraction,
-        )
+        if cents is None:
+            cents = ivf_train_centroids(
+                corpus, dim, n_centroids, iters, seed, id_col, vec_col,
+                train_fraction, n_rows=corpus_rows,
+            )
         assign = _ivf_probe_udf(cents, 1)
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -1141,6 +1168,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_points_per_centroid: int = 256,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Per-subspace L2 codebooks over NORMALIZED vectors ->
     (m, n_codes, dim//m). Vectors are unit-normalized before slicing so
@@ -1154,7 +1182,9 @@ def pq_train_codebooks(
     the full corpus is only ever touched by the one encode pass."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    n = df.count()
+    # n_rows: caller-known exact count (same contract and rationale as
+    # ivf_train_centroids.n_rows)
+    n = df.count() if n_rows is None else n_rows
     target = n_codes * train_points_per_centroid
     frac = 1.0 if n <= target else target / n
     src = df
@@ -1247,6 +1277,7 @@ def cosine_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prebuilt=None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via PQ ADC shortlist + exact rescore:
     (query_id, neighbor_id, rank, cos_1e6) — the LSH/IVF output shape.
@@ -1278,7 +1309,8 @@ def cosine_topk_pq(
         )
     else:
         codebooks = pq_train_codebooks(
-            corpus, dim, m, n_codes, iters, seed, id_col, vec_col
+            corpus, dim, m, n_codes, iters, seed, id_col, vec_col,
+            n_rows=corpus_rows,
         )
         codes = pq_encode(corpus, codebooks, id_col, vec_col)
     dsub = dim // m
@@ -1391,6 +1423,8 @@ def cosine_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prebuilt=None,
+    cents: np.ndarray | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed production serving shape (FAISS's IVFPQ,
     public) — coarse spherical-k-means cells prune the corpus to
@@ -1414,7 +1448,13 @@ def cosine_topk_ivfpq(
     (cell, codes) table directly — the query path runs zero training
     jobs and zero raw-vector scans outside the shortlist rescore.
     Bit-identical to in-session with matching params (pinned by
-    tests/test_ann_index.py)."""
+    tests/test_ann_index.py).
+
+    ``cents`` (consulted only when ``prebuilt`` is None): shared
+    pre-trained coarse centroids — see ``cosine_topk_ivf``. The ivf
+    and ivfpq variants use IDENTICAL coarse-training params by
+    default, so a caller evaluating both trains the coarse k-means
+    once (r12, guide §2.4)."""
     if prebuilt is not None:
         _check_prebuilt_dim(prebuilt, dim)
         if prebuilt.centroids is None or prebuilt.codebooks is None:
@@ -1428,11 +1468,14 @@ def cosine_topk_ivfpq(
             F.col("vec_id").alias("vec_id_pq"), "cluster", "codes"
         )
     else:
-        cents = ivf_train_centroids(
-            corpus, dim, n_centroids, iters, seed, id_col, vec_col
-        )
+        if cents is None:
+            cents = ivf_train_centroids(
+                corpus, dim, n_centroids, iters, seed, id_col, vec_col,
+                n_rows=corpus_rows,
+            )
         codebooks = pq_train_codebooks(
-            corpus, dim, m, n_codes, iters, seed, id_col, vec_col
+            corpus, dim, m, n_codes, iters, seed, id_col, vec_col,
+            n_rows=corpus_rows,
         )
         assign = _ivf_probe_udf(cents, 1)
         # one corpus scan computes BOTH the cell and the codes (two

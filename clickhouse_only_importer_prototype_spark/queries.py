@@ -21,6 +21,7 @@ no global sorts outside explicit top-k) are the 100 TB design.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -141,7 +142,40 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-_FOOTER_META: dict[tuple[str, str], tuple[int, int] | None] = {}
+_FOOTER_META: dict[tuple, tuple[int, int] | None] = {}
+
+
+def _footer_meta(sf_dir: str, table: str) -> tuple[int, int] | None:
+    """(num_rows, num_row_groups) from the parquet footer — a
+    metadata-only probe, no Spark job. Keyed by mtime so an in-process
+    fixture regeneration (or a cached probe error) never pins stale
+    metadata for the process lifetime (round-12 ADVICE fix)."""
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (sf_dir, table, mtime)
+    if key not in _FOOTER_META:
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            _FOOTER_META[key] = (md.num_rows, md.num_row_groups)
+        except Exception:
+            _FOOTER_META[key] = None
+    return _FOOTER_META[key]
+
+
+def _footer_rows(sf_dir: str, table: str) -> int | None:
+    """Exact row count of an UNFILTERED table scan, from the parquet
+    footer (None when unreadable). Passed to the ANN trainers as their
+    sizing count so the per-query count job disappears — exactness
+    matters (the sliver, and therefore the trained centroids, depend
+    on it), which is why this only ever describes a bare ``load`` of
+    the table, never a filtered/derived frame."""
+    meta = _footer_meta(sf_dir, table)
+    return None if meta is None else meta[0]
 
 
 def _sload(
@@ -178,16 +212,7 @@ def _sload(
     all other _sload sites improved). Align the ceiling with the
     consumer's own collapse threshold."""
     df = load(spark, sf_dir, table)
-    key = (sf_dir, table)
-    if key not in _FOOTER_META:
-        try:
-            import pyarrow.parquet as pq
-
-            md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
-            _FOOTER_META[key] = (md.num_rows, md.num_row_groups)
-        except Exception:
-            _FOOTER_META[key] = None
-    meta = _FOOTER_META[key]
+    meta = _footer_meta(sf_dir, table)
     if meta is None:
         return df
     rows, groups = meta
@@ -3850,6 +3875,9 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_centroids=16,
         nprobe=4,  # training auto-sizes to ~256 points/centroid
+        # footer-exact count of the unfiltered corpus: the trainer's
+        # sizing count job is pure fixed overhead (r12, guide §1.2)
+        corpus_rows=_footer_rows(sf_dir, "embeddings"),
     )
 
 
@@ -3946,6 +3974,7 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=8,
         n_codes=32,
         shortlist=200,
+        corpus_rows=_footer_rows(sf_dir, "embeddings"),
     )
 
 
@@ -3960,7 +3989,11 @@ def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated in ann_recall_check at floor 0.45."""
     emb = load(spark, sf_dir, "embeddings")
     return sim_ops.cosine_topk_ivfpq(
-        emb, emb.where(F.col("vec_id") < 10), dim=64, k=5
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        dim=64,
+        k=5,
+        corpus_rows=_footer_rows(sf_dir, "embeddings"),
     )
 
 
@@ -4032,16 +4065,29 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny (n_queries x k rows) but referenced by both variants' semi
     # joins and the totals — persist so brute force runs once
     truth = sim_ops.cosine_topk_bruteforce(emb, q, k=5).persist()
+    # ivf and ivfpq share IDENTICAL coarse-training params (n_centroids
+    # 16, iters 2, default seed), so train the seeded k-means ONCE and
+    # inject it — deterministic training makes the shared array
+    # bit-identical to per-variant retraining (r12, guide §2.4; pinned
+    # by tests/test_similarity_shared_training.py). Footer-exact row
+    # counts kill the trainers' sizing count jobs (guide §1.2).
+    nrows = _footer_rows(sf_dir, "embeddings")
+    cents = sim_ops.ivf_train_centroids(
+        emb, dim=64, n_centroids=16, iters=2, n_rows=nrows
+    )
     ivf = sim_ops.cosine_topk_ivf(
-        emb, q, dim=64, k=5, n_centroids=16, nprobe=4
+        emb, q, dim=64, k=5, n_centroids=16, nprobe=4, cents=cents
     )
     lsh = sim_ops.cosine_topk_lsh(
         emb, q, dim=64, k=5, n_planes=4, n_tables=16
     )
     pq = sim_ops.cosine_topk_pq(
-        emb, q, dim=64, k=5, m=8, n_codes=32, shortlist=200
+        emb, q, dim=64, k=5, m=8, n_codes=32, shortlist=200,
+        corpus_rows=nrows,
     )
-    ivfpq = sim_ops.cosine_topk_ivfpq(emb, q, dim=64, k=5)
+    ivfpq = sim_ops.cosine_topk_ivfpq(
+        emb, q, dim=64, k=5, cents=cents, corpus_rows=nrows
+    )
     return (
         sim_ops.topk_recall(truth, ivf, "ivf", 500)
         .unionByName(sim_ops.topk_recall(truth, lsh, "lsh", 700))
@@ -4116,6 +4162,15 @@ def ann_prebuilt_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the offline-build + online-serve split deployable."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
+    # the in-session ivf and ivfpq sides train the SAME seeded coarse
+    # k-means (identical default params) — train once, inject into
+    # both (r12, guide §2.4; bit-identical by deterministic training,
+    # and the oracle still pins identical=TRUE per variant); footer-
+    # exact counts for the remaining trainers' sizing
+    nrows = _footer_rows(sf_dir, "embeddings")
+    cents = sim_ops.ivf_train_centroids(
+        emb, dim=64, n_centroids=16, iters=2, n_rows=nrows
+    )
     plans = []
     for kind, fn in (
         ("ivf", sim_ops.cosine_topk_ivf),
@@ -4123,7 +4178,10 @@ def ann_prebuilt_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq", sim_ops.cosine_topk_pq),
     ):
         idx = ann_index_fixture(spark, sf_dir, kind)
-        insession = fn(emb, q, dim=64, k=5)
+        extra = {"corpus_rows": nrows}
+        if kind != "pq":
+            extra["cents"] = cents
+        insession = fn(emb, q, dim=64, k=5, **extra)
         served = fn(emb, q, dim=64, k=5, prebuilt=idx)
         cols = insession.columns
         signed = insession.withColumn("__w", F.lit(1)).unionByName(
@@ -11680,16 +11738,26 @@ def ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
     truth = sim_ops.cosine_topk_bruteforce(emb, q, k=5).persist()
+    # shared seeded coarse k-means for ivf + ivfpq (identical training
+    # params -> identical centroids; r12, guide §2.4 — see
+    # ann_recall_check), footer-exact counts for the trainer sizing
+    nrows = _footer_rows(sf_dir, "embeddings")
+    cents = sim_ops.ivf_train_centroids(
+        emb, dim=64, n_centroids=16, iters=2, n_rows=nrows
+    )
     ivf = sim_ops.cosine_topk_ivf(
-        emb, q, dim=64, k=5, n_centroids=16, nprobe=4
+        emb, q, dim=64, k=5, n_centroids=16, nprobe=4, cents=cents
     )
     lsh = sim_ops.cosine_topk_lsh(
         emb, q, dim=64, k=5, n_planes=4, n_tables=16
     )
     pq = sim_ops.cosine_topk_pq(
-        emb, q, dim=64, k=5, m=8, n_codes=32, shortlist=200
+        emb, q, dim=64, k=5, m=8, n_codes=32, shortlist=200,
+        corpus_rows=nrows,
     )
-    ivfpq = sim_ops.cosine_topk_ivfpq(emb, q, dim=64, k=5)
+    ivfpq = sim_ops.cosine_topk_ivfpq(
+        emb, q, dim=64, k=5, cents=cents, corpus_rows=nrows
+    )
     return (
         sim_ops.topk_ranking_quality(
             truth, ivf, "ivf", k=5,

@@ -1,14 +1,15 @@
 #!/usr/bin/env python3
-"""Round-11 optimization measurement harness.
+"""Optimization measurement harness (rounds 11-12).
 
 Times individual registry queries with the noop sink (guide §1.4),
 labels jobs (§1.5), and dumps .explain("formatted") per query to
-plans/r11/<name>_<tag>.txt so plan claims in OPTIMIZATION_r11.md are
-checkable without running Spark.
+plans/<round>/<name>_<tag>.txt so plan claims in OPTIMIZATION_r*.md
+are checkable without running Spark.
 
 Usage:
   python tools/measure.py --names q1,q2 [--tag before] [--runs 2]
-                          [--sf-dir DIR] [--no-explain] [--profile]
+                          [--sf-dir DIR] [--no-explain] [--warm]
+                          [--eventlog DIR] [--round r12]
 
 Separate from bench.py on purpose: bench.py is the driver contract
 and stays untouched by measurement tooling.
@@ -37,6 +38,7 @@ def main() -> None:
     ap.add_argument("--no-explain", action="store_true")
     ap.add_argument("--warm", action="store_true", help="run bench-style subsystem warm-up first")
     ap.add_argument("--eventlog", default=None, help="dir for spark event logs (per-job profiling)")
+    ap.add_argument("--round", default="r12", help="plans/<round>/ subdir for explain dumps")
     args = ap.parse_args()
 
     names = [n.strip() for n in args.names.split(",") if n.strip()]
@@ -59,7 +61,7 @@ def main() -> None:
         q.q6_forecast_revenue(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         bench._warm_subsystems(spark, args.sf_dir)
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, float] = {}
